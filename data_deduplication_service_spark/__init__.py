@@ -1,0 +1,21 @@
+"""PySpark-native near-duplicate detection + clustering engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of the
+reference block-level deduplication service
+(AlexanderMeynik/data_deduplication_service — C++20 + PostgreSQL 15):
+fixed-size content segmentation, content-addressed segment store with
+reference counts, per-file/global dedup metrics, lossless reconstruction,
+delete + garbage collection — extended with the distributed near-dup stack
+the reference lacks: MinHash/SimHash signatures, LSH candidate generation
+with hot-key salting, exact-Jaccard verification, and connected-component
+clustering, all resumable from checkpoints with per-partition lineage.
+
+Everything is the DataFrame API + vectorized pandas/Arrow UDFs; no
+per-row Python in any hot path, no RDDs.
+"""
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.session import get_spark
+
+__all__ = ["DedupConfig", "get_spark"]
+__version__ = "0.1.0"

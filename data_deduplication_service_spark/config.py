@@ -1,0 +1,80 @@
+"""Pipeline configuration.
+
+Pins every knob the recall criterion depends on ("same shingle/signature
+config"): segment size + hash (reference: segment_size=64 in all tests,
+test/files_service_IT/dbFile_load_delete_tests.cpp:34; 6 supported digests,
+include/HashUtils.h:21-69), shingling, MinHash signature length, LSH
+band/row layout, Jaccard threshold, and skew-salting fanout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+# The reference's 6 digests (include/HashUtils.h:61-69) with digest sizes.
+HASH_DIGEST_SIZES = {
+    "sha224": 28,
+    "sha256": 32,
+    "md5": 16,
+    "sha384": 48,
+    "sha512": 64,
+    "md4": 16,
+}
+
+# Digests computable JVM-side (whole-stage codegen; no Python). md4 is the
+# only one that needs a pandas-UDF fallback (and only if the local OpenSSL
+# still ships the legacy provider).
+JVM_HASHES = {"sha224", "sha256", "sha384", "sha512", "md5"}
+
+# Reference benchmark sweep (doc/benchmarks.md:12-17).
+SEGMENT_SIZE_SWEEP = (2, 4, 8, 16, 64, 256, 512, 1024, 2048, 4096)
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All pipeline parameters. Frozen so a config is a cache/checkpoint key."""
+
+    # --- exact-dedup layer (reference semantics) ---
+    segment_size: int = 64          # bytes per non-overlapping segment
+    hash_name: str = "sha256"       # segment digest
+
+    # --- near-dup signatures ---
+    shingle_mode: str = "char"      # char | word | segment
+    shingle_k: int = 9              # k-gram width (chars or words)
+    minhash_n: int = 128            # signature length
+    bands: int = 32                 # LSH bands
+    rows_per_band: int = 4          # minhash_n == bands * rows_per_band
+    jaccard_threshold: float = 0.7  # near-dup decision threshold
+    seed: int = 42                  # permutation seed (deterministic reruns)
+
+    # --- skew / scale controls ---
+    salt_buckets: int = 16          # salting fanout for hot segment hashes
+    hot_key_threshold: int = 100_000  # count above which a groupBy key is salted
+    max_bucket_size: int = 200      # LSH bucket cap; bigger buckets are chunked
+    shuffle_partitions: int | None = None  # None → leave session value
+
+    # --- clustering ---
+    cc_max_iterations: int = 25     # connected-components iteration bound
+
+    def __post_init__(self) -> None:
+        if self.hash_name not in HASH_DIGEST_SIZES:
+            raise ValueError(f"unknown hash {self.hash_name!r}; pick from {sorted(HASH_DIGEST_SIZES)}")
+        if self.segment_size <= 0:
+            raise ValueError("segment_size must be positive")
+        if self.minhash_n != self.bands * self.rows_per_band:
+            raise ValueError(
+                f"minhash_n ({self.minhash_n}) must equal bands*rows_per_band "
+                f"({self.bands}*{self.rows_per_band})"
+            )
+        if self.shingle_mode not in ("char", "word", "segment"):
+            raise ValueError(f"bad shingle_mode {self.shingle_mode!r}")
+        if not 0.0 < self.jaccard_threshold <= 1.0:
+            raise ValueError("jaccard_threshold must be in (0, 1]")
+
+    @property
+    def digest_size(self) -> int:
+        return HASH_DIGEST_SIZES[self.hash_name]
+
+    def with_(self, **kwargs: Any) -> "DedupConfig":
+        return replace(self, **kwargs)

@@ -1,0 +1,114 @@
+"""Exact-dedup metrics + consistency invariants.
+
+Re-expressions of the reference's reporting/verification SQL:
+  * per-file dedup characteristics — getDedupCharacteristics CTE
+    (lib/dbCommon.cpp:204-229): counts, distinct counts, unique %, stored
+    size ratio; RIGHT JOIN keeps unprocessed files (J4).
+  * global dedup coefficient — FileService::getCoefficient
+    (lib/FileService.cpp:55-75): sum(segment_count) / #unique segments.
+  * global sizes — getDataD (lib/FileService.cpp:77-108).
+  * consistency check — checkSegmentCount (lib/dbCommon.cpp:192-202):
+    (per-hash counts from file_segments) EXCEPT (segments table) = ∅.
+  * exact-duplicate clusters — groupBy(content_sha256): the degenerate
+    (jaccard = 1.0) tier of the clustering stack.
+
+All pure DataFrame aggregations — partial+final hash aggregation, AQE
+coalescing and parquet column pruning come free from Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dedup_characteristics(files: DataFrame, file_segments: DataFrame, digest_size: int) -> DataFrame:
+    """Per-file stats (lib/dbCommon.cpp:204-229).
+
+    `data_size` mirrors the reference's `sum(octet_length(segment_hash)+8)`
+    — digest bytes + 8-byte position per mapping row.
+    """
+    stats = file_segments.groupBy("file_id").agg(
+        F.count("*").alias("segment_count"),
+        F.countDistinct("segment_hash").alias("unique_count"),
+        (F.count("*") * (digest_size + 8)).alias("data_size"),
+    )
+    # right join keeps files with no segments yet (dir stubs / unprocessed)
+    return (
+        stats.join(files, "file_id", "right")
+        .select(
+            "file_id",
+            "repo",
+            "path",
+            "lang",
+            "size_in_bytes",
+            "segment_count",
+            "unique_count",
+            F.round(F.col("unique_count") / F.col("segment_count") * 100.0, 2).alias("unique_percentage"),
+            "data_size",
+            F.round(F.col("data_size") / F.col("size_in_bytes"), 4).alias("stored_to_original"),
+        )
+    )
+
+
+def dedup_coefficient(segments: DataFrame) -> DataFrame:
+    """Global coefficient (lib/FileService.cpp:55-75): logical/physical segments."""
+    return segments.agg(
+        F.sum("segment_count").alias("total_segments"),
+        F.count("*").alias("unique_segments"),
+        F.round(F.sum("segment_count") / F.count("*") * 100.0, 2).alias("dedup_coefficient_pct"),
+    )
+
+
+def global_sizes(files: DataFrame, file_segments: DataFrame, segments: DataFrame, digest_size: int) -> DataFrame:
+    """getDataD (lib/FileService.cpp:77-108): original vs stored footprint.
+
+    One single-row aggregate per table, stapled side-by-side — the
+    reference used degenerate `JOIN ON true` (J5); crossJoin of 1-row DFs
+    is the same shape and AQE folds it to a local join.
+    """
+    a = files.agg(F.sum("size_in_bytes").alias("total_file_size"))
+    b = file_segments.agg((F.count("*") * (digest_size + 8)).alias("mapping_size"))
+    c = segments.agg(
+        F.coalesce(F.sum(F.octet_length("segment_data") + digest_size + 8), F.lit(0)).alias("segment_store_size")
+        if "segment_data" in segments.columns
+        else (F.count("*") * (digest_size + 8)).alias("segment_store_size")
+    )
+    return a.crossJoin(b).crossJoin(c).select(
+        "total_file_size",
+        "mapping_size",
+        "segment_store_size",
+        F.round((F.col("mapping_size") + F.col("segment_store_size")) / F.col("total_file_size"), 4).alias(
+            "stored_to_original"
+        ),
+    )
+
+
+def consistency_check(file_segments: DataFrame, segments: DataFrame) -> bool:
+    """checkSegmentCount (lib/dbCommon.cpp:192-202): EXCEPT must be empty."""
+    derived = file_segments.groupBy("segment_hash").agg(F.count("*").alias("segment_count"))
+    stored = segments.select("segment_hash", "segment_count")
+    return derived.exceptAll(stored).isEmpty() and stored.exceptAll(derived).isEmpty()
+
+
+def exact_duplicate_clusters(files: DataFrame) -> DataFrame:
+    """Exact-dup clusters by content hash; cluster_id = min member file_id."""
+    return (
+        files.groupBy("content_sha256")
+        .agg(
+            F.min("file_id").alias("cluster_id"),
+            F.count("*").alias("cluster_size"),
+            F.sort_array(F.collect_list("file_id")).alias("members"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+def exact_duplicate_pairs(files: DataFrame) -> DataFrame:
+    """(a,b) pairs with identical content — ground-truth exact tier."""
+    f = files.select("content_sha256", "file_id")
+    return (
+        f.alias("x")
+        .join(f.alias("y"), "content_sha256")
+        .filter(F.col("x.file_id") < F.col("y.file_id"))
+        .select(F.col("x.file_id").alias("a"), F.col("y.file_id").alias("b"), F.lit(1.0).alias("jaccard"))
+    )

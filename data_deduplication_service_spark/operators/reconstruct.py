@@ -1,0 +1,79 @@
+"""Lossless reconstruction + roundtrip verification.
+
+Reference: dbManager::getFileStreamed (lib/dbManager.cpp:164-194) — a
+3-way join `data ⋈ segments ⋈ files` ORDER BY segment_num streamed into a
+file; verification via byte compare (compareFiles, lib/fileUtils.cpp:53-94).
+
+Spark-first shape: NO global sort. Reassembly happens per file inside one
+hash-aggregate — `array_sort(collect_list(struct(segment_num, bytes)))`
+sorts each file's (small) segment list locally, then `array_join` glues
+the decoded pieces. A global ORDER BY would be a pointless range-shuffle
+of every byte of the corpus.
+
+The roundtrip invariant (`content_sha256` equality per row) is the
+per-row check demanded by the driver's input_hint and mirrors
+compareFiles' byteErrors==0 contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def reconstruct_files(file_segments_with_data: DataFrame) -> DataFrame:
+    """file_segments(file_id, segment_num, segment_data) → (file_id, content).
+
+    Accepts either a file_segments table that kept segment_data, or the
+    join `file_segments ⋈ segments(with data) ON segment_hash` (J1).
+    """
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("segment_num").alias("n"), F.col("segment_data").alias("d")))
+    )
+    # Concatenate BINARY pieces, decode once: segments split multi-byte UTF-8
+    # characters mid-sequence (byte-level windows), so per-piece decode would
+    # fail on any boundary that lands inside a character.
+    glued = F.aggregate(
+        F.col("_parts"),
+        F.lit(b""),
+        lambda acc, p: F.concat(acc, p["d"]),
+    )
+    return (
+        file_segments_with_data.groupBy("file_id")
+        .agg(parts.alias("_parts"))
+        .select("file_id", F.decode(glued, "UTF-8").alias("content"))
+    )
+
+
+def reconstruct_from_store(file_segments: DataFrame, segments_with_data: DataFrame) -> DataFrame:
+    """The reference's actual read path: mapping ⋈ content-addressed store.
+
+    segments is the small(er) unique side; Catalyst/AQE picks the join
+    strategy — at 100 TB this is a shuffle hash join co-partitioned on
+    segment_hash, which is why `segments` should be bucketed by
+    segment_hash on disk (SURVEY §4).
+    """
+    joined = file_segments.join(
+        segments_with_data.select("segment_hash", "segment_data"), "segment_hash"
+    ).select("file_id", "segment_num", "segment_data")
+    return reconstruct_files(joined)
+
+
+def roundtrip_errors(original_files: DataFrame, reconstructed: DataFrame) -> DataFrame:
+    """Rows whose reconstruction is NOT byte-identical (must be empty).
+
+    Full outer join so both missing and spurious files surface
+    (compareDirectories semantics, lib/fileUtils.cpp:6-51).
+    """
+    orig = original_files.select("file_id", F.col("content_sha256").alias("orig_sha"))
+    rec = reconstructed.select(
+        "file_id", F.sha2(F.encode("content", "UTF-8"), 256).alias("rec_sha")
+    )
+    return (
+        orig.join(rec, "file_id", "full_outer")
+        .filter(
+            F.col("orig_sha").isNull()
+            | F.col("rec_sha").isNull()
+            | (F.col("orig_sha") != F.col("rec_sha"))
+        )
+        .select("file_id", "orig_sha", "rec_sha")
+    )

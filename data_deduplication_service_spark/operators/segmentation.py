@@ -1,0 +1,162 @@
+"""Fixed-size byte segmentation + content-addressed segment store.
+
+Reference semantics (dbManager::insertFileFromStream, lib/dbManager.cpp:
+196-247), reproduced exactly:
+  * a segment is a NON-OVERLAPPING fixed-size window over the file's BYTES
+    (content is encoded UTF-8 first — multi-byte chars split mid-sequence,
+    exactly like the reference's byte stream);
+  * the trailing partial block is kept and hashed at its true length
+    (lib/dbManager.cpp:224-234);
+  * positions are 1-based (lib/dbManager.cpp:204);
+  * segment identity = raw digest bytes over the segment bytes
+    (lib/dbManager.cpp:216,227; digests are bytea, not hex);
+  * empty files are rejected (include/FileService.h:372-377).
+
+Execution strategy (Spark-first, not a port): the reference hashes
+client-side in a C++ loop and COPY-streams tuples into an unindexed temp
+table. Here the whole thing is ONE narrow (shuffle-free) projection:
+encode → sequence(0..nseg-1) → posexplode → substring → sha2/md5, all
+inside whole-stage codegen. The per-file temp table and the per-file
+aggregation table (lib/dbManager.cpp:345-349, 263-266) dissolve into the
+DataFrame lineage and one global groupBy.
+
+Only md4 (no JVM builtin) falls back to a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from data_deduplication_service_spark.config import JVM_HASHES, DedupConfig
+
+
+class EmptyContentError(ValueError):
+    """Reference: 'Application doesnt support empty file insertion!'"""
+
+
+def _jvm_digest(col: Column, hash_name: str) -> Column:
+    """Raw digest bytes, JVM-side (codegen), for the 5 builtin digests."""
+    if hash_name == "md5":
+        return F.unhex(F.upper(F.md5(col)))
+    bits = int(hash_name[3:])  # sha224/sha256/sha384/sha512
+    return F.unhex(F.upper(F.sha2(col, bits)))
+
+
+def _md4_digest_udf() -> Column:
+    """Vectorized md4 over a binary column via hashlib (legacy OpenSSL only)."""
+    import hashlib
+
+    try:
+        hashlib.new("md4")
+    except Exception as exc:  # pragma: no cover - environment dependent
+        raise NotImplementedError(
+            "md4 requires OpenSSL legacy provider; unavailable here"
+        ) from exc
+
+    @F.pandas_udf("binary")
+    def md4(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: hashlib.new("md4", b).digest())
+
+    return md4
+
+
+def reject_empty(files: DataFrame, strict: bool = False) -> DataFrame:
+    """Drop (or raise on) empty-content rows, per the reference contract."""
+    if strict:
+        # driver-side assert on a cheap aggregate, not a collect of rows
+        n_empty = files.filter(F.octet_length("content") == 0).limit(1).count()
+        if n_empty:
+            raise EmptyContentError("empty-content rows present (reference rejects them)")
+    return files.filter(F.octet_length("content") > 0)
+
+
+def segment_files(
+    files: DataFrame,
+    cfg: DedupConfig,
+    keep_data: bool = False,
+) -> DataFrame:
+    """files(file_id, content, ...) → file_segments(file_id, segment_num, segment_hash[, segment_data]).
+
+    Narrow transformation — zero shuffles; Parquet scan prunes to
+    (file_id, content) automatically.
+    """
+    seg = cfg.segment_size
+    b = F.encode("content", "UTF-8")
+    n_seg = F.floor((F.octet_length("content") - 1) / seg).cast("long")  # = ceil(n/seg)-1
+    exploded = (
+        files.filter(F.octet_length("content") > 0)
+        .select(
+            "file_id",
+            b.alias("_bytes"),
+            F.posexplode(F.sequence(F.lit(0).cast("long"), n_seg)).alias("_i", "_z"),
+        )
+        .select(
+            "file_id",
+            (F.col("_i") + 1).alias("segment_num"),  # 1-based, lib/dbManager.cpp:204
+            F.substring(F.col("_bytes"), F.col("_i") * seg + 1, seg).alias("segment_data"),
+        )
+    )
+    if cfg.hash_name in JVM_HASHES:
+        hashed = exploded.withColumn("segment_hash", _jvm_digest(F.col("segment_data"), cfg.hash_name))
+    else:  # md4 → vectorized pandas UDF (Arrow batches, no per-row Python)
+        hashed = exploded.withColumn("segment_hash", _md4_digest_udf()(F.col("segment_data")))
+    cols = ["file_id", "segment_num", "segment_hash"] + (["segment_data"] if keep_data else [])
+    return hashed.select(*cols)
+
+
+def build_segments_table(
+    file_segments: DataFrame,
+    cfg: DedupConfig,
+    keep_data: bool = False,
+    salted: bool = True,
+) -> DataFrame:
+    """Content-addressed unique-segment store with reference counts.
+
+    Reference: per-file GROUP BY + ON CONFLICT count-add upsert
+    (lib/dbManager.cpp:263-266 → :274-281). Here: one global groupBy.
+
+    Skew: boilerplate segments (license headers, import blocks) make a few
+    segment_hash keys heavy-tailed. Spark's partial aggregation already
+    combines map-side, which defuses most count skew; `salted=True` adds an
+    explicit two-phase (hash, salt)-aggregate so no single reducer owns a
+    hot hash even at 10^12-file scale — AQE handles join skew but NOT
+    groupBy skew, so this stays manual (SURVEY §4.1).
+    """
+    aggs = [F.count("*").alias("segment_count")]
+    if keep_data:
+        aggs.append(F.first("segment_data").alias("segment_data"))
+    if not salted:
+        return file_segments.groupBy("segment_hash").agg(*aggs)
+
+    salt = (F.xxhash64("file_id", "segment_num") % cfg.salt_buckets).alias("_salt")
+    partial_aggs = [F.count("*").alias("_c")]
+    final_aggs = [F.sum("_c").alias("segment_count")]
+    if keep_data:
+        partial_aggs.append(F.first("segment_data").alias("_d"))
+        final_aggs.append(F.first("_d").alias("segment_data"))
+    return (
+        file_segments.withColumn("_salt", salt)
+        .groupBy("segment_hash", "_salt")
+        .agg(*partial_aggs)
+        .groupBy("segment_hash")
+        .agg(*final_aggs)
+    )
+
+
+def build_files_table(files_with_identity: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """files metadata table (public.files analog, lib/dbManager.cpp:572-581)."""
+    return files_with_identity.select(
+        "file_id",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "size_in_bytes",
+        F.lit(cfg.segment_size).cast("long").alias("segment_size"),
+        F.lit(cfg.hash_name).alias("hash_name"),
+        "content_sha256",
+        F.current_timestamp().alias("created_at"),
+    )

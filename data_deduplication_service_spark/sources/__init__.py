@@ -1,0 +1,13 @@
+from data_deduplication_service_spark.sources.corpus import (
+    corpus_from_documents,
+    load_table,
+    synthesize_corpus,
+    with_file_identity,
+)
+
+__all__ = [
+    "corpus_from_documents",
+    "load_table",
+    "synthesize_corpus",
+    "with_file_identity",
+]

@@ -1,0 +1,171 @@
+"""Corpus sources.
+
+The engine's input is a table of source-code files
+``(repo string, path string, commit string, lang string, content string)``
+— the distributed analog of the reference's filesystem walk
+(FileService::processDirectory, include/FileService.h:430-475): the corpus
+table IS the directory tree; ``repo/path`` replaces the filesystem.
+
+Three sources:
+  * ``synthesize_corpus`` — deterministic seeded generator (FIXTURES.md
+    recipes: block-pattern files, exact dups, near dups, boilerplate skew,
+    substring containment, unicode, unique noise). Generation is fully
+    distributed: ``spark.range`` + one ``mapInPandas`` pass; content for
+    row *i* depends only on ``(seed, i)``, never on partitioning.
+  * ``corpus_from_documents`` — adapts the driver's ``documents.parquet``.
+  * ``load_table`` — plain parquet reader for the TPC-H-ish tables.
+
+Identity: ``file_id = xxhash64(repo, path, commit)`` (deterministic — the
+reference's serial ``file_id`` at lib/dbManager.cpp:334-336 is replaced by
+a content-independent key hash so re-runs after partial failure mint the
+same ids; ``monotonically_increasing_id`` is forbidden for resumability).
+Per-row invariant column: ``content_sha256`` (sha256 over UTF-8 bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+APACHE_HEADER = (
+    "/*\n * Licensed to the Apache Software Foundation (ASF) under one or more\n"
+    " * contributor license agreements.  See the NOTICE file distributed with\n"
+    " * this work for additional information regarding copyright ownership.\n"
+    " * The ASF licenses this file to You under the Apache License, Version 2.0\n"
+    " * (the \"License\"); you may not use this file except in compliance with\n"
+    " * the License.  You may obtain a copy of the License at\n"
+    " *\n *     http://www.apache.org/licenses/LICENSE-2.0\n */\n"
+)
+IMPORT_BLOCK = (
+    "import os\nimport sys\nimport json\nimport logging\n"
+    "from collections import defaultdict\nfrom typing import Any\n\n"
+)
+LANGS = ("py", "c", "cpp", "java", "go", "txt")
+_WORDS = (
+    "buffer index table stream merge hash block chunk offset cursor parse "
+    "token value queue stack graph node edge write read flush commit batch "
+    "shard replica quorum lease epoch delta gamma vector tensor kernel"
+).split()
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _rng(seed: int, *keys: int) -> np.random.Generator:
+    return np.random.default_rng((seed, *keys))
+
+
+def _code_line(rng: np.random.Generator) -> str:
+    w = [_WORDS[i] for i in rng.integers(0, len(_WORDS), size=4)]
+    return f"{w[0]}_{w[1]} = {w[2]}({w[3]}, {int(rng.integers(0, 9999))})"
+
+
+def _noise_body(rng: np.random.Generator, n_lines: int) -> str:
+    return "\n".join(_code_line(rng) for _ in range(n_lines)) + "\n"
+
+
+def _make_row(seed: int, i: int) -> tuple[str, str, str, str, str]:
+    """Deterministic content for logical row i — FIXTURES.md recipes."""
+    recipe = i % 100
+    rng = _rng(seed, i)
+    lang = LANGS[i % len(LANGS)]
+    repo = f"org{i % 7}/repo{(i // 7) % 23}"
+    # include >57-char paths (reference edge case, dbFile_load_delete_tests.cpp:119-145)
+    depth = "deeply/nested/directory/structure/" if recipe % 10 == 3 else ""
+    path = f"src/{depth}pkg{(i // 3) % 11}/mod_{i}.{lang}"
+    commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
+
+    if recipe < 25:  # unique noise
+        content = _noise_body(rng, int(rng.integers(20, 120)))
+    elif recipe < 45:  # boilerplate/hot-key skew: shared header + imports
+        content = APACHE_HEADER + IMPORT_BLOCK + _noise_body(rng, int(rng.integers(10, 60)))
+    elif recipe < 60:  # exact duplicates: groups of 3 share content
+        group = i - (i % 300) + (recipe - 45) // 3 * 3 + 45  # canonical member id
+        content = _noise_body(_rng(seed, group, 7), 40)
+    elif recipe < 80:  # near duplicates: groups of 4 mutate a base
+        group = (recipe - 60) // 4
+        base_rng = _rng(seed, i - (i % 400), group, 11)
+        lines = [_code_line(base_rng) for _ in range(60)]
+        variant = (recipe - 60) % 4
+        if variant:  # mutate `variant` lines → Jaccard ~ .95/.9/.85
+            vrng = _rng(seed, i, 13)
+            for _ in range(variant * 2):
+                lines[int(vrng.integers(0, len(lines)))] = _code_line(vrng)
+        content = "\n".join(lines) + "\n"
+    elif recipe < 88:  # block-pattern files (reference fixtures: 64-byte runs
+        # of one repeated char, sizes 0.5/1/1.5/32 blocks —
+        # test/test_data/fixture/block_size/)
+        sizes = (32, 64, 80, 2048, 4096, 1024, 96, 640)
+        size = sizes[recipe - 80]
+        blocks = []
+        while sum(len(b) for b in blocks) < size:
+            ch = chr(ord("0") + int(rng.integers(0, 8)))
+            blocks.append(ch * 64)
+        content = "".join(blocks)[:size]
+    elif recipe < 94:  # substring containment: small file ⊂ big file
+        host_rng = _rng(seed, i - (i % 200), 17)
+        big = _noise_body(host_rng, 80)
+        content = big if recipe % 2 == 0 else big[len(big) // 4 : len(big) // 2]
+    else:  # unicode (multi-byte UTF-8 pins byte-level segmentation)
+        content = (
+            "# комментарий о дедупликации 🚀\n"
+            + _noise_body(rng, int(rng.integers(10, 40)))
+            + "# ещё строка — конец файла ✅\n"
+        )
+    return repo, path, commit, lang, content
+
+
+def synthesize_corpus(
+    spark: SparkSession,
+    n_files: int,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic corpus: content of row i = f(seed, i)."""
+    partitions = partitions or max(4, n_files // 5000)
+    base = spark.range(0, n_files, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_make_row(seed, int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    return base.mapInPandas(gen, schema=CORPUS_SCHEMA)
+
+
+def with_file_identity(corpus: DataFrame) -> DataFrame:
+    """files-table columns: deterministic file_id + the per-row invariant.
+
+    Mirrors public.files (lib/dbManager.cpp:572-581) minus the serial id.
+    Empty content is rejected downstream (include/FileService.h:372-377);
+    here we only annotate.
+    """
+    return corpus.select(
+        F.xxhash64("repo", "path", "commit").alias("file_id"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.octet_length("content").alias("size_in_bytes"),
+        F.sha2(F.encode("content", "UTF-8"), 256).alias("content_sha256"),
+    )
+
+
+def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's documents table to the corpus shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha1(F.col("doc_id").cast("string")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,24 @@
+from __future__ import annotations
+
+import pytest
+
+from data_deduplication_service_spark import DedupConfig, get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("dedup-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def cfg() -> DedupConfig:
+    return DedupConfig()
+
+
+@pytest.fixture(scope="session")
+def small_corpus(spark):
+    from data_deduplication_service_spark.sources import synthesize_corpus
+
+    return synthesize_corpus(spark, 200, seed=42).cache()

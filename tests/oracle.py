@@ -1,0 +1,89 @@
+"""Pure-Python oracle re-implementing the reference semantics.
+
+Ten-line-per-op reimplementations of the reference's SQL/C++ (segmentation
+loop lib/dbManager.cpp:196-247; count aggregation :263-281; dedup stats
+lib/dbCommon.cpp:204-229; coefficient lib/FileService.cpp:55-75) used as
+golden outputs — the Spark pipeline must match these exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+
+def segment_bytes(content: str, segment_size: int) -> list[bytes]:
+    b = content.encode("utf-8")
+    return [b[i : i + segment_size] for i in range(0, len(b), segment_size)]
+
+
+def segment_hashes(content: str, segment_size: int, hash_name: str = "sha256") -> list[bytes]:
+    return [hashlib.new(hash_name, s).digest() for s in segment_bytes(content, segment_size)]
+
+
+def segments_table(contents: dict[int, str], segment_size: int, hash_name: str = "sha256") -> Counter:
+    """segment_hash -> segment_count over the whole corpus."""
+    c: Counter = Counter()
+    for content in contents.values():
+        c.update(segment_hashes(content, segment_size, hash_name))
+    return c
+
+
+def per_file_stats(contents: dict[int, str], segment_size: int, hash_name: str = "sha256"):
+    out = {}
+    for fid, content in contents.items():
+        hs = segment_hashes(content, segment_size, hash_name)
+        out[fid] = (len(hs), len(set(hs)))
+    return out
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def char_shingles(content: str, k: int) -> set[str]:
+    if len(content) < k:
+        return {content} if content else set()
+    return {content[i : i + k] for i in range(len(content) - k + 1)}
+
+
+def word_shingles(content: str, k: int) -> set[tuple[str, ...]]:
+    w = content.split()
+    if len(w) < k:
+        return {tuple(w)} if w else set()
+    return {tuple(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def true_near_dup_pairs(contents: dict[int, str], k: int, threshold: float, mode: str = "char"):
+    """Brute-force exact-Jaccard ground truth pairs (a<b, jaccard>=t)."""
+    sh = {
+        fid: (char_shingles(c, k) if mode == "char" else word_shingles(c, k))
+        for fid, c in contents.items()
+    }
+    ids = sorted(contents)
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = jaccard(sh[a], sh[b])
+            if j >= threshold:
+                pairs.append((a, b, j))
+    return pairs
+
+
+def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find; label = min member id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}

@@ -1,0 +1,78 @@
+"""Exact-dedup metrics + invariants vs the oracle, on the synthetic corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.operators.exact import (
+    consistency_check,
+    dedup_characteristics,
+    dedup_coefficient,
+    exact_duplicate_clusters,
+    exact_duplicate_pairs,
+)
+from data_deduplication_service_spark.operators.segmentation import build_segments_table, segment_files
+from data_deduplication_service_spark.sources import with_file_identity
+from tests.oracle import per_file_stats, segments_table
+
+
+@pytest.fixture(scope="module")
+def tables(spark, small_corpus, cfg):
+    files = with_file_identity(small_corpus).cache()
+    fs = segment_files(files, cfg).cache()
+    segs = build_segments_table(fs, cfg).cache()
+    contents = {r.file_id: r.content for r in files.collect()}
+    return files, fs, segs, contents
+
+
+def test_segment_store_matches_oracle(tables, cfg):
+    _, _, segs, contents = tables
+    got = {bytes(r.segment_hash): r.segment_count for r in segs.collect()}
+    assert got == dict(segments_table(contents, cfg.segment_size))
+
+
+def test_consistency_invariant(tables):
+    _, fs, segs, _ = tables
+    assert consistency_check(fs, segs)
+
+
+def test_per_file_stats(tables, cfg):
+    files, fs, _, contents = tables
+    rows = dedup_characteristics(files, fs, cfg.digest_size).collect()
+    exp = per_file_stats(contents, cfg.segment_size)
+    for r in rows:
+        e_cnt, e_uniq = exp[r.file_id]
+        assert (r.segment_count, r.unique_count) == (e_cnt, e_uniq)
+        assert r.data_size == e_cnt * (cfg.digest_size + 8)
+
+
+def test_dedup_coefficient(tables, cfg):
+    _, _, segs, contents = tables
+    row = dedup_coefficient(segs).collect()[0]
+    oracle = segments_table(contents, cfg.segment_size)
+    assert row.total_segments == sum(oracle.values())
+    assert row.unique_segments == len(oracle)
+    # boilerplate + block-pattern recipes guarantee real dedup on this corpus
+    assert row.dedup_coefficient_pct > 110
+
+
+def test_exact_clusters_match_content_equality(tables):
+    files, _, _, contents = tables
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for fid, c in contents.items():
+        groups[c].append(fid)
+    exp_clusters = {min(v): sorted(v) for v in groups.values() if len(v) > 1}
+    got = {r.cluster_id: list(r.members) for r in exact_duplicate_clusters(files).collect()}
+    assert got == exp_clusters
+    assert len(got) > 0  # the corpus really contains exact-dup groups
+
+    exp_pairs = set()
+    for members in exp_clusters.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                exp_pairs.add((a, b))
+    got_pairs = {(r.a, r.b) for r in exact_duplicate_pairs(files).collect()}
+    assert got_pairs == exp_pairs

@@ -1,0 +1,27 @@
+"""Roundtrip: segment → store → reconstruct → byte-identical (per-row sha256)."""
+
+from __future__ import annotations
+
+from data_deduplication_service_spark.operators.reconstruct import (
+    reconstruct_files,
+    reconstruct_from_store,
+    roundtrip_errors,
+)
+from data_deduplication_service_spark.operators.segmentation import build_segments_table, segment_files
+from data_deduplication_service_spark.sources import with_file_identity
+
+
+def test_roundtrip_sha256_equality(spark, small_corpus, cfg):
+    files = with_file_identity(small_corpus).cache()
+    fs = segment_files(files, cfg, keep_data=True)
+    rec = reconstruct_files(fs)
+    assert roundtrip_errors(files, rec).count() == 0
+
+
+def test_roundtrip_through_content_addressed_store(spark, small_corpus, cfg):
+    """The real read path: mapping ⋈ unique-segment store (J1)."""
+    files = with_file_identity(small_corpus).cache()
+    fs_data = segment_files(files, cfg, keep_data=True).cache()
+    store = build_segments_table(fs_data, cfg, keep_data=True)
+    rec = reconstruct_from_store(fs_data.drop("segment_data"), store)
+    assert roundtrip_errors(files, rec).count() == 0

@@ -1,0 +1,89 @@
+"""Segmentation semantics vs the pure-Python oracle.
+
+Pins the reference contract: byte-level windows, 1-based positions,
+trailing partial block kept, empty content rejected, multi-byte UTF-8
+split at byte (not char) boundaries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.operators.segmentation import (
+    build_segments_table,
+    reject_empty,
+    segment_files,
+    EmptyContentError,
+)
+from tests.oracle import segment_bytes, segment_hashes, segments_table
+
+CASES = {
+    1: "0" * 32,            # 0.5 block  (reference fixture 0_5_block.txt)
+    2: "1" * 64,            # 1 block
+    3: "2" * 80,            # 1.5 blocks
+    4: "".join(str(d % 8) * 64 for d in range(32)),  # 32 blocks, repeats
+    5: "комментарий 🚀 multi-byte utf-8 content that splits mid-char" * 3,
+    6: "x",                 # sub-block file
+}
+
+
+def _df(spark, contents):
+    return spark.createDataFrame(
+        [(fid, c) for fid, c in contents.items()], "file_id long, content string"
+    )
+
+
+@pytest.mark.parametrize("seg_size", [2, 16, 64, 256])
+def test_segments_match_oracle(spark, seg_size):
+    cfg = DedupConfig(segment_size=seg_size)
+    got = (
+        segment_files(_df(spark, CASES), cfg, keep_data=True)
+        .orderBy("file_id", "segment_num")
+        .collect()
+    )
+    expected = []
+    for fid in sorted(CASES):
+        for i, sb in enumerate(segment_bytes(CASES[fid], seg_size), start=1):
+            expected.append((fid, i, hashlib.sha256(sb).digest(), sb))
+    assert [(r.file_id, r.segment_num, bytes(r.segment_hash), bytes(r.segment_data)) for r in got] == expected
+
+
+@pytest.mark.parametrize("hash_name", ["sha224", "sha256", "sha384", "sha512", "md5"])
+def test_hash_functions(spark, hash_name):
+    cfg = DedupConfig(segment_size=64, hash_name=hash_name)
+    got = segment_files(_df(spark, {5: CASES[5]}), cfg).orderBy("segment_num").collect()
+    exp = segment_hashes(CASES[5], 64, hash_name)
+    assert [bytes(r.segment_hash) for r in got] == exp
+
+
+def test_positions_one_based_and_partial_block(spark):
+    cfg = DedupConfig(segment_size=64)
+    rows = segment_files(_df(spark, {3: CASES[3]}), cfg, keep_data=True).orderBy("segment_num").collect()
+    assert [r.segment_num for r in rows] == [1, 2]
+    assert len(bytes(rows[1].segment_data)) == 16  # trailing partial kept at true length
+
+
+def test_empty_rejected(spark):
+    df = _df(spark, {9: ""})
+    assert segment_files(df, DedupConfig()).count() == 0
+    assert reject_empty(df).count() == 0
+    with pytest.raises(EmptyContentError):
+        reject_empty(df, strict=True)
+
+
+@pytest.mark.parametrize("salted", [False, True])
+def test_segments_table_counts(spark, salted):
+    cfg = DedupConfig(segment_size=64)
+    fs = segment_files(_df(spark, CASES), cfg)
+    got = {bytes(r.segment_hash): r.segment_count for r in build_segments_table(fs, cfg, salted=salted).collect()}
+    assert got == dict(segments_table(CASES, 64))
+
+
+def test_segmentation_plan_is_narrow(spark, cfg):
+    """No Exchange (shuffle) in the segmentation plan — it must stay map-side."""
+    plan = segment_files(_df(spark, CASES), cfg)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
