@@ -1,0 +1,178 @@
+"""Vectorized shingling + MinHash + SimHash.
+
+The reference has no near-dup layer (its dedup is exact segment-hash
+identity, lib/dbManager.cpp:216-227); this module adds the distributed
+analog demanded by the north rule. Everything is numpy inside Arrow-batched
+pandas UDFs — no per-row Python in the hashing inner loops.
+
+Shingle identity, pinned (the "same shingle/signature config" contract):
+  * char mode: k-byte sliding windows over UTF-8 bytes, hashed with a
+    polynomial rolling hash (FNV-prime base) to uint64, then de-duplicated.
+    A document shorter than k contributes its whole content as 1 shingle.
+  * word mode: FNV-1a over each whitespace token, then a k-window
+    polynomial combine over the token-hash sequence.
+  * segment mode: NON-overlapping segment_size windows — exactly the
+    reference's segment identity, so Jaccard here is Jaccard over the
+    reference's segment sets.
+
+MinHash: h_i(s) = a_i * s + b_i (mod 2^64), a_i odd ⇒ each h_i is a
+bijection on Z_2^64; signature = elementwise min over the shingle set.
+(a_i, b_i) are drawn from a seeded generator ⇒ bit-identical reruns.
+
+SimHash: 64-bit, sign of per-bit vote sums over shingle hashes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from data_deduplication_service_spark.config import DedupConfig
+
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_OFFSET = np.uint64(14695981039346656037)
+
+SIGNATURE_SCHEMA = (
+    "file_id long, n_shingles int, shingles array<long>, minhash array<long>, simhash long"
+)
+
+
+def _minhash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(cfg.seed)
+    a = rng.integers(1, 2**63 - 1, size=cfg.minhash_n, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63 - 1, size=cfg.minhash_n, dtype=np.uint64)
+    return a, b
+
+
+def _poly_powers(k: int) -> np.ndarray:
+    out = np.empty(k, dtype=np.uint64)
+    out[-1] = np.uint64(1)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        for i in range(k - 2, -1, -1):
+            out[i] = out[i + 1] * _FNV_PRIME
+    return out
+
+
+def char_shingle_hashes(data: bytes, k: int) -> np.ndarray:
+    """Unique uint64 hashes of all k-byte windows (whole doc if len<k)."""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = arr.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n <= k:
+        windows = arr[None, :]
+        powers = _poly_powers(n)
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(arr, k)
+        powers = _poly_powers(k)
+    with np.errstate(over="ignore"):
+        h = windows @ powers  # modular 2^64 polynomial hash
+    return np.unique(h)
+
+
+def segment_shingle_hashes(data: bytes, segment_size: int) -> np.ndarray:
+    """Unique hashes of NON-overlapping segment windows (reference identity)."""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = arr.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    out = []
+    powers = _poly_powers(segment_size)
+    full = (n // segment_size) * segment_size
+    if full:
+        with np.errstate(over="ignore"):
+            out.append(arr[:full].reshape(-1, segment_size) @ powers)
+    if n > full:  # trailing partial window, hashed at its true length
+        tail = arr[full:]
+        with np.errstate(over="ignore"):
+            out.append(np.atleast_1d(tail @ _poly_powers(tail.size)))
+    return np.unique(np.concatenate(out))
+
+
+def word_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """k-window polynomial combine over FNV-1a token hashes."""
+    words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    wh = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):  # token count ≪ byte count; outer loop only
+        h = _FNV_OFFSET
+        for byte in w.encode("utf-8"):
+            h = (h ^ np.uint64(byte)) * _FNV_PRIME
+        wh[i] = h
+    if len(words) <= k:
+        windows = wh[None, :]
+        powers = _poly_powers(len(words))
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(wh, k)
+        powers = _poly_powers(k)
+    with np.errstate(over="ignore"):
+        return np.unique(windows @ powers)
+
+
+def shingle_hashes(content: str, cfg: DedupConfig) -> np.ndarray:
+    if cfg.shingle_mode == "char":
+        return char_shingle_hashes(content.encode("utf-8"), cfg.shingle_k)
+    if cfg.shingle_mode == "segment":
+        return segment_shingle_hashes(content.encode("utf-8"), cfg.segment_size)
+    return word_shingle_hashes(content, cfg.shingle_k)
+
+
+def minhash_from_shingles(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if sh.size == 0:
+        return np.full(a.size, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        m = (a[:, None] * sh[None, :] + b[:, None]).min(axis=1)
+    return m
+
+
+def simhash_from_shingles(sh: np.ndarray) -> int:
+    if sh.size == 0:
+        return 0
+    bits = (sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)  # (m, 64)
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - np.int64(sh.size)  # (+1/-1 vote sums)
+    sim = np.uint64(0)
+    for j in np.nonzero(votes > 0)[0]:
+        sim |= np.uint64(1) << np.uint64(j)
+    return int(sim.astype(np.int64))
+
+
+def signature_table(files: DataFrame, cfg: DedupConfig, keep_shingles: bool = True) -> DataFrame:
+    """(file_id, content) → (file_id, n_shingles, [shingles], minhash, simhash).
+
+    One mapInPandas pass — map-side only, zero shuffles. ``keep_shingles``
+    retains the shingle-hash sets for exact-Jaccard verification of LSH
+    candidates (small/correctness tiers); at extreme scale, drop them and
+    re-derive shingles only for the candidate files (semi-join pruning in
+    lsh.exact_jaccard_for_pairs handles both layouts).
+    """
+    a, b = _minhash_params(cfg)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for fid, content in zip(pdf["file_id"], pdf["content"]):
+                sh = shingle_hashes(content, cfg)
+                mh = minhash_from_shingles(sh, a, b).astype(np.int64)
+                recs.append(
+                    (
+                        int(fid),
+                        int(sh.size),
+                        sh.astype(np.int64).tolist() if keep_shingles else None,
+                        mh.tolist(),
+                        simhash_from_shingles(sh),
+                    )
+                )
+            yield pd.DataFrame(
+                recs, columns=["file_id", "n_shingles", "shingles", "minhash", "simhash"]
+            )
+
+    return files.select("file_id", "content").mapInPandas(compute, schema=SIGNATURE_SCHEMA)
+
+
+def hamming64(x: Column, y: Column) -> Column:
+    """Hamming distance between two int64 simhashes, JVM-side (bit_count)."""
+    return F.bit_count(x.bitwiseXOR(y))

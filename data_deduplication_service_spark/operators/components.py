@@ -1,0 +1,101 @@
+"""Connected components over the dup-pair graph.
+
+Alternating large-star/small-star label propagation (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+DataFrame joins — deliberately NOT GraphFrames (dependency-free) and NOT
+collect_list-based (a hub node's neighbor list must never materialize in
+one row). Converges in O(log n) rounds; every round is two
+groupBy-min + join stages. Lineage is cut per round with
+``localCheckpoint`` so the plan doesn't grow unboundedly (SURVEY §4.2).
+
+Output: clusters(file_id, cluster_id) with cluster_id = min member id —
+the same labeling rule the oracle's union-find uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every LARGER neighbor to u's min-neighborhood."""
+    nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low; connect each node's smaller neighbors to the min."""
+    oriented = edges.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    with_min = oriented.join(mins, "u")
+    lo = with_min.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("a"), F.col("m").alias("b")
+    )
+    hi = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return lo.union(hi).distinct()
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive, overflow-free (ANSI mode safe); edges are
+    # distinct so xor-cancellation of duplicates cannot occur.
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row.n, row.h
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 25, use_checkpoint: bool = True
+) -> DataFrame:
+    """pairs(a, b) → (file_id, cluster_id=min reachable id). Converges to a
+    star forest; fixpoint detected by an order-insensitive edge fingerprint.
+    """
+    edges = pairs.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    if use_checkpoint:
+        edges = edges.localCheckpoint()
+    prev = _edge_fingerprint(edges)
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges))
+        if use_checkpoint:
+            edges = edges.localCheckpoint()  # cut lineage every round
+        cur = _edge_fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # star forest: every remaining edge is (member, root)
+    members = edges.select(F.col("a").alias("file_id"), F.col("b").alias("cluster_id"))
+    roots = edges.select(F.col("b").alias("file_id"), F.col("b").alias("cluster_id")).distinct()
+    return members.union(roots).distinct()
+
+
+def clusters_with_singletons(components: DataFrame, files: DataFrame) -> DataFrame:
+    """Every file gets a cluster_id; files in no dup pair form singletons."""
+    return (
+        files.select("file_id")
+        .join(components, "file_id", "left")
+        .select("file_id", F.coalesce("cluster_id", "file_id").alias("cluster_id"))
+    )
+
+
+def cluster_pairs(components: DataFrame) -> DataFrame:
+    """All (a<b) pairs implied by the clustering — the recall denominator shape."""
+    c = components.select("cluster_id", "file_id")
+    return (
+        c.alias("x")
+        .join(c.alias("y"), "cluster_id")
+        .filter(F.col("x.file_id") < F.col("y.file_id"))
+        .select(F.col("x.file_id").alias("a"), F.col("y.file_id").alias("b"))
+    )

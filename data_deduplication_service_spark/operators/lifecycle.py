@@ -1,0 +1,108 @@
+"""Delete + garbage collection over the dedup tables.
+
+Reference flow (SURVEY §3.3; dbManager::deleteFile lib/dbManager.cpp:
+83-160, deleteDirectory :23-81, GC lib/dbCommon.cpp:188-190):
+  1. resolve victim file_ids (path equality / directory prefix);
+  2. decrement segment reference counts via an update-join against the
+     victims' per-hash usage counts (J2, lib/dbManager.cpp:110-121);
+  3. delete the victims' mapping + metadata rows;
+  4. GC segments whose count reached zero (F4).
+
+Spark-first shape: the tables are immutable DataFrames/snapshots, so
+"UPDATE/DELETE" become pure transformations producing the next snapshot
+(exactly what an Iceberg MERGE INTO / DELETE FROM would commit). The
+decrement join broadcasts the (small) victim count table when possible;
+everything stays set-based — no per-row logic, same as the reference's
+set-based UPDATE ... FROM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class DedupTables:
+    """One snapshot of the three persistent tables (public.files/segments/data)."""
+
+    files: DataFrame
+    segments: DataFrame
+    file_segments: DataFrame
+
+
+def resolve_victims_by_path(files: DataFrame, path: str) -> DataFrame:
+    """F1: exact path match (checkFileExistence, lib/dbCommon.cpp:82-88)."""
+    return files.filter((F.col("path") == path) & (F.col("size_in_bytes") != 0)).select("file_id")
+
+
+def resolve_victims_by_prefix(files: DataFrame, repo: str, prefix: str) -> DataFrame:
+    """F2: directory listing (getEntriesForDirectory, lib/dbCommon.cpp:60-69).
+
+    The reference space-encodes paths to use LIKE 'dir %'; we keep native
+    paths — startswith is sargable and partition-prunable on `repo`.
+    """
+    return files.filter(
+        (F.col("repo") == repo) & F.col("path").startswith(prefix)
+    ).select("file_id")
+
+
+def delete_files(tables: DedupTables, victims: DataFrame) -> DedupTables:
+    """Next snapshot with victims removed and counts decremented + GC'd.
+
+    Equivalent Iceberg DML (what this commits on a real warehouse):
+      MERGE INTO segments s USING decrements d ON s.segment_hash = d.segment_hash
+        WHEN MATCHED THEN UPDATE SET segment_count = s.segment_count - d.cnt;
+      DELETE FROM file_segments WHERE file_id IN (victims);
+      DELETE FROM files WHERE file_id IN (victims);
+      DELETE FROM segments WHERE segment_count = 0;      -- GC (F4)
+    """
+    victims = victims.select("file_id").distinct()
+    # J2: per-hash usage counts of the victims (GROUP BY before the join —
+    # the reference pre-aggregates the same way, lib/dbManager.cpp:112-116)
+    decrements = (
+        tables.file_segments.join(F.broadcast(victims), "file_id", "left_semi")
+        .groupBy("segment_hash")
+        .agg(F.count("*").alias("_dec"))
+    )
+    segments = (
+        tables.segments.join(decrements, "segment_hash", "left")
+        .withColumn("segment_count", F.col("segment_count") - F.coalesce("_dec", F.lit(0)))
+        .drop("_dec")
+        .filter(F.col("segment_count") > 0)  # inline GC of zero-count segments
+    )
+    file_segments = tables.file_segments.join(victims, "file_id", "left_anti")
+    files = tables.files.join(victims, "file_id", "left_anti")
+    return DedupTables(files=files, segments=segments, file_segments=file_segments)
+
+
+def gc_unused_segments(segments: DataFrame) -> DataFrame:
+    """Standalone GC (deleteUnusedSegments, lib/dbCommon.cpp:188-190)."""
+    return segments.filter(F.col("segment_count") > 0)
+
+
+def ingest_increment(tables: DedupTables, new_files: DataFrame, new_file_segments: DataFrame) -> DedupTables:
+    """Incremental ingest: merge a new batch into an existing snapshot.
+
+    The reference's upsert (J3, ON CONFLICT segment_count += excluded,
+    lib/dbManager.cpp:274-281) as a full-outer count merge. Duplicate
+    (repo,path,commit) keys follow the Replace strategy
+    (include/fileUtils.h:35-40): the new row wins.
+    """
+    replaced = tables.files.join(new_files.select("file_id"), "file_id", "left_semi")
+    base = delete_files(tables, replaced) if not replaced.isEmpty() else tables
+
+    new_counts = new_file_segments.groupBy("segment_hash").agg(F.count("*").alias("_add"))
+    segments = (
+        base.segments.join(new_counts, "segment_hash", "full_outer")
+        .select(
+            "segment_hash",
+            (F.coalesce("segment_count", F.lit(0)) + F.coalesce("_add", F.lit(0))).alias("segment_count"),
+        )
+    )
+    return DedupTables(
+        files=base.files.unionByName(new_files, allowMissingColumns=True),
+        segments=segments,
+        file_segments=base.file_segments.unionByName(new_file_segments),
+    )

@@ -1,0 +1,169 @@
+"""LSH banding → candidate pairs → Jaccard verification.
+
+No reference analog (the reference's dedup is exact hash identity); this
+is the north-rule near-dup layer, built Spark-first:
+
+  banding      — pure JVM: posexplode over band indices + xxhash64 of the
+                 signature slice. One narrow projection, no Python.
+  candidates   — self-equi-join on (band_id, band_hash). Catalyst plans a
+                 shuffle hash join; AQE splits skewed buckets. Hot buckets
+                 (boilerplate: every file sharing a license header lands
+                 in the same band bucket) are additionally CAPPED — a
+                 bucket of size s yields s(s-1)/2 pairs, so one 10^6-file
+                 bucket would emit 5·10^11 pairs. Capped buckets are
+                 reported, not silently dropped (`bucket_stats`).
+  verification — exact Jaccard over shingle-hash sets, computed only for
+                 candidate files (semi-join pruning), or the cheap
+                 zip_with MinHash estimate. Exact is the default: recall
+                 is measured against exact-Jaccard ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_deduplication_service_spark.config import DedupConfig
+
+
+def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(file_id, minhash) → (file_id, band_id, band_hash) — narrow, JVM-only."""
+    r = cfg.rows_per_band
+    return signatures.select(
+        "file_id",
+        "minhash",
+        F.explode(F.sequence(F.lit(0), F.lit(cfg.bands - 1))).alias("band_id"),
+    ).select(
+        "file_id",
+        "band_id",
+        F.xxhash64("band_id", F.slice(F.col("minhash"), F.col("band_id") * r + 1, r)).alias("band_hash"),
+    )
+
+
+def bucket_stats(bands: DataFrame) -> DataFrame:
+    """Bucket-size histogram — the skew observability the north rule asks for."""
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_size"))
+    return sizes.groupBy("bucket_size").agg(F.count("*").alias("n_buckets")).orderBy("bucket_size")
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Distinct (a < b) candidate pairs from shared LSH buckets.
+
+    Hot-bucket cap: buckets larger than max_bucket_size are excluded from
+    pair generation (they are boilerplate-degenerate; members still pair
+    up through their other, more selective bands). The cap bounds the
+    worst-case pair fanout at buckets·cap², independent of corpus size.
+    """
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("_sz"))
+    ok = bands.join(
+        sizes.filter(F.col("_sz") <= cfg.max_bucket_size).select("band_id", "band_hash"),
+        ["band_id", "band_hash"],
+    )
+    a = ok.select("band_id", "band_hash", F.col("file_id").alias("a"))
+    b = ok.select("band_id", "band_hash", F.col("file_id").alias("b"))
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def overflow_buckets(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """The buckets the cap excluded — logged, never silently dropped."""
+    return (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > cfg.max_bucket_size)
+    )
+
+
+def estimate_jaccard(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """MinHash agreement fraction — O(n_sig) per pair, JVM-side zip_with."""
+    sig = signatures.select("file_id", "minhash")
+    agree = F.aggregate(
+        F.zip_with("ma", "mb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sig.select(F.col("file_id").alias("a"), F.col("minhash").alias("ma")), "a")
+        .join(sig.select(F.col("file_id").alias("b"), F.col("minhash").alias("mb")), "b")
+        .select("a", "b", (agree / F.lit(cfg.minhash_n)).alias("jaccard_est"))
+    )
+
+
+def exact_jaccard_for_pairs(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+    """Exact Jaccard over shingle-hash sets, for candidate files only.
+
+    Shingle sets are exploded ONLY for files that appear in a candidate
+    pair (semi-join pruning) — at scale this is a tiny fraction of the
+    corpus. Intersection via equi-join on shingle hash; union from the
+    stored set sizes.
+    """
+    involved = pairs.select(F.col("a").alias("file_id")).union(
+        pairs.select(F.col("b").alias("file_id"))
+    ).distinct()
+    sig = signatures.join(involved, "file_id", "left_semi")
+    sizes = sig.select("file_id", F.col("n_shingles").alias("sz"))
+    sh = sig.select("file_id", F.explode("shingles").alias("s"))
+
+    inter = (
+        pairs.join(sh.select(F.col("file_id").alias("a"), "s"), "a")
+        .join(sh.select(F.col("file_id").alias("b"), F.col("s").alias("s2")), "b")
+        .filter(F.col("s") == F.col("s2"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .na.fill({"_inter": 0})
+        .join(sizes.select(F.col("file_id").alias("a"), F.col("sz").alias("_sa")), "a")
+        .join(sizes.select(F.col("file_id").alias("b"), F.col("sz").alias("_sb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def verified_pairs(
+    pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig, exact: bool = True
+) -> DataFrame:
+    """candidate_pairs(a, b, jaccard ≥ threshold) — the dup-pair table."""
+    if exact:
+        j = exact_jaccard_for_pairs(pairs, signatures)
+        return j.filter(F.col("jaccard") >= cfg.jaccard_threshold)
+    j = estimate_jaccard(pairs, signatures, cfg)
+    return j.filter(F.col("jaccard_est") >= cfg.jaccard_threshold).withColumnRenamed(
+        "jaccard_est", "jaccard"
+    )
+
+
+def simhash_candidate_pairs(signatures: DataFrame, max_hamming: int = 3, block_bits: int = 16) -> DataFrame:
+    """SimHash near-dup candidates: block-permute banding over 64-bit keys.
+
+    Pigeonhole over 4 disjoint 16-bit blocks: pairs within Hamming ≤ 3
+    must agree on ≥1 block. Block-equality buckets via shiftRight/mask —
+    pure JVM — then verify the Hamming bound with bit_count.
+    """
+    n_blocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    sim = signatures.select("file_id", "simhash")
+    blocks = sim.select(
+        "file_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("block_id"),
+    ).withColumn(
+        "block_key",
+        F.expr(f"(cast(simhash as bigint) >> (block_id * {block_bits})) & {mask}"),
+    )
+    a = blocks.select("block_id", "block_key", F.col("file_id").alias("a"), F.col("simhash").alias("sa"))
+    b = blocks.select("block_id", "block_key", F.col("file_id").alias("b"), F.col("simhash").alias("sb"))
+    return (
+        a.join(b, ["block_id", "block_key"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= max_hamming)
+        .select("a", "b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .distinct()
+    )

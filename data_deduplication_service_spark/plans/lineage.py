@@ -1,0 +1,100 @@
+"""Per-partition lineage + per-stage metrics tables.
+
+The reference instruments every stage with a thread-safe timer map
+(clockArray tik/tak, include/clockArray.h:103-263) dumped per benchmark
+config. The distributed analog the north rule asks for: a `lineage` table
+with one row per (stage, partition) — rows seen, bytes of content seen,
+wall-ms inside the partition — collected by a pass-through mapInPandas
+tap, plus a `metrics` table of stage-level rollups.
+
+The tap is observational: it yields its input batches unchanged, so it
+composes with any stage without altering semantics. Cost: one extra
+Arrow exchange for the tapped stage — attach it to checkpointed stage
+boundaries, not to every intermediate projection.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+LINEAGE_SCHEMA = StructType(
+    [
+        StructField("stage", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("rows", LongType()),
+        StructField("content_bytes", LongType()),
+        StructField("wall_ms", DoubleType()),
+    ]
+)
+
+
+def partition_lineage(df: DataFrame, stage: str, content_col: str | None = None) -> DataFrame:
+    """Materialize one lineage row per partition of `df` (terminal op).
+
+    Use at stage boundaries: `lineage = partition_lineage(stage_df, "segment")`
+    then append to the lineage table. Bytes are counted only when a content
+    column is named (counting every column would double-scan wide tables).
+    """
+    cols = ["__pid"] + ([content_col] if content_col else [])
+    from pyspark import TaskContext
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.monotonic()
+        rows = 0
+        nbytes = 0
+        pid = -1
+        for pdf in batches:
+            rows += len(pdf)
+            if pid < 0 and len(pdf):
+                pid = int(pdf["__pid"].iloc[0])
+            if content_col is not None and len(pdf):
+                nbytes += int(pdf[content_col].str.len().sum())
+        tc = TaskContext.get()
+        if tc is not None:
+            pid = tc.partitionId()
+        yield pd.DataFrame(
+            [(stage, pid, rows, nbytes, (time.monotonic() - t0) * 1000.0)],
+            columns=["stage", "partition_id", "rows", "content_bytes", "wall_ms"],
+        )
+
+    return df.withColumn("__pid", F.spark_partition_id()).select(*cols).mapInPandas(
+        summarize, schema=LINEAGE_SCHEMA
+    )
+
+
+class MetricsLog:
+    """Append-only stage metrics table (the clockArray analog)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def record(self, stage: str, wall_ms: float, rows: int, extra: dict | None = None) -> None:
+        import json
+
+        rec = {
+            "stage": stage,
+            "wall_ms": round(wall_ms, 1),
+            "rows": rows,
+            "extra": json.dumps(extra or {}),
+            "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        df = self.spark.createDataFrame(
+            [tuple(rec.values())], "stage string, wall_ms double, rows long, extra string, at string"
+        )
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)

@@ -1,0 +1,138 @@
+"""End-to-end dedup pipeline: corpus → exact dedup → signatures → LSH →
+verified pairs → connected components → clusters. Every stage is a
+checkpointed, skippable snapshot (StageStore) with lineage + metrics.
+
+This is the spark-submit entrypoint's core (see bench.py / scripts);
+stage graph mirrors SURVEY §7's build order:
+
+    files ──► file_segments ──► segments (store)
+      │                └────► dedup metrics
+      ├─► signatures ─► bands ─► candidates ─► verified pairs ─► components ─► clusters
+      └──────────────────────────────────────────────────────────────┘ (exact-dup pairs short-circuit)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.functions.signatures import signature_table
+from data_deduplication_service_spark.operators.components import (
+    clusters_with_singletons,
+    connected_components,
+)
+from data_deduplication_service_spark.operators.exact import (
+    dedup_coefficient,
+    exact_duplicate_pairs,
+)
+from data_deduplication_service_spark.operators.lsh import (
+    band_table,
+    candidate_pairs,
+    overflow_buckets,
+    verified_pairs,
+)
+from data_deduplication_service_spark.operators.segmentation import (
+    build_segments_table,
+    segment_files,
+)
+from data_deduplication_service_spark.plans.checkpoint import StageStore
+from data_deduplication_service_spark.plans.lineage import MetricsLog, partition_lineage
+
+
+@dataclass
+class PipelineResult:
+    files: DataFrame
+    segments: DataFrame
+    file_segments: DataFrame
+    signatures: DataFrame
+    dup_pairs: DataFrame
+    clusters: DataFrame
+    stage_seconds: dict[str, float]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus_with_identity: DataFrame,
+    cfg: DedupConfig,
+    warehouse: str,
+    exact_verify: bool = True,
+    force: bool = False,
+    collect_lineage: bool = True,
+) -> PipelineResult:
+    """Run (or resume) the full pipeline. Stages already committed for this
+    config fingerprint are loaded, not recomputed — kill the job after any
+    stage and a re-run continues from the next one with identical outputs
+    (deterministic ids + seeded signatures guarantee equality)."""
+    store = StageStore(spark, warehouse, cfg)
+    metrics = MetricsLog(spark, f"{warehouse}/metrics")
+    timings: dict[str, float] = {}
+
+    def timed(stage: str, build, partition_by=None, lineage_col: str | None = None) -> DataFrame:
+        t0 = time.monotonic()
+        was_done = store.is_done(stage) and not force
+        out = store.run_stage(stage, build, partition_by=partition_by, force=force)
+        dt = time.monotonic() - t0
+        timings[stage] = round(dt, 2)
+        if not was_done:
+            metrics.record(stage, dt * 1000.0, out.count() if collect_lineage else -1)
+            if collect_lineage:
+                partition_lineage(out, stage, content_col=lineage_col).write.mode("append").parquet(
+                    f"{warehouse}/lineage"
+                )
+        return out
+
+    files = timed("files", lambda: corpus_with_identity, lineage_col="content")
+    file_segments = timed("file_segments", lambda: segment_files(files, cfg))
+    segments = timed("segments", lambda: build_segments_table(file_segments, cfg))
+    signatures = timed("signatures", lambda: signature_table(files, cfg))
+    bands = timed("bands", lambda: band_table(signatures, cfg))
+
+    def build_pairs() -> DataFrame:
+        cands = candidate_pairs(bands, cfg)
+        near = verified_pairs(cands, signatures, cfg, exact=exact_verify)
+        exact = exact_duplicate_pairs(files)
+        # near-dup layer can miss exact dups only if LSH banding failed them;
+        # union guarantees the exact tier regardless.
+        return near.unionByName(exact).groupBy("a", "b").agg(F.max("jaccard").alias("jaccard"))
+
+    dup_pairs = timed("dup_pairs", build_pairs)
+    clusters = timed(
+        "clusters",
+        lambda: clusters_with_singletons(
+            connected_components(dup_pairs.select("a", "b"), max_iterations=cfg.cc_max_iterations),
+            files,
+        ),
+    )
+    # skew observability: record capped LSH buckets (never silently dropped)
+    n_overflow = overflow_buckets(bands, cfg).count()
+    if n_overflow:
+        metrics.record("lsh_overflow_buckets", 0.0, n_overflow)
+
+    return PipelineResult(
+        files=files,
+        segments=segments,
+        file_segments=file_segments,
+        signatures=signatures,
+        dup_pairs=dup_pairs,
+        clusters=clusters,
+        stage_seconds=timings,
+    )
+
+
+def pipeline_summary(result: PipelineResult) -> DataFrame:
+    """One-row rollup: corpus size, dedup coefficient, pair/cluster counts."""
+    coeff = dedup_coefficient(result.segments)
+    counts = (
+        result.files.agg(F.count("*").alias("n_files"), F.sum("size_in_bytes").alias("total_bytes"))
+        .crossJoin(result.dup_pairs.agg(F.count("*").alias("n_dup_pairs")))
+        .crossJoin(
+            result.clusters.agg(
+                F.countDistinct("cluster_id").alias("n_clusters"),
+                (F.count("*") - F.countDistinct("cluster_id")).alias("n_redundant_files"),
+            )
+        )
+    )
+    return counts.crossJoin(coeff)

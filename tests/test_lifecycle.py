@@ -1,0 +1,94 @@
+"""Delete + GC + incremental ingest vs the oracle (reference §3.3 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.operators.exact import consistency_check
+from data_deduplication_service_spark.operators.lifecycle import (
+    DedupTables,
+    delete_files,
+    ingest_increment,
+    resolve_victims_by_prefix,
+)
+from data_deduplication_service_spark.operators.segmentation import (
+    build_files_table,
+    build_segments_table,
+    segment_files,
+)
+from data_deduplication_service_spark.sources import with_file_identity
+from tests.oracle import segments_table
+
+
+@pytest.fixture(scope="module")
+def snapshot(spark, small_corpus, cfg):
+    ident = with_file_identity(small_corpus).cache()
+    fs = segment_files(ident, cfg).cache()
+    return DedupTables(
+        files=build_files_table(ident, cfg).cache(),
+        segments=build_segments_table(fs, cfg).cache(),
+        file_segments=fs,
+    ), {r.file_id: r.content for r in ident.collect()}
+
+
+def test_delete_matches_oracle_and_stays_consistent(spark, snapshot, cfg):
+    tables, contents = snapshot
+    victim_ids = list(contents)[: len(contents) // 3]
+    victims = spark.createDataFrame([(v,) for v in victim_ids], "file_id long")
+    after = delete_files(tables, victims)
+
+    remaining = {fid: c for fid, c in contents.items() if fid not in set(victim_ids)}
+    exp = dict(segments_table(remaining, cfg.segment_size))
+    got = {bytes(r.segment_hash): r.segment_count for r in after.segments.collect()}
+    assert got == exp  # counts decremented AND zero-count segments GC'd
+    assert after.files.count() == len(remaining)
+    assert consistency_check(after.file_segments, after.segments)
+
+
+def test_delete_then_delete_rest_empties_everything(spark, snapshot):
+    tables, contents = snapshot
+    all_victims = tables.files.select("file_id")
+    after = delete_files(tables, all_victims)
+    assert after.files.count() == 0
+    assert after.segments.count() == 0  # full GC
+    assert after.file_segments.count() == 0
+
+
+def test_delete_idempotent(spark, snapshot):
+    tables, contents = snapshot
+    victims = spark.createDataFrame([(list(contents)[0],)], "file_id long")
+    once = delete_files(tables, victims)
+    twice = delete_files(once, victims)  # victim no longer exists
+    assert once.segments.exceptAll(twice.segments).isEmpty()
+    assert once.files.count() == twice.files.count()
+
+
+def test_prefix_victim_resolution(snapshot):
+    tables, _ = snapshot
+    some_repo = tables.files.select("repo").first().repo
+    v = resolve_victims_by_prefix(tables.files, some_repo, "src/")
+    exp = tables.files.filter((F.col("repo") == some_repo) & F.col("path").startswith("src/")).count()
+    assert v.count() == exp > 0
+
+
+def test_incremental_ingest_equals_batch(spark, small_corpus, cfg):
+    """Ingest corpus in two halves → identical tables to one-shot ingest."""
+    ident = with_file_identity(small_corpus).cache()
+    ids = [r.file_id for r in ident.select("file_id").collect()]
+    half = set(ids[: len(ids) // 2])
+    first = ident.filter(F.col("file_id").isin(half))
+    second = ident.filter(~F.col("file_id").isin(half))
+
+    def mk(df):
+        fs = segment_files(df, cfg)
+        return DedupTables(build_files_table(df, cfg), build_segments_table(fs, cfg), fs)
+
+    t1 = mk(first)
+    fs2 = segment_files(second, cfg)
+    merged = ingest_increment(t1, build_files_table(second, cfg), fs2)
+    batch = mk(ident)
+    assert merged.segments.exceptAll(batch.segments).isEmpty()
+    assert batch.segments.exceptAll(merged.segments).isEmpty()
+    assert merged.files.count() == batch.files.count()
+    assert consistency_check(merged.file_segments, merged.segments)

@@ -1,0 +1,152 @@
+"""LSH candidate generation + exact verification + connected components.
+
+The headline assertion: dup-pair recall ≥ 0.99 vs the exact-Jaccard
+ground truth at the same shingle/signature config (the BASELINE.json
+criterion, measured here at correctness scale).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.functions.signatures import signature_table
+from data_deduplication_service_spark.operators.components import (
+    cluster_pairs,
+    clusters_with_singletons,
+    connected_components,
+)
+from data_deduplication_service_spark.operators.lsh import (
+    band_table,
+    candidate_pairs,
+    estimate_jaccard,
+    exact_jaccard_for_pairs,
+    overflow_buckets,
+    simhash_candidate_pairs,
+    verified_pairs,
+)
+from data_deduplication_service_spark.sources import synthesize_corpus, with_file_identity
+from tests.oracle import connected_components as cc_oracle
+from tests.oracle import true_near_dup_pairs
+
+
+@pytest.fixture(scope="module")
+def neardup_setup(spark):
+    cfg = DedupConfig()  # char shingles k=9, 128 minhash, 32x4 bands, t=0.7
+    corpus = synthesize_corpus(spark, 600, seed=42)
+    files = with_file_identity(corpus).cache()
+    sig = signature_table(files, cfg).cache()
+    contents = {r.file_id: r.content for r in files.collect()}
+    truth = true_near_dup_pairs(contents, cfg.shingle_k, cfg.jaccard_threshold)
+    return cfg, files, sig, truth
+
+
+def test_recall_against_exact_jaccard_truth(neardup_setup):
+    cfg, files, sig, truth = neardup_setup
+    assert len(truth) > 50, "fixture must contain real near-dup pairs"
+    bands = band_table(sig, cfg)
+    cands = candidate_pairs(bands, cfg)
+    found = verified_pairs(cands, sig, cfg, exact=True)
+    got = {(r.a, r.b) for r in found.collect()}
+    exp = {(a, b) for a, b, _ in truth}
+    recall = len(got & exp) / len(exp)
+    assert recall >= 0.99, f"recall {recall:.4f} ({len(got & exp)}/{len(exp)})"
+    # and precision must be perfect: exact verification admits no false pairs
+    assert got <= exp or all(
+        j >= cfg.jaccard_threshold for (a, b, j) in truth if (a, b) in got
+    )
+
+
+def test_exact_jaccard_values_match_oracle(neardup_setup):
+    cfg, files, sig, truth = neardup_setup
+    bands = band_table(sig, cfg)
+    cands = candidate_pairs(bands, cfg)
+    got = {(r.a, r.b): r.jaccard for r in exact_jaccard_for_pairs(cands, sig).collect()}
+    exp = {(a, b): j for a, b, j in truth}
+    checked = 0
+    for pair, j in exp.items():
+        if pair in got:
+            assert abs(got[pair] - j) < 1e-9, (pair, got[pair], j)
+            checked += 1
+    assert checked > 50
+
+
+def test_minhash_estimate_close_to_exact(neardup_setup):
+    cfg, files, sig, truth = neardup_setup
+    bands = band_table(sig, cfg)
+    cands = candidate_pairs(bands, cfg)
+    est = {(r.a, r.b): r.jaccard_est for r in estimate_jaccard(cands, sig, cfg).collect()}
+    exp = {(a, b): j for a, b, j in truth}
+    diffs = [abs(est[p] - exp[p]) for p in est.keys() & exp.keys()]
+    assert diffs and sum(diffs) / len(diffs) < 0.08
+
+
+def test_connected_components_match_union_find(spark):
+    # hand graph: two chains, a triangle, singletons implied
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (30, 31), (31, 32), (32, 33)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.file_id: r.cluster_id for r in connected_components(df).collect()}
+    exp = cc_oracle(edges)
+    assert got == exp
+
+
+def test_end_to_end_clusters_match_oracle(neardup_setup):
+    cfg, files, sig, truth = neardup_setup
+    bands = band_table(sig, cfg)
+    pairs = verified_pairs(candidate_pairs(bands, cfg), sig, cfg, exact=True)
+    comp = connected_components(pairs.select("a", "b"))
+    clusters = clusters_with_singletons(comp, files)
+    # compare cluster-implied pair sets (recall metric granularity)
+    got_pairs = {(r.a, r.b) for r in cluster_pairs(comp).collect()}
+    exp_cc = cc_oracle([(a, b) for a, b, _ in truth])
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for fid, root in exp_cc.items():
+        groups[root].append(fid)
+    exp_pairs = set()
+    for mem in groups.values():
+        mem.sort()
+        for i, a in enumerate(mem):
+            for b in mem[i + 1 :]:
+                exp_pairs.add((a, b))
+    recall = len(got_pairs & exp_pairs) / len(exp_pairs)
+    assert recall >= 0.99
+    # every file present exactly once in the final labeling
+    assert clusters.count() == files.count()
+    assert clusters.select("file_id").distinct().count() == files.count()
+
+
+def test_overflow_buckets_observable(spark):
+    """A degenerate all-identical corpus must hit the bucket cap and be reported."""
+    cfg = DedupConfig(max_bucket_size=10)
+    rows = [(i, "identical boilerplate content shared by everyone " * 5) for i in range(50)]
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    sig = signature_table(files, cfg)
+    bands = band_table(sig, cfg)
+    assert overflow_buckets(bands, cfg).count() > 0
+    assert candidate_pairs(bands, cfg).count() == 0  # capped, not exploded
+
+
+def test_simhash_candidates_find_near_identical(spark):
+    # diverse 100-line file with a 1-char edit → Hamming 1 (verified offline);
+    # repeated-boilerplate text would NOT work here: tiny shingle sets make
+    # single edits flip many simhash bits.
+    import numpy as np
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(3)
+    words = "buffer index table stream merge hash block chunk offset cursor parse token".split()
+    lines = [
+        f"{words[rng.integers(0, 12)]}_{i} = {words[rng.integers(0, 12)]}"
+        f"({words[rng.integers(0, 12)]}, {rng.integers(0, 9999)})"
+        for i in range(100)
+    ]
+    base = "\n".join(lines)
+    rows = [(1, base), (2, base.replace("_50 ", "_5x ", 1)), (3, "totally different " * 40)]
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    sig = signature_table(files, cfg)
+    got = {(r.a, r.b) for r in simhash_candidate_pairs(sig, max_hamming=3).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got

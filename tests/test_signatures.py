@@ -1,0 +1,92 @@
+"""Signature layer: shingle identity vs oracle, MinHash accuracy, SimHash locality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.functions import signatures as S
+from tests.oracle import char_shingles, jaccard
+
+
+def test_char_shingle_hashes_match_python_sets():
+    text = "the quick brown fox jumps over the lazy dog" * 3
+    k = 9
+    got = set(S.char_shingle_hashes(text.encode(), k).tolist())
+    exp = {int(S.char_shingle_hashes(s.encode(), k)[0]) for s in char_shingles(text, k)}
+    assert got == exp
+    assert len(got) == len(char_shingles(text, k))
+
+
+def test_short_content_single_shingle():
+    assert S.char_shingle_hashes(b"ab", 9).size == 1
+    assert S.char_shingle_hashes(b"", 9).size == 0
+
+
+def test_segment_shingles_match_reference_windows():
+    data = bytes(range(256)) * 3
+    seg = 64
+    got = S.segment_shingle_hashes(data, seg)
+    # non-overlapping windows incl. the trailing partial
+    windows = [data[i : i + seg] for i in range(0, len(data), seg)]
+    exp = {S.char_shingle_hashes(w, len(w))[0] for w in windows}
+    assert set(got.tolist()) == set(np.array(list(exp), dtype=np.uint64).tolist())
+
+
+def test_minhash_estimates_jaccard():
+    cfg = DedupConfig(minhash_n=256, bands=64, rows_per_band=4)
+    a, b = S._minhash_params(cfg)
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**63, size=2000, dtype=np.uint64)
+    for true_j in (0.3, 0.7, 0.9):
+        n_shared = int(2000 * 2 * true_j / (1 + true_j))
+        # build two sets with approximately the target overlap
+        shared = base[:n_shared]
+        only_a = rng.integers(0, 2**63, size=2000 - n_shared, dtype=np.uint64)
+        only_b = rng.integers(0, 2**63, size=2000 - n_shared, dtype=np.uint64)
+        sa = np.unique(np.concatenate([shared, only_a]))
+        sb = np.unique(np.concatenate([shared, only_b]))
+        exact = jaccard(set(sa.tolist()), set(sb.tolist()))
+        ma, mb = S.minhash_from_shingles(sa, a, b), S.minhash_from_shingles(sb, a, b)
+        est = (ma == mb).mean()
+        assert abs(est - exact) < 0.12, (true_j, exact, est)
+
+
+def test_minhash_deterministic_across_calls():
+    cfg = DedupConfig()
+    sh = S.char_shingle_hashes(b"hello world, deterministic!", cfg.shingle_k)
+    a, b = S._minhash_params(cfg)
+    a2, b2 = S._minhash_params(DedupConfig())
+    assert (a == a2).all() and (b == b2).all()
+    m1 = S.minhash_from_shingles(sh, a, b)
+    m2 = S.minhash_from_shingles(sh, a2, b2)
+    assert (m1 == m2).all()
+
+
+def test_simhash_locality():
+    text = "def compute(buffer, index):\n    return buffer[index] + 1\n" * 20
+    near = text.replace("index] + 1", "index] + 2", 1)
+    far = "completely unrelated content about weather patterns and geology" * 15
+    h = lambda t: S.simhash_from_shingles(S.char_shingle_hashes(t.encode(), 9))
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")
+    assert ham(h(text), h(near)) < ham(h(text), h(far))
+    assert ham(h(text), h(near)) <= 12
+
+
+def test_signature_table_schema_and_values(spark, small_corpus):
+    from data_deduplication_service_spark.sources import with_file_identity
+
+    cfg = DedupConfig()
+    files = with_file_identity(small_corpus)
+    sig = S.signature_table(files.limit(20), cfg)
+    rows = sig.collect()
+    assert len(rows) == 20
+    a, b = S._minhash_params(cfg)
+    by_id = {r.file_id: r for r in rows}
+    for r in files.limit(20).collect():
+        sh = S.shingle_hashes(r.content, cfg)
+        got = by_id[r.file_id]
+        assert got.n_shingles == sh.size
+        assert got.minhash == S.minhash_from_shingles(sh, a, b).astype(np.int64).tolist()
+        assert sorted(got.shingles) == sorted(sh.astype(np.int64).tolist())
