@@ -1,38 +1,594 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every implemented operator family from SURVEY.md §2 as
+a (spark, sf_dir) -> DataFrame callable; `oracle_sql()` gives the
+DuckDB-equivalent ANSI SQL for everything SQL-expressible. Column names
+and integer/double types are aligned on both sides; doubles are rounded
+in-query (identically on both sides) so order-insensitive value hashing
+is stable.
+
+Non-SQL-expressible ops (seeded MinHash/LSH/SimHash, random-hyperplane
+ANN, full pipeline clustering) have queries() entries without oracles —
+the driver records rows-only checks; their exact-math verification lives
+in tests/ (recall vs exact-Jaccard ground truth, CC vs union-find).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.functions.text import (
+    lang_id,
+    md5_min_fingerprint,
+    mean_token_length,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    unique_token_ratio,
+)
+
+CFG = DedupConfig()  # segment_size=64, sha256 — the reference test config
+SEG = CFG.segment_size
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as the engine's files shape, file_id = doc_id (oracle parity)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+    )
+
+
+def _doc_segments(spark: SparkSession, sf_dir: str, keep_data: bool = False) -> DataFrame:
+    from data_deduplication_service_spark.operators.segmentation import segment_files
+
+    return segment_files(_doc_files(spark, sf_dir), CFG, keep_data=keep_data)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate clusters by content sha256 (reference segment-identity
+    degenerate tier; operators/exact.py:exact_duplicate_clusters)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.sha2(F.encode("text", "UTF-8"), 256).alias("content_sha256"))
+        .agg(F.min("doc_id").alias("cluster_id"), F.count("*").alias("n_members"))
+    )
+
+
+def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file segment counts (reference A1/A2, lib/dbCommon.cpp:206-212)."""
+    return (
+        _doc_segments(spark, sf_dir)
+        .groupBy(F.col("file_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.countDistinct("segment_hash").alias("n_unique"),
+        )
+    )
+
+
+def q_dedup_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dedup coefficient (reference A3, lib/FileService.cpp:55-75)."""
+    return _doc_segments(spark, sf_dir).agg(
+        F.count("*").alias("total_segments"),
+        F.countDistinct("segment_hash").alias("unique_segments"),
+        F.round(F.count("*") * 100.0 / F.countDistinct("segment_hash"), 2).alias(
+            "dedup_coefficient_pct"
+        ),
+    )
+
+
+def q_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hottest segments (boilerplate detection; reference segments.segment_count)."""
+    return (
+        _doc_segments(spark, sf_dir)
+        .groupBy(F.lower(F.hex("segment_hash")).alias("seg_sha256"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("seg_sha256"))
+        .limit(20)
+    )
+
+
+def q_reconstruct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless reconstruction check (reference J1/O1/V1, lib/dbManager.cpp:164-194)."""
+    from data_deduplication_service_spark.operators.reconstruct import reconstruct_files
+
+    rec = reconstruct_files(_doc_segments(spark, sf_dir, keep_data=True))
+    orig = _doc_files(spark, sf_dir)
+    joined = orig.alias("o").join(rec.alias("r"), "file_id")
+    return joined.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("o.content") == F.col("r.content")).cast("long")).alias("n_exact"),
+    )
+
+
+def q_dedup_characteristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file dedup characteristics (reference J4/A2, lib/dbCommon.cpp:204-229)."""
+    return (
+        _doc_segments(spark, sf_dir)
+        .groupBy(F.col("file_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.countDistinct("segment_hash").alias("n_unique"),
+            F.round(F.countDistinct("segment_hash") * 100.0 / F.count("*"), 2).alias(
+                "unique_percentage"
+            ),
+            (F.count("*") * (CFG.digest_size + 8)).cast("long").alias("data_size"),
+        )
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (operators/ngram.py)."""
+    from data_deduplication_service_spark.operators.ngram import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=9, threshold=0.5)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-min document fingerprint (functions/text.py:md5_min_fingerprint)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", md5_min_fingerprint(F.col("text"), 9).alias("fingerprint")
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token statistics (functions/text.py)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics (functions/text.py:text_quality_table)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).cast("long").alias("n_tokens"),
+        unique_token_ratio(t).alias("uniq_token_ratio"),
+        stopword_ratio(t).alias("stopword_ratio_en"),
+        mean_token_length(t).alias("mean_token_len"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def q_lang_guess_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs labeled lang (functions/text.py:lang_id)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_prefix_filter_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix filter + listing (reference F2, lib/dbCommon.cpp:60-69)."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("source").startswith("src1"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_delete_gc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete + decrement + GC (reference J2/F4, lib/dbManager.cpp:110-121):
+    segment-count histogram after deleting all docs from source 'src0'."""
+    from data_deduplication_service_spark.operators.lifecycle import DedupTables, delete_files
+    from data_deduplication_service_spark.operators.segmentation import build_segments_table
+
+    docs = _docs(spark, sf_dir)
+    files = _doc_files(spark, sf_dir)
+    fs = _doc_segments(spark, sf_dir)
+    tables = DedupTables(files=files, segments=build_segments_table(fs, CFG), file_segments=fs)
+    victims = docs.filter(F.col("source") == "src0").select(F.col("doc_id").alias("file_id"))
+    after = delete_files(tables, victims)
+    return after.segments.groupBy("segment_count").agg(F.count("*").alias("n_hashes"))
+
+
+def q_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT-based consistency invariant (reference A6, lib/dbCommon.cpp:192-202)."""
+    from data_deduplication_service_spark.operators.segmentation import build_segments_table
+
+    fs = _doc_segments(spark, sf_dir)
+    segments = build_segments_table(fs, CFG)
+    derived = fs.groupBy("segment_hash").agg(F.count("*").alias("segment_count"))
+    return derived.exceptAll(segments.select("segment_hash", "segment_count")).agg(
+        F.count("*").alias("violations")
+    )
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation sweep (covers A1-A4 aggregate shapes)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-k (covers J1/J4/O2/O5 join-sort shapes)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed event aggregation (batch analog of the streaming window)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (operators/similarity.py)."""
+    from data_deduplication_service_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine_sim")
+
+
+# ---- rows-only queries (seeded/iterative — no SQL oracle) -----------------
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded MinHash + LSH + exact-verify dup pairs (tested vs ground truth
+    in tests/test_lsh_components.py; not SQL-expressible)."""
+    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.operators.lsh import (
+        band_table,
+        candidate_pairs,
+        verified_pairs,
+    )
+
+    files = _doc_files(spark, sf_dir)
+    sig = signature_table(files, CFG)
+    pairs = verified_pairs(candidate_pairs(band_table(sig, CFG), CFG), sig, CFG, exact=True)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash block-permute candidates (operators/lsh.py:simhash_candidate_pairs)."""
+    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.operators.lsh import simhash_candidate_pairs
+
+    sig = signature_table(_doc_files(spark, sf_dir), CFG)
+    return simhash_candidate_pairs(sig, max_hamming=8)
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline clustering (LSH pairs → connected components)."""
+    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.operators.components import (
+        clusters_with_singletons,
+        connected_components,
+    )
+    from data_deduplication_service_spark.operators.lsh import (
+        band_table,
+        candidate_pairs,
+        verified_pairs,
+    )
+
+    files = _doc_files(spark, sf_dir)
+    sig = signature_table(files, CFG)
+    pairs = verified_pairs(candidate_pairs(band_table(sig, CFG), CFG), sig, CFG, exact=True)
+    comp = connected_components(pairs.select("a", "b"))
+    return clusters_with_singletons(comp, files).withColumnRenamed("file_id", "doc_id")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (operators/similarity.py:lsh_topk)."""
+    from data_deduplication_service_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(emb, queries, dim=64, k=5)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine_sim")
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedup pipeline summary over sf0.001 (no collect)."""
+    import shutil
+    import tempfile
+
+    from data_deduplication_service_spark.plans.pipeline import pipeline_summary, run_pipeline
+    from data_deduplication_service_spark.sources import corpus_from_documents, with_file_identity
+
+    corpus = with_file_identity(corpus_from_documents(spark, "/root/testdata/sf0.001"))
+    warehouse = tempfile.mkdtemp(prefix="dedup_entry_wh_")
+    result = run_pipeline(spark, corpus, CFG, warehouse, collect_lineage=False)
+    return pipeline_summary(result)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "segment_stats": q_segment_stats,
+        "dedup_coefficient": q_dedup_coefficient,
+        "top_segments": q_top_segments,
+        "reconstruct_roundtrip": q_reconstruct_roundtrip,
+        "dedup_characteristics": q_dedup_characteristics,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_guess_confusion": q_lang_guess_confusion,
+        "prefix_filter_listing": q_prefix_filter_listing,
+        "delete_gc_histogram": q_delete_gc_histogram,
+        "consistency_check": q_consistency_check,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "revenue_topk": q_revenue_topk,
+        "events_hourly": q_events_hourly,
+        "embedding_topk": q_embedding_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SEGS_CTE = f"""
+WITH segs AS (
+    SELECT doc_id,
+           t.i AS segment_num,
+           substring(text, ((t.i - 1) * {SEG}) + 1, {SEG}) AS seg
+    FROM documents,
+         unnest(generate_series(1, CAST(ceil(length(text) / {SEG}.0) AS BIGINT))) AS t(i)
+)
+"""
+
+_GRAMS_CTE = """
+WITH g AS (
+    SELECT DISTINCT doc_id, substring(text, t.i, 9) AS gram
+    FROM documents,
+         unnest(generate_series(1, greatest(length(text) - 8, 1))) AS t(i)
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_clusters": """
+            SELECT sha256(text) AS content_sha256,
+                   min(doc_id) AS cluster_id,
+                   count(*) AS n_members
+            FROM documents GROUP BY 1
+        """,
+        "segment_stats": _SEGS_CTE
+        + """
+            SELECT doc_id, count(*) AS n_segments, count(DISTINCT seg) AS n_unique
+            FROM segs GROUP BY doc_id
+        """,
+        "dedup_coefficient": _SEGS_CTE
+        + """
+            SELECT count(*) AS total_segments,
+                   count(DISTINCT seg) AS unique_segments,
+                   round(count(*) * 100.0 / count(DISTINCT seg), 2) AS dedup_coefficient_pct
+            FROM segs
+        """,
+        "top_segments": _SEGS_CTE
+        + """
+            SELECT sha256(seg) AS seg_sha256, count(*) AS n
+            FROM segs GROUP BY 1
+            ORDER BY n DESC, seg_sha256 ASC LIMIT 20
+        """,
+        "reconstruct_roundtrip": _SEGS_CTE
+        + """
+            , rec AS (
+                SELECT doc_id, string_agg(seg, '' ORDER BY segment_num) AS r
+                FROM segs GROUP BY doc_id
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN rec.r = d.text THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+            FROM rec JOIN documents d USING (doc_id)
+        """,
+        "dedup_characteristics": _SEGS_CTE
+        + f"""
+            SELECT doc_id,
+                   count(*) AS n_segments,
+                   count(DISTINCT seg) AS n_unique,
+                   round(count(DISTINCT seg) * 100.0 / count(*), 2) AS unique_percentage,
+                   CAST(count(*) * {CFG.digest_size + 8} AS BIGINT) AS data_size
+            FROM segs GROUP BY doc_id
+        """,
+        "ngram_jaccard_pairs": _GRAMS_CTE
+        + """
+            , sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+                FROM g x JOIN g y USING (gram)
+                WHERE x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = a
+            JOIN sz sb ON sb.doc_id = b
+            WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, min(md5(substring(text, t.i, 9))) AS fingerprint
+            FROM documents,
+                 unnest(generate_series(1, greatest(length(text) - 8, 1))) AS t(i)
+            GROUP BY doc_id
+        """,
+        "token_stats": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                   round(avg(length(text)), 2) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": """
+            WITH t AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       string_split(text, ' ') AS toks
+                FROM documents
+            ), m AS (
+                SELECT doc_id, n_chars,
+                       len(toks) AS n_tokens,
+                       len(list_distinct(toks)) AS n_uniq,
+                       len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                       list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(n_uniq * 1.0 / n_tokens, 4) AS uniq_token_ratio,
+                   round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio_en,
+                   round(tok_chars * 1.0 / n_tokens, 4) AS mean_token_len,
+                   round(least(n_chars / 500.0, 1.0) * (n_uniq * 1.0 / n_tokens)
+                         * (CASE WHEN tok_chars * 1.0 / n_tokens BETWEEN 3 AND 12
+                                 THEN 1.0 ELSE 0.5 END), 4) AS quality
+            FROM m
+        """,
+        "lang_guess_confusion": """
+            WITH s AS (
+                SELECT lang,
+                       string_split(text, ' ') AS toks
+                FROM documents
+            ), sc AS (
+                SELECT lang,
+                       len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS s_en,
+                       len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+                       len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+                       len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS s_es
+                FROM s
+            )
+            SELECT lang,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                        ELSE 'fr' END AS lang_guess,
+                   count(*) AS n
+            FROM sc GROUP BY 1, 2
+        """,
+        "prefix_filter_listing": """
+            SELECT lang, count(*) AS n FROM documents
+            WHERE source LIKE 'src1%' GROUP BY lang
+        """,
+        "delete_gc_histogram": _SEGS_CTE
+        + """
+            , remaining AS (
+                SELECT s.* FROM segs s
+                WHERE s.doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src0')
+            ), cnts AS (
+                SELECT seg, count(*) AS c FROM remaining GROUP BY seg
+            )
+            SELECT c AS segment_count, count(*) AS n_hashes FROM cnts GROUP BY c
+        """,
+        "consistency_check": _SEGS_CTE
+        + """
+            , derived AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg),
+            stored AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg)
+            SELECT count(*) AS violations FROM (
+                SELECT * FROM derived EXCEPT SELECT * FROM stored
+            )
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_topk": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "embedding_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           q.qv, list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4)
+                           AS cosine_sim
+                FROM q, embeddings e
+                WHERE e.vec_id != q.query_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine_sim
+            FROM ranked WHERE rank <= 5
+        """,
+    }

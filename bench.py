@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + full dedup pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "files_per_sec": ...,
+   "cores": ..., "n_files": ...}
+
+Query results are fully materialized through the noop sink (no driver
+collect, no disk bias). The pipeline query runs force=True into a fresh
+temp warehouse so checkpoint reuse can't fake speed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from data_deduplication_service_spark import DedupConfig, get_spark
+
+# bench skips the all-pairs exact n-gram join (quadratic oracle op, not a
+# scale path) and runs the LSH/minhash route instead — both are correctness-
+# checked against oracles/ground truth in tests.
+BENCH_QUERIES = [
+    "exact_dup_clusters",
+    "segment_stats",
+    "dedup_coefficient",
+    "top_segments",
+    "reconstruct_roundtrip",
+    "dedup_characteristics",
+    "doc_fingerprints",
+    "token_stats",
+    "quality_scores",
+    "delete_gc_histogram",
+    "q1_pricing_summary",
+    "revenue_topk",
+    "events_hourly",
+    "embedding_topk",
+    "minhash_lsh_pairs",
+    "near_dup_clusters",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("dedup-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 4))
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # full pipeline (cold, checkpointed) — the files/sec headline
+    from data_deduplication_service_spark.plans.pipeline import run_pipeline
+    from data_deduplication_service_spark.sources import corpus_from_documents, with_file_identity
+
+    corpus = with_file_identity(corpus_from_documents(spark, sf_dir))
+    n_files = corpus.count()
+    warehouse = tempfile.mkdtemp(prefix="dedup_bench_wh_")
+    t0 = time.monotonic()
+    result = run_pipeline(
+        spark, corpus, DedupConfig(), warehouse, force=True, collect_lineage=False
+    )
+    result.clusters.count()
+    pipeline_sec = round(time.monotonic() - t0, 3)
+    timings["pipeline_full"] = pipeline_sec
+    shutil.rmtree(warehouse, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_engine_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_files": n_files,
+                "files_per_sec": round(n_files / pipeline_sec, 1),
+                "cores": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

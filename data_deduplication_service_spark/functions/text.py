@@ -1,0 +1,134 @@
+"""Text analysis for training-data pipelines — all JVM-side (codegen).
+
+No reference analog (the reference treats content as opaque bytes); these
+are the corpus-quality operators a 100 TB text pipeline needs: token
+stats, quality scores, stopword profiles, n-gram extraction, md5-min
+document fingerprints, and a heuristic language-ID.
+
+Everything here is built from pyspark.sql.functions only — no UDFs — so
+the expressions inline into whole-stage codegen and the parquet scan
+prunes to the text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny built-in stopword profiles for the heuristic language scorer
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "que", "los"),
+}
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    """Array of all char n-grams (the whole string if shorter than n)."""
+    starts = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    return F.transform(starts, lambda i: F.substring(col, i, n))
+
+
+def tokens(col: Column) -> Column:
+    """Single-space tokenization — parity with SQL string_split(text, ' ')."""
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def unique_token_ratio(col: Column) -> Column:
+    t = tokens(col)
+    return F.round(F.size(F.array_distinct(t)) / F.size(t), 4)
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS["en"]) -> Column:
+    t = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.round(F.size(F.filter(t, lambda x: F.array_contains(sw, x))) / F.size(t), 4)
+
+
+def mean_token_length(col: Column) -> Column:
+    t = tokens(col)
+    total = F.aggregate(F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+    return F.round(total / F.size(t), 4)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length, token diversity, structure.
+
+    Deliberately simple + fully deterministic (SQL-expressible for the
+    oracle): sigmoid-ish length factor × unique-token ratio, penalized by
+    extreme mean token lengths.
+    """
+    n = F.length(col)
+    t = tokens(col)
+    len_factor = F.least(n / F.lit(500.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(t)) / F.size(t)
+    # unrounded mean token length (mean_token_length() rounds for display;
+    # rounding before the shape test would diverge from the SQL oracle)
+    total = F.aggregate(F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+    mtl = total / F.size(t)
+    shape = F.when((mtl >= 3) & (mtl <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_factor * diversity * shape, 4)
+
+
+def md5_min_fingerprint(col: Column, n: int = 9) -> Column:
+    """Document fingerprint: lexicographic min of md5(n-gram) hex digests.
+
+    A 1-permutation MinHash whose hash function (md5) exists identically in
+    every SQL engine — the oracle-checkable cousin of the seeded MinHash in
+    functions/signatures.py.
+    """
+    return F.array_min(F.transform(char_ngrams(col, n), lambda g: F.md5(g)))
+
+
+def md5_minhash_signature(col: Column, n: int = 9, perms: int = 8) -> Column:
+    """K-permutation md5 MinHash: perm i = min(md5(i || ngram)). SQL-parity
+    variant for cross-engine verification; the production path is the
+    seeded numpy MinHash (orders of magnitude cheaper)."""
+    grams = char_ngrams(col, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(grams, lambda g, i=i: F.md5(F.concat(F.lit(str(i) + "|"), g))))
+            for i in range(perms)
+        ]
+    )
+
+
+def stopword_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts (the lang-ID evidence vector)."""
+    t = tokens(col)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(s) for s in words])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language guess: argmax stopword score, 'und' (undetermined)
+    when no evidence. Deterministic tie-break by language code order."""
+    scores = stopword_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def text_quality_table(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """Per-document quality/statistics rollup (id columns preserved)."""
+    c = F.col(text_col)
+    keep = [col for col in docs.columns if col != text_col]
+    return docs.select(
+        *keep,
+        F.length(c).alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        unique_token_ratio(c).alias("uniq_token_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        mean_token_length(c).alias("mean_token_len"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_guess"),
+    )

@@ -1,0 +1,73 @@
+"""Exact n-gram Jaccard similarity — the oracle-parity near-dup operator.
+
+Unlike functions/signatures.py (seeded numpy hashes, approximate via
+MinHash), this computes EXACT set Jaccard over raw char n-grams with pure
+DataFrame ops, so an independent SQL engine can reproduce it bit-for-bit.
+It is also the exact-verification backend a production near-dup pipeline
+runs on LSH candidates when signatures weren't retained.
+
+Scale shape: `doc_ngrams` explodes to one row per DISTINCT (doc, gram) —
+the self-join shuffles on the gram; frequency-capping `max_doc_freq` (drop
+grams present in more than X docs — pure boilerplate, zero discrimination
+power) bounds the join fanout exactly like the LSH bucket cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_deduplication_service_spark.functions.text import char_ngrams
+
+
+def doc_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (id, gram) pairs."""
+    return (
+        docs.select(F.col(id_col).alias("_id"), F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 9,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All (a < b, jaccard ≥ threshold) pairs by exact n-gram Jaccard.
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|). With the cap OFF (default) the
+    metric is exact. With a cap, capped grams are excluded from the
+    intersection count too, so the reported jaccard is a LOWER BOUND and
+    ultra-common boilerplate no longer inflates similarity — usually the
+    desired behavior; re-verify with lsh.exact_jaccard_for_pairs if the
+    uncapped value is required.
+    """
+    grams = doc_ngrams(docs, id_col, text_col, n).cache()
+    sizes = grams.groupBy("_id").agg(F.count("*").alias("sz"))
+
+    joinable = grams
+    if max_doc_freq is not None:
+        freq = grams.groupBy("gram").agg(F.count("*").alias("_df"))
+        joinable = grams.join(
+            freq.filter(F.col("_df") <= max_doc_freq).select("gram"), "gram", "left_semi"
+        )
+
+    inter = (
+        joinable.select(F.col("_id").alias("a"), "gram")
+        .join(joinable.select(F.col("_id").alias("b"), "gram"), "gram")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("a"), F.col("sz").alias("_sa")), "a")
+        .join(sizes.select(F.col("_id").alias("b"), F.col("sz").alias("_sb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

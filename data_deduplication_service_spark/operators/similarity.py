@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the standard ANN playbook:
+  * brute-force cosine top-k — the exact baseline. All arithmetic JVM-side
+    (zip_with/aggregate fold into codegen); the probe side is broadcast.
+  * LSH-bucketed (random hyperplane / sign-random-projection) — the scale
+    path: map-side signature, candidates only within matching buckets,
+    exact re-rank inside the candidate set. Recall tunable via number of
+    hyperplane tables.
+
+At 100 TB the brute-force path is O(N·Q) — only for small Q probe sets;
+the bucketed path shuffles each table once on (table_id, bucket).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    # cast each element to double BEFORE multiplying: float32 products then
+    # widened would diverge from engines that compute in double throughout
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    queries: (query_id, query_vec). Broadcast the (small) query side; the
+    corpus scan stays partition-parallel, ranking via window per query.
+    Similarity is rounded BEFORE ranking with id tie-break so results are
+    deterministic across engines and float orderings.
+    """
+    corp = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    q = queries.select(F.col("query_id"), F.col("query_vec").alias("_q"))
+    scored = corp.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_q"), F.col("_v")), round_digits).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    bits_per_table: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table_id, bucket) sign-random-projection buckets — map-side only."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, bits_per_table, dim)).astype(np.float64)
+    weights = (1 << np.arange(bits_per_table, dtype=np.int64))
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (B, dim)
+            out = []
+            for t in range(n_tables):
+                signs = (vecs @ planes[t].T) > 0  # (B, bits)
+                buckets = signs @ weights  # (B,)
+                out.append(
+                    pd.DataFrame(
+                        {"vec_id": pdf[id_col].to_numpy(), "table_id": t, "bucket": buckets}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        bucketize, schema="vec_id long, table_id int, bucket long"
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_tables: int = 8,
+    bits_per_table: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = bucket collisions in ANY table,
+    exact cosine re-rank on candidates only."""
+    corp_sig = hyperplane_signatures(embeddings, dim, n_tables, bits_per_table, seed)
+    q_emb = queries.select(
+        F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding")
+    )
+    q_sig = hyperplane_signatures(q_emb, dim, n_tables, bits_per_table, seed).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    )
+    cands = (
+        corp_sig.join(q_sig, ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cands.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("query_vec"), F.col("embedding")), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+    )

@@ -1,0 +1,78 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row count + column names + order-insensitive values.
+
+Runs at sf0.001 for speed (the driver uses sf0.01 — same generator).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+import os
+
+SF_DIR = os.environ.get("DEDUP_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+def test_every_oracle_key_has_a_query():
+    qs = entry_mod.queries()
+    missing = [k for k in ORACLE_KEYS if k not in qs]
+    assert not missing
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    got = _canon(q(spark, SF_DIR).toPandas())
+    exp = _canon(duck.execute(entry_mod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns), f"{name}: columns {list(got.columns)} vs {list(exp.columns)}"
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9, rtol=0)
+
+
+def test_rows_only_queries_run(spark):
+    qs = entry_mod.queries()
+    for name in sorted(set(qs) - set(ORACLE_KEYS)):
+        df = qs[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+        assert len(df.schema.fields) > 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert rows[0].n_files == 500
