@@ -1,0 +1,181 @@
+"""Suffix-array-based exact substring deduplication.
+
+Two operators (the north-star's "suffix-array-based exact substring dedup"):
+
+  * ``substring_containment_pairs`` — distributed: find (inner, outer)
+    pairs where inner.content is a verbatim substring of outer.content.
+    Candidates via shingle-set containment (|A∩B| = |A| over the already-
+    computed signature shingle sets — a containment join, not a similarity
+    join), then EXACT byte-level verification on the candidate pairs only
+    (vectorized pandas UDF). Candidate generation is the same
+    semi-join-pruned shape as LSH verification, so it scales the same way.
+
+  * ``repeated_substrings_in_partition`` — per-partition: build a suffix
+    array over the concatenated partition text (prefix-doubling, fully
+    numpy-vectorized O(n log² n)) + Kasai LCP, and report maximal repeated
+    substrings ≥ min_len that span two different documents. This is the
+    classic training-data dedup primitive (Lee et al. 2022-style); global
+    coverage comes from re-partitioning by content clusters or running on
+    LSH-cluster members, which keeps each partition's corpus bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+# --------------------------------------------------------------------------
+# numpy suffix array (prefix doubling) + Kasai LCP
+# --------------------------------------------------------------------------
+
+def suffix_array(data: bytes) -> np.ndarray:
+    """Suffix array via prefix doubling — O(n log² n), all-numpy."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    tmp = np.empty(n, dtype=np.int64)
+    k = 1
+    while k < n:
+        # sort by (rank[i], rank[i+k]) — encode as a single comparable pair
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        sa = order
+        # recompute ranks: same pair ⇒ same rank
+        prev = sa[:-1]
+        cur = sa[1:]
+        changed = (rank[cur] != rank[prev]) | (second[cur] != second[prev])
+        tmp[sa[0]] = 0
+        tmp[cur] = np.cumsum(changed)
+        rank = tmp.copy()
+        if rank[sa[-1]] == n - 1:
+            break
+        k <<= 1
+    return sa
+
+
+def lcp_array(data: bytes, sa: np.ndarray) -> np.ndarray:
+    """Kasai's algorithm — O(n). lcp[i] = LCP(sa[i-1], sa[i]), lcp[0]=0."""
+    n = len(sa)
+    lcp = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return lcp
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    h = 0
+    for i in range(n):  # linear scan; data sizes are partition-bounded
+        if rank[i] > 0:
+            j = int(sa[rank[i] - 1])
+            while i + h < n and j + h < n and data[i + h] == data[j + h]:
+                h += 1
+            lcp[rank[i]] = h
+            if h > 0:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+# --------------------------------------------------------------------------
+# distributed substring containment
+# --------------------------------------------------------------------------
+
+def substring_containment_pairs(
+    files: DataFrame, signatures: DataFrame, min_shingles: int = 4
+) -> DataFrame:
+    """(inner, outer) pairs where inner.content ⊆ outer.content verbatim.
+
+    Candidates: every shingle of `inner` appears in `outer` (shingle-set
+    containment — necessary condition for substring containment when the
+    shingle width ≤ len(inner)). Verified exactly on candidates only.
+    `min_shingles` skips degenerate tiny docs whose containment is noise.
+    """
+    sig = signatures.select("file_id", "n_shingles", F.explode("shingles").alias("s"))
+    a = sig.select(F.col("file_id").alias("inner"), F.col("n_shingles").alias("_na"), "s")
+    b = sig.select(F.col("file_id").alias("outer"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("inner") != F.col("outer"))
+        .groupBy("inner", "outer", "_na")
+        .agg(F.count("*").alias("_shared"))
+    )
+    cands = shared.filter(
+        (F.col("_shared") == F.col("_na")) & (F.col("_na") >= min_shingles)
+    ).select("inner", "outer")
+
+    content = files.select("file_id", "content")
+    pairs = (
+        cands.join(content.select(F.col("file_id").alias("inner"), F.col("content").alias("_ci")), "inner")
+        .join(content.select(F.col("file_id").alias("outer"), F.col("content").alias("_co")), "outer")
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # vectorized pandas str containment over the candidate batch
+            mask = [ci in co for ci, co in zip(pdf["_ci"], pdf["_co"])]
+            out = pdf.loc[mask, ["inner", "outer"]].copy()
+            out["inner_len"] = pdf.loc[mask, "_ci"].str.len().astype("int64")
+            yield out
+
+    return pairs.mapInPandas(verify, schema="inner long, outer long, inner_len long")
+
+
+def repeated_substrings_in_partition(
+    files: DataFrame, min_len: int = 50, id_col: str = "file_id", text_col: str = "content"
+) -> DataFrame:
+    """Maximal cross-document repeated substrings within each partition.
+
+    Per partition: concat docs with \\x00 separators (never inside a match:
+    \\x00 can't appear in UTF-8 text), suffix array + LCP, emit adjacent
+    suffix pairs with LCP ≥ min_len that start in DIFFERENT documents.
+    Output: (file_a, file_b, match_len, sample) — dedup decisions (which
+    copy to keep) are the caller's policy.
+    """
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids: list[int] = []
+        texts: list[bytes] = []
+        for pdf in batches:
+            ids.extend(int(x) for x in pdf[id_col])
+            texts.extend(t.encode("utf-8") for t in pdf[text_col])
+        if len(texts) < 2:
+            return
+        blob = b"\x00".join(texts)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum([len(t) + 1 for t in texts[:-1]], out=starts[1:])
+        doc_of = np.searchsorted(starts, np.arange(len(blob)), side="right") - 1
+        sa = suffix_array(blob)
+        lcp = lcp_array(blob, sa)
+        ends = starts + np.array([len(t) for t in texts], dtype=np.int64)
+
+        rows = []
+        for i in np.nonzero(lcp >= min_len)[0]:
+            p, q = int(sa[i - 1]), int(sa[i])
+            da, db = int(doc_of[p]), int(doc_of[q])
+            if da == db:
+                continue
+            # clamp the match to stay inside both documents (no separator)
+            m = min(int(lcp[i]), int(ends[da] - p), int(ends[db] - q))
+            if m < min_len:
+                continue
+            a_id, b_id = ids[da], ids[db]
+            if a_id > b_id:
+                a_id, b_id = b_id, a_id
+            rows.append((a_id, b_id, m, blob[p : p + min(m, 80)].decode("utf-8", "replace")))
+        if rows:
+            out = pd.DataFrame(rows, columns=["file_a", "file_b", "match_len", "sample"])
+            # keep the longest match per doc pair
+            out = out.sort_values("match_len", ascending=False).drop_duplicates(["file_a", "file_b"])
+            yield out
+
+    return files.select(id_col, text_col).mapInPandas(
+        per_partition, schema="file_a long, file_b long, match_len long, sample string"
+    )

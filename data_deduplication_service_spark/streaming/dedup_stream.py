@@ -1,0 +1,91 @@
+"""Structured Streaming dedup + windowed analytics.
+
+The reference has NO event streaming (its "потоковые запросы" are pqxx
+COPY streams — SURVEY §2.7); this module is the incremental-ingest analog
+for a live corpus feed: exact dedup with bounded state via watermarked
+dropDuplicates, plus windowed event aggregation with late-data handling.
+
+All functions take/return streaming DataFrames so they compose with any
+source (kafka/files/rate); tests drive them with the rate source and a
+file source over the driver's events parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    event_time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon.
+
+    dropDuplicatesWithinWatermark keeps state only for `watermark` of event
+    time — bounded state at any corpus rate (plain dropDuplicates on a
+    stream grows state forever; never use it at scale).
+    """
+    # watermarks require TIMESTAMP (session-TZ); parquet often carries NTZ
+    stream = stream.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    content_col: str = "content",
+    event_time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Content-hash dedup of a streaming document feed (exact tier only —
+    near-dup signatures are batch jobs over checkpointed snapshots)."""
+    hashed = docs_stream.withColumn(
+        "content_sha256", F.sha2(F.encode(F.col(content_col), "UTF-8"), 256)
+    )
+    return dedup_stream(hashed, ["content_sha256"], event_time_col, watermark)
+
+
+def windowed_event_stats(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (the streaming analog of the
+    batch events_hourly query — same output columns plus window bounds)."""
+    events_stream = events_stream.withColumn(
+        event_time_col, F.col(event_time_col).cast("timestamp")
+    )
+    return (
+        events_stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(F.col(event_time_col), window_duration), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame, query_name: str, timeout_s: float = 60.0, output_mode: str = "append"
+):
+    """Drive a streaming DF into an in-memory sink until idle (test helper).
+
+    Windowed aggregations need output_mode='complete' under availableNow:
+    with 'append', windows newer than the watermark never finalize on a
+    finite input and emit nothing.
+    """
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

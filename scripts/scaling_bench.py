@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling measurement (the north-rule criterion).
+
+No real multi-executor cluster exists in this sandbox, so cluster sizes
+N and 4N are evidenced by running the IDENTICAL job via
+`spark-submit --py-files dedup.zip` at local[8] and local[32] over the
+same deterministic synthetic corpus (bench tier, FIXTURES.md §4), and
+reporting throughput at both plus
+    efficiency = (files_per_sec_32 / files_per_sec_8) / (32 / 8).
+
+Orchestrator mode (default):
+    python scripts/scaling_bench.py [--n-files 100000] [--out BENCH/BASELINE.md]
+Worker mode (what spark-submit runs):
+    spark-submit --py-files dedup.zip scripts/scaling_bench.py --worker \
+        --cores 8 --input /tmp/corpus.parquet
+Worker prints one JSON line with stage timings; the orchestrator collates.
+
+The measured job is the pipeline's pure COMPUTE path (segment → store,
+signatures → bands → candidates → exact verify → connected components)
+materialized through the noop sink: checkpoint parquet writes are
+excluded because local-disk write bandwidth is shared across the two
+configurations and would mask executor scaling (on a real cluster the
+writes scale with the executors).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # direct `python scripts/...` invocation
+    sys.path.insert(0, REPO)
+
+
+def build_zip(path: str) -> str:
+    pkg = os.path.join(REPO, "data_deduplication_service_spark")
+    with zipfile.ZipFile(path, "w") as zf:
+        for root, _dirs, names in os.walk(pkg):
+            for name in names:
+                if name.endswith(".py"):
+                    full = os.path.join(root, name)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return path
+
+
+def worker(cores: int, input_path: str) -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName(f"scaling-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_deduplication_service_spark.config import DedupConfig
+    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.operators.components import connected_components
+    from data_deduplication_service_spark.operators.lsh import (
+        band_table,
+        candidate_pairs,
+        verified_pairs,
+    )
+    from data_deduplication_service_spark.operators.segmentation import (
+        build_segments_table,
+        segment_files,
+    )
+
+    cfg = DedupConfig()
+    # A small local corpus coalesces to 1-2 input splits under the default
+    # 128MB maxPartitionBytes, serializing every map stage. Repartition to
+    # the parallelism level — the layout a real cluster's scan would have —
+    # and persist so both measured pipelines read the same materialization.
+    files = spark.read.parquet(input_path).repartition(cores * 4).persist()
+    n_files = files.count()
+
+    def mat(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    t = {}
+    t0 = time.monotonic()
+    fs = segment_files(files, cfg)
+    mat(build_segments_table(fs, cfg))
+    t["segment_store"] = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    sig = signature_table(files, cfg)
+    sig.persist()
+    pairs = verified_pairs(candidate_pairs(band_table(sig, cfg), cfg), sig, cfg, exact=True)
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    t["signatures_lsh_verify"] = time.monotonic() - t1
+
+    t2 = time.monotonic()
+    comp = connected_components(pairs.select("a", "b"), max_iterations=cfg.cc_max_iterations)
+    n_comp = comp.count()
+    t["connected_components"] = time.monotonic() - t2
+
+    total = time.monotonic() - t0
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "n_files": n_files,
+                "n_pairs": n_pairs,
+                "n_component_rows": n_comp,
+                "stages_sec": {k: round(v, 2) for k, v in t.items()},
+                "total_sec": round(total, 2),
+                "files_per_sec": round(n_files / total, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def orchestrate(n_files: int, out_md: str) -> None:
+    from data_deduplication_service_spark.session import get_spark
+    from data_deduplication_service_spark.sources import synthesize_corpus, with_file_identity
+
+    input_path = f"/tmp/scaling_corpus_{n_files}.parquet"
+    if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        spark = get_spark("scaling-datagen", master="local[32]")
+        corpus = with_file_identity(synthesize_corpus(spark, n_files, seed=42, partitions=128))
+        corpus.write.mode("overwrite").parquet(input_path)
+        spark.stop()
+
+    zip_path = build_zip("/tmp/dedup_pkg.zip")
+    spark_submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = "spark-submit"
+
+    results = {}
+    for cores in (8, 32):
+        cmd = [
+            spark_submit,
+            "--master", f"local[{cores}]",
+            "--driver-memory", "16g",
+            "--py-files", zip_path,
+            os.path.abspath(__file__),
+            "--worker", "--cores", str(cores), "--input", input_path,
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        line = [l for l in proc.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+        if not line:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+            raise RuntimeError(f"worker at {cores} cores produced no result")
+        results[cores] = json.loads(line[0][len("WORKER_RESULT "):])
+        print(json.dumps(results[cores]))
+
+    r8, r32 = results[8], results[32]
+    eff = (r32["files_per_sec"] / r8["files_per_sec"]) / (32 / 8)
+    summary = {
+        "n_files": n_files,
+        "throughput_8_cores_files_per_sec": r8["files_per_sec"],
+        "throughput_32_cores_files_per_sec": r32["files_per_sec"],
+        "speedup_8_to_32": round(r32["files_per_sec"] / r8["files_per_sec"], 2),
+        "scaling_efficiency": round(eff, 3),
+        "results": results,
+    }
+    print(json.dumps(summary))
+    if out_md:
+        write_md(out_md, summary)
+
+
+def write_md(path: str, s: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    r8, r32 = s["results"][8], s["results"][32]
+    lines = [
+        "# BENCH/BASELINE — two-cluster-size scaling evidence",
+        "",
+        "North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N",
+        "executors. No real cluster exists in this sandbox; per the driver's",
+        "instruction the same `spark-submit --py-files` job ran at two",
+        "parallelism levels (local[8] = N, local[32] = 4N) on the identical",
+        f"deterministic synthetic corpus ({s['n_files']:,} files, seed=42,",
+        "FIXTURES.md recipes).",
+        "",
+        "| cores | total sec | files/sec | segment_store | signatures+LSH+verify | connected components |",
+        "|---|---|---|---|---|---|",
+        f"| 8 (N) | {r8['total_sec']} | {r8['files_per_sec']} | {r8['stages_sec']['segment_store']} | {r8['stages_sec']['signatures_lsh_verify']} | {r8['stages_sec']['connected_components']} |",
+        f"| 32 (4N) | {r32['total_sec']} | {r32['files_per_sec']} | {r32['stages_sec']['segment_store']} | {r32['stages_sec']['signatures_lsh_verify']} | {r32['stages_sec']['connected_components']} |",
+        "",
+        f"**Speedup 8→32 cores: {s['speedup_8_to_32']}× → scaling efficiency = "
+        f"{s['speedup_8_to_32']} / 4 = {s['scaling_efficiency']}**",
+        "",
+        f"Verified pairs found: {r32['n_pairs']} (identical at both levels: "
+        f"{r8['n_pairs'] == r32['n_pairs']}).",
+        "",
+        "Measured job: segment → salted segment store; signatures → LSH bands →",
+        "candidates → exact-Jaccard verify; connected components. Pure compute",
+        "(noop sink) — checkpoint parquet writes excluded since local-disk",
+        "bandwidth is shared between both configurations and would mask",
+        "executor scaling; on a real cluster writes scale with executors.",
+        "",
+        f"Raw JSON: `{json.dumps(s)}`",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--input", type=str, default="")
+    ap.add_argument("--n-files", type=int, default=100_000)
+    ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.cores, args.input)
+    else:
+        orchestrate(args.n_files, args.out)
+
+
+if __name__ == "__main__":
+    main()

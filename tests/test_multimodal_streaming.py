@@ -1,0 +1,87 @@
+"""Multimodal binary plumbing + structured-streaming dedup/windows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.operators.multimodal import (
+    decode_unavailable,
+    extract_media_features,
+    media_exact_dedup,
+    synthesize_media_table,
+)
+from data_deduplication_service_spark.streaming.dedup_stream import (
+    run_stream_to_memory,
+    streaming_exact_dedup,
+    windowed_event_stats,
+)
+
+
+def test_media_features_schema_and_determinism(spark):
+    media = synthesize_media_table(spark, n=24).cache()
+    feats = extract_media_features(media, feature_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-5  # normalized histogram
+        assert r.n_bytes > 0
+    # deterministic: regenerating yields identical features
+    again = {r.media_id: r.feature for r in extract_media_features(synthesize_media_table(spark, n=24)).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_media_exact_dedup_and_stub_gate(spark):
+    media = synthesize_media_table(spark, n=12)
+    dup = media.limit(3).withColumn("media_id", F.col("media_id") + 1000)
+    both = media.unionByName(dup)
+    clusters = media_exact_dedup(both).collect()
+    assert len(clusters) == 3
+    assert all(r.n_members == 2 for r in clusters)
+    with pytest.raises(NotImplementedError):
+        decode_unavailable(b"", {})
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    # file-source stream over a small parquet of docs with duplicates
+    src = str(tmp_path / "stream_src")
+    docs = spark.createDataFrame(
+        [(i, "content-%d" % (i % 5), "2024-01-01 00:0%d:00" % (i % 10)) for i in range(20)],
+        "doc_id long, content string, ts_str string",
+    ).withColumn("ts", F.to_timestamp("ts_str"))
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    deduped = streaming_exact_dedup(stream, content_col="content", watermark="1 hour")
+    q = run_stream_to_memory(deduped, "dedup_sink")
+    out = spark.sql("SELECT * FROM dedup_sink")
+    assert out.count() == 5  # 20 rows, 5 distinct contents
+    assert out.select("content_sha256").distinct().count() == 5
+    q.stop()
+
+
+def test_windowed_event_stats_matches_batch(spark, tmp_path):
+    # file-source streams need a DIRECTORY; stage the events parquet into one
+    import shutil
+
+    src = str(tmp_path / "events_dir")
+    import os
+
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/events.parquet")
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    windowed = windowed_event_stats(stream, window_duration="1 hour", watermark="2 hours")
+    q = run_stream_to_memory(windowed, "win_sink", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM win_sink").collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    exp = {(r.h, r.event_type): (r.n, r.v) for r in batch.collect()}
+    assert got == exp
+    q.stop()

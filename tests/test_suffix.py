@@ -1,0 +1,69 @@
+"""Suffix array, LCP, substring containment, repeated-substring detection."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.functions.signatures import signature_table
+from data_deduplication_service_spark.operators.suffix import (
+    lcp_array,
+    repeated_substrings_in_partition,
+    substring_containment_pairs,
+    suffix_array,
+)
+
+
+def _naive_sa(data: bytes) -> list[int]:
+    return sorted(range(len(data)), key=lambda i: data[i:])
+
+
+@pytest.mark.parametrize(
+    "data",
+    [b"banana", b"abracadabra", b"aaaa", b"", b"z", bytes(range(256)), b"mississippi" * 3],
+)
+def test_suffix_array_matches_naive(data):
+    assert suffix_array(data).tolist() == _naive_sa(data)
+
+
+def test_lcp_matches_naive():
+    data = b"banana"
+    sa = suffix_array(data)
+    lcp = lcp_array(data, sa)
+
+    def common(a: bytes, b: bytes) -> int:
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    exp = [0] + [common(data[sa[i - 1]:], data[sa[i]:]) for i in range(1, len(sa))]
+    assert lcp.tolist() == exp
+
+
+def test_substring_containment_pairs(spark):
+    big = "def process(stream, buffer):\n    " + " ".join(f"step_{i}(buffer)" for i in range(60))
+    inner = big[40:160]
+    rows = [(1, big), (2, inner), (3, "completely unrelated content " * 10)]
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    sig = signature_table(files, DedupConfig())
+    got = {(r.inner, r.outer) for r in substring_containment_pairs(files, sig).collect()}
+    assert (2, 1) in got
+    assert (3, 1) not in got and (1, 3) not in got
+
+
+def test_repeated_substrings_in_partition(spark):
+    shared = "this exact block of fifty-plus characters is copied verbatim between documents!"
+    rows = [
+        (1, "prefix one | " + shared + " | suffix one"),
+        (2, "totally different beginning :: " + shared + " :: other end"),
+        (3, "no overlap here at all, just unique text " * 3),
+    ]
+    files = spark.createDataFrame(rows, "file_id long, content string").coalesce(1)
+    got = {(r.file_a, r.file_b): r.match_len for r in repeated_substrings_in_partition(files, min_len=50).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)] >= len(shared)
+    assert all(p == (1, 2) for p in got)
