@@ -52,6 +52,9 @@ class DedupConfig:
     salt_buckets: int = 16          # salting fanout for hot segment hashes
     hot_key_threshold: int = 100_000  # count above which a groupBy key is salted
     max_bucket_size: int = 200      # LSH bucket cap; bigger buckets are chunked
+    min_band_collisions: int = 2    # pairs must collide in ≥k bands (kills
+    #   accidental 1-band collisions from boilerplate; at J=threshold=0.7 the
+    #   expected collision count is ~7.7 of 32 bands, so P(miss) ≈ 1.6e-4)
     shuffle_partitions: int | None = None  # None → leave session value
 
     # --- clustering ---

@@ -24,10 +24,7 @@ from data_deduplication_service_spark.operators.components import (
     clusters_with_singletons,
     connected_components,
 )
-from data_deduplication_service_spark.operators.exact import (
-    dedup_coefficient,
-    exact_duplicate_pairs,
-)
+from data_deduplication_service_spark.operators.exact import dedup_coefficient
 from data_deduplication_service_spark.operators.lsh import (
     band_table,
     candidate_pairs,
@@ -40,6 +37,30 @@ from data_deduplication_service_spark.operators.segmentation import (
 )
 from data_deduplication_service_spark.plans.checkpoint import StageStore
 from data_deduplication_service_spark.plans.lineage import MetricsLog, partition_lineage
+
+
+def exact_representatives(files: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact duplicates BEFORE the near-dup stack.
+
+    Returns (reps, exact_edges): one representative row per distinct
+    content_sha256 (rep = min file_id), plus star edges (rep, dup, 1.0)
+    for every collapsed duplicate.
+
+    Why this matters at scale: identical files have identical shingle sets,
+    so an n-member exact-dup group would otherwise flood LSH with n
+    identical signatures and C(n,2) redundant shingle-explode
+    verifications. Collapsing makes near-dup cost a function of DISTINCT
+    contents — on boilerplate-heavy corpora that's a large constant factor
+    — and the star edges reconnect members during connected components
+    (labels still = min member id, since rep = min).
+    """
+    rep_map = files.groupBy("content_sha256").agg(F.min("file_id").alias("rep_id"))
+    files_rep = files.join(rep_map, "content_sha256")
+    reps = files_rep.filter(F.col("file_id") == F.col("rep_id")).drop("rep_id")
+    exact_edges = files_rep.filter(F.col("file_id") != F.col("rep_id")).select(
+        F.col("rep_id").alias("a"), F.col("file_id").alias("b"), F.lit(1.0).alias("jaccard")
+    )
+    return reps, exact_edges
 
 
 @dataclass
@@ -87,16 +108,22 @@ def run_pipeline(
     files = timed("files", lambda: corpus_with_identity, lineage_col="content")
     file_segments = timed("file_segments", lambda: segment_files(files, cfg))
     segments = timed("segments", lambda: build_segments_table(file_segments, cfg))
-    signatures = timed("signatures", lambda: signature_table(files, cfg))
+    # near-dup stack runs on exact-dup REPRESENTATIVES only (see
+    # exact_representatives); the dropped duplicates re-enter as star edges.
+    signatures = timed(
+        "signatures", lambda: signature_table(exact_representatives(files)[0], cfg)
+    )
     bands = timed("bands", lambda: band_table(signatures, cfg))
 
     def build_pairs() -> DataFrame:
         cands = candidate_pairs(bands, cfg)
         near = verified_pairs(cands, signatures, cfg, exact=exact_verify)
-        exact = exact_duplicate_pairs(files)
-        # near-dup layer can miss exact dups only if LSH banding failed them;
-        # union guarantees the exact tier regardless.
-        return near.unionByName(exact).groupBy("a", "b").agg(F.max("jaccard").alias("jaccard"))
+        exact_edges = exact_representatives(files)[1]
+        return (
+            near.unionByName(exact_edges)
+            .groupBy("a", "b")
+            .agg(F.max("jaccard").alias("jaccard"))
+        )
 
     dup_pairs = timed("dup_pairs", build_pairs)
     clusters = timed(

@@ -1,0 +1,74 @@
+"""Catalog DDL + metadata probes.
+
+Reference S6/F8: database create/drop, schema fill, `pg_tables`/`pg_database`
+existence probes (lib/dbManager.cpp:476-533, 536-621; lib/dbCommon.cpp:48-58,
+299-307). Spark analog: session catalog DDL over parquet-backed tables.
+The reference's indexes (segment_hash PK, data(file_id), segment_count)
+have no DDL analog — their jobs are done by bucketing/sorting the physical
+layout (see register_dedup_tables) and parquet min/max stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def database_exists(spark: SparkSession, name: str) -> bool:
+    """pg_database probe analog (lib/dbCommon.cpp:299-307)."""
+    return spark.catalog.databaseExists(name)
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """pg_tables probe analog (lib/dbCommon.cpp:48-58)."""
+    return spark.catalog.tableExists(name)
+
+
+def create_database(spark: SparkSession, name: str, location: str | None = None) -> None:
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}{loc}")
+
+
+def drop_database(spark: SparkSession, name: str) -> None:
+    """DROP DATABASE + cascade (the reference also kills live connections via
+    pg_terminate_backend — no analog needed: Spark tables have no sessions)."""
+    spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+
+
+def register_dedup_tables(
+    spark: SparkSession,
+    db: str,
+    files: DataFrame,
+    segments: DataFrame,
+    file_segments: DataFrame,
+    warehouse: str,
+    buckets: int = 64,
+) -> None:
+    """Persist the three tables with scale-appropriate physical layout:
+
+    - `segments` bucketed by segment_hash (the reference's PK b-tree role:
+      co-partitions every count-merge and reconstruction join);
+    - `file_segments` bucketed by file_id (the reference's bin_file_id
+      index role: per-file filters and grouped reconstruction never shuffle);
+    - `files` sorted by (repo, path) (prefix-listing pruning, F2).
+    """
+    create_database(spark, db, location=f"{warehouse}/{db}")
+    files.orderBy("repo", "path").write.mode("overwrite").saveAsTable(f"{db}.files")
+    (
+        segments.write.mode("overwrite")
+        .bucketBy(buckets, "segment_hash")
+        .sortBy("segment_hash")
+        .saveAsTable(f"{db}.segments")
+    )
+    (
+        file_segments.write.mode("overwrite")
+        .bucketBy(buckets, "file_id")
+        .sortBy("file_id", "segment_num")
+        .saveAsTable(f"{db}.file_segments")
+    )
+
+
+def search_files(files: DataFrame, pattern: str) -> DataFrame:
+    """Regex path search (reference F7: the GUI proxy-model filter,
+    src/myPqxxModel.h:221-241) — rlike is sargable-ish only as a post-scan
+    filter, but column pruning still keeps the scan narrow."""
+    return files.filter(F.col("path").rlike(pattern))

@@ -74,7 +74,7 @@ def _make_row(seed: int, i: int) -> tuple[str, str, str, str, str]:
     lang = LANGS[i % len(LANGS)]
     repo = f"org{i % 7}/repo{(i // 7) % 23}"
     # include >57-char paths (reference edge case, dbFile_load_delete_tests.cpp:119-145)
-    depth = "deeply/nested/directory/structure/" if recipe % 10 == 3 else ""
+    depth = "deeply/nested/directory/structure/with/long/component/names/" if recipe % 10 == 3 else ""
     path = f"src/{depth}pkg{(i // 3) % 11}/mod_{i}.{lang}"
     commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
 

@@ -1,0 +1,67 @@
+"""Multi-format corpus IO.
+
+The reference ingests from a filesystem walk (S1) and emits via COPY (S3)
+and file streams (S4). The engine's equivalents: the corpus is a table;
+these helpers read/write it in the formats a data platform actually uses.
+All readers land on the same corpus schema, so every downstream operator
+is format-agnostic. Writers partition by `repo` by default — the analog
+of the reference's per-directory layout, and the column most queries
+prune on (F2 prefix listings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), True),
+        StructField("content", StringType(), False),
+    ]
+)
+
+
+def read_corpus(spark: SparkSession, location: str, fmt: str = "parquet") -> DataFrame:
+    """Read a corpus table from parquet / jsonl / csv / orc.
+
+    Explicit schema everywhere: schema inference is a full extra pass over
+    the data — never acceptable at corpus scale.
+    """
+    if fmt == "parquet":
+        return spark.read.schema(CORPUS_SCHEMA).parquet(location)
+    if fmt in ("json", "jsonl"):
+        return spark.read.schema(CORPUS_SCHEMA).json(location)
+    if fmt == "csv":
+        return spark.read.schema(CORPUS_SCHEMA).option("header", "true").option(
+            "multiLine", "true"
+        ).option("escape", '"').csv(location)
+    if fmt == "orc":
+        return spark.read.schema(CORPUS_SCHEMA).orc(location)
+    raise ValueError(f"unsupported corpus format {fmt!r}")
+
+
+def write_corpus(
+    df: DataFrame,
+    location: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode)
+    partition_by = ["repo"] if partition_by is None else partition_by
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "parquet":
+        writer.parquet(location)
+    elif fmt in ("json", "jsonl"):
+        writer.json(location)
+    elif fmt == "csv":
+        writer.option("header", "true").option("escape", '"').csv(location)
+    elif fmt == "orc":
+        writer.orc(location)
+    else:
+        raise ValueError(f"unsupported corpus format {fmt!r}")

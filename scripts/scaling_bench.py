@@ -93,12 +93,23 @@ def worker(cores: int, input_path: str) -> None:
     t["segment_store"] = time.monotonic() - t0
 
     t1 = time.monotonic()
-    sig = signature_table(files, cfg)
-    sig.persist()
-    pairs = verified_pairs(candidate_pairs(band_table(sig, cfg), cfg), sig, cfg, exact=True)
-    pairs = pairs.persist()
+    from data_deduplication_service_spark.plans.pipeline import exact_representatives
+
+    reps, exact_edges = exact_representatives(files)
+    sig = signature_table(reps, cfg).persist()
+    sig.count()
+    t["signatures"] = time.monotonic() - t1
+
+    t1 = time.monotonic()
+    cands = candidate_pairs(band_table(sig, cfg), cfg).persist()
+    cands.count()
+    t["lsh_candidates"] = time.monotonic() - t1
+
+    t1 = time.monotonic()
+    near = verified_pairs(cands, sig, cfg, exact=True)
+    pairs = near.select("a", "b").unionByName(exact_edges.select("a", "b")).distinct().persist()
     n_pairs = pairs.count()
-    t["signatures_lsh_verify"] = time.monotonic() - t1
+    t["verify"] = time.monotonic() - t1
 
     t2 = time.monotonic()
     comp = connected_components(pairs.select("a", "b"), max_iterations=cfg.cc_max_iterations)
@@ -185,10 +196,14 @@ def write_md(path: str, s: dict) -> None:
         f"deterministic synthetic corpus ({s['n_files']:,} files, seed=42,",
         "FIXTURES.md recipes).",
         "",
-        "| cores | total sec | files/sec | segment_store | signatures+LSH+verify | connected components |",
-        "|---|---|---|---|---|---|",
-        f"| 8 (N) | {r8['total_sec']} | {r8['files_per_sec']} | {r8['stages_sec']['segment_store']} | {r8['stages_sec']['signatures_lsh_verify']} | {r8['stages_sec']['connected_components']} |",
-        f"| 32 (4N) | {r32['total_sec']} | {r32['files_per_sec']} | {r32['stages_sec']['segment_store']} | {r32['stages_sec']['signatures_lsh_verify']} | {r32['stages_sec']['connected_components']} |",
+        "| cores | total sec | files/sec | " + " | ".join(r8["stages_sec"]) + " |",
+        "|---" * (3 + len(r8["stages_sec"])) + "|",
+        f"| 8 (N) | {r8['total_sec']} | {r8['files_per_sec']} | "
+        + " | ".join(str(round(v, 1)) for v in r8["stages_sec"].values())
+        + " |",
+        f"| 32 (4N) | {r32['total_sec']} | {r32['files_per_sec']} | "
+        + " | ".join(str(round(v, 1)) for v in r32["stages_sec"].values())
+        + " |",
         "",
         f"**Speedup 8→32 cores: {s['speedup_8_to_32']}× → scaling efficiency = "
         f"{s['speedup_8_to_32']} / 4 = {s['scaling_efficiency']}**",

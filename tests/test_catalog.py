@@ -1,0 +1,56 @@
+"""Catalog DDL, bucketed physical layout, regex search (reference S6/F7/F8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.operators.segmentation import (
+    build_files_table,
+    build_segments_table,
+    segment_files,
+)
+from data_deduplication_service_spark.sources import with_file_identity
+from data_deduplication_service_spark.sources.catalog import (
+    create_database,
+    database_exists,
+    drop_database,
+    register_dedup_tables,
+    search_files,
+    table_exists,
+)
+
+
+def test_catalog_roundtrip(spark, small_corpus, cfg, tmp_path):
+    ident = with_file_identity(small_corpus)
+    fs = segment_files(ident, cfg)
+    db = "dedup_test_db"
+    drop_database(spark, db)
+    assert not database_exists(spark, db)
+    register_dedup_tables(
+        spark,
+        db,
+        build_files_table(ident, cfg),
+        build_segments_table(fs, cfg),
+        fs,
+        warehouse=str(tmp_path / "wh"),
+        buckets=4,
+    )
+    assert database_exists(spark, db)
+    for t in ("files", "segments", "file_segments"):
+        assert table_exists(spark, f"{db}.{t}")
+    assert spark.table(f"{db}.files").count() == ident.count()
+    # bucketed join on file_id must NOT shuffle the bucketed side
+    joined = spark.table(f"{db}.file_segments").groupBy("file_id").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # bucket layout absorbs the groupBy shuffle
+    drop_database(spark, db)
+    assert not database_exists(spark, db)
+
+
+def test_search_files_regex(spark, small_corpus):
+    ident = with_file_identity(small_corpus)
+    got = search_files(ident, r"mod_\d*0\.py$")
+    assert got.count() > 0
+    for r in got.select("path").collect():
+        assert r.path.endswith(".py")

@@ -1,0 +1,75 @@
+"""ANN: brute-force correctness vs numpy; LSH recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).cache()
+
+
+def test_brute_force_matches_numpy(spark, emb, queries):
+    got = brute_force_topk(emb, queries, k=5).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine_sim))
+    for qid, rows in by_q.items():
+        q = vecs[qid]
+        sims = {
+            vid: round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 4)
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        exp = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        rows.sort()
+        assert [(v, s) for _, v, s in rows] == exp, qid
+
+
+def test_lsh_topk_recall_on_near_duplicates(spark):
+    """Hyperplane LSH must find NEAR-DUPLICATE vectors (cos ≳ 0.9) — the
+    embedding-dedup use case. (On weakly-similar neighbors, cos≈0.3 as in
+    the random test embeddings, any hyperplane scheme degenerates to
+    brute force — measured recall there is ~0.35 and that is expected.)
+    """
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 64))
+    noisy = base + 0.15 * rng.standard_normal((200, 64))  # cos ≈ 0.99
+    rows = [(i, base[i].astype(float).tolist()) for i in range(200)] + [
+        (1000 + i, noisy[i].astype(float).tolist()) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") >= 1000).limit(40).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = lsh_topk(emb, queries, dim=64, k=1, n_tables=16, bits_per_table=8).collect()
+    hits = sum(1 for r in got if r.vec_id == r.query_id - 1000)
+    assert hits / 40 >= 0.9, hits
+
+
+def test_cosine_column_function(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [round(r.c, 6) for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got == [1.0, 0.0, round(1 / np.sqrt(2), 6)]

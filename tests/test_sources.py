@@ -1,0 +1,47 @@
+"""Corpus sources: determinism, identity, multi-format roundtrip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.sources import synthesize_corpus, with_file_identity
+from data_deduplication_service_spark.sources.formats import read_corpus, write_corpus
+
+
+def test_synthesis_deterministic_and_partition_independent(spark):
+    a = synthesize_corpus(spark, 120, seed=42, partitions=2).orderBy("repo", "path", "commit")
+    b = synthesize_corpus(spark, 120, seed=42, partitions=7).orderBy("repo", "path", "commit")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    c = synthesize_corpus(spark, 120, seed=43, partitions=2)
+    assert a.exceptAll(c).count() > 0  # different seed → different corpus
+
+
+def test_file_identity_deterministic_and_unique(spark, small_corpus):
+    ident = with_file_identity(small_corpus)
+    assert ident.count() == ident.select("file_id").distinct().count()
+    again = with_file_identity(small_corpus)
+    assert ident.select("file_id", "content_sha256").exceptAll(
+        again.select("file_id", "content_sha256")
+    ).isEmpty()
+
+
+def test_corpus_recipes_present(spark, small_corpus):
+    """Every FIXTURES.md recipe family must appear in the synthetic corpus."""
+    rows = small_corpus.collect()
+    contents = [r.content for r in rows]
+    assert any("Apache License" in c for c in contents)  # boilerplate
+    assert len(set(contents)) < len(contents)  # exact dups
+    assert any(ord(ch) > 127 for c in contents for ch in c[:50])  # unicode
+    assert any(len(p.path) > 57 for p in rows)  # long-path edge case
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "jsonl", "orc"])
+def test_format_roundtrip(spark, small_corpus, tmp_path, fmt):
+    loc = str(tmp_path / f"corpus_{fmt}")
+    write_corpus(small_corpus, loc, fmt=fmt)
+    back = read_corpus(spark, loc, fmt=fmt)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    assert sorted(map(tuple, back.select(cols).collect())) == sorted(
+        map(tuple, small_corpus.select(cols).collect())
+    )
