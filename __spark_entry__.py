@@ -276,6 +276,41 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine_sim")
 
 
+def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix/containment dedup tier (operators/suffix.py): files whose text
+    is a verbatim substring of another file's text."""
+    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.operators.suffix import substring_containment_pairs
+
+    files = _doc_files(spark, sf_dir)
+    sig = signature_table(files, CFG, keep_shingles=True)
+    out = substring_containment_pairs(files, sig, min_shingles=4)
+    return out.select(
+        F.col("inner").alias("inner_doc"), F.col("outer").alias("outer_doc"), "inner_len"
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window functions (30-min inactivity gap):
+    per-session event counts and bounds — covers lag/cumsum window shapes."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact epochs: second-truncating functions disagree with
+    # fractional-second engines on gaps that straddle the 1800s boundary
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = e.withColumn("new_session", (gap.isNull() | (gap > 1800 * 1_000_000)).cast("long"))
+    sessions = marked.withColumn(
+        "session_no", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_epoch_us"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
 # ---- rows-only queries (seeded/iterative — no SQL oracle) -----------------
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_filter_listing": q_prefix_filter_listing,
         "delete_gc_histogram": q_delete_gc_histogram,
         "consistency_check": q_consistency_check,
+        "substring_containment": q_substring_containment,
+        "event_sessions": q_event_sessions,
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_topk": q_revenue_topk,
         "events_hourly": q_events_hourly,
@@ -540,6 +577,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS violations FROM (
                 SELECT * FROM derived EXCEPT SELECT * FROM stored
             )
+        """,
+        "substring_containment": """
+            SELECT x.doc_id AS inner_doc,
+                   y.doc_id AS outer_doc,
+                   CAST(length(x.text) AS BIGINT) AS inner_len
+            FROM documents x, documents y
+            WHERE x.doc_id != y.doc_id
+              AND length(x.text) >= 12           -- >= 4 shingles at k=9
+              AND position(x.text IN y.text) > 0
+        """,
+        "event_sessions": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM e
+            )
+            SELECT user_id,
+                   CAST(session_no AS BIGINT) AS session_no,
+                   count(*) AS n_events,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS start_epoch_us,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+            FROM s GROUP BY user_id, session_no
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
