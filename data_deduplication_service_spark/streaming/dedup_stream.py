@@ -71,6 +71,84 @@ def windowed_event_stats(
     )
 
 
+def stateful_seen_hashes(
+    docs_stream: DataFrame,
+    key_col: str = "user_id",
+    content_col: str = "content",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    dedup stats — how many docs seen, how many were new vs repeats of a
+    hash this key already submitted. State = (count, a bounded recent-hash
+    ring); demonstrates the arbitrary-state API the built-in
+    dropDuplicates* family can't express (per-key REPEAT COUNTS, not just
+    suppression). State times out after `timeout_minutes` of processing
+    time, bounding memory exactly like a watermark would.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("docs_seen", LongType()),
+            StructField("new_docs", LongType()),
+            StructField("repeat_docs", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("docs_seen", LongType()),
+            StructField("new_docs", LongType()),
+            StructField("hashes", ArrayType(StringType())),
+        ]
+    )
+    MAX_HASHES = 10_000  # bounded per-key state
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        docs_seen, new_docs, hashes = (
+            state.get if state.exists else (0, 0, [])
+        )
+        seen = set(hashes)
+        for pdf in pdfs:
+            for content in pdf[content_col]:
+                h = hashlib.sha256(str(content).encode()).hexdigest()
+                docs_seen += 1
+                if h not in seen:
+                    new_docs += 1
+                    seen.add(h)
+        hashes = list(seen)[-MAX_HASHES:]
+        state.update((docs_seen, new_docs, hashes))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "docs_seen": [docs_seen],
+                "new_docs": [new_docs],
+                "repeat_docs": [docs_seen - new_docs],
+            }
+        )
+
+    return (
+        docs_stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.ProcessingTimeTimeout
+        )
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame, query_name: str, timeout_s: float = 60.0, output_mode: str = "append"
 ):

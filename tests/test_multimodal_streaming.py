@@ -85,3 +85,29 @@ def test_windowed_event_stats_matches_batch(spark, tmp_path):
     exp = {(r.h, r.event_type): (r.n, r.v) for r in batch.collect()}
     assert got == exp
     q.stop()
+
+
+def test_stateful_seen_hashes_counts_repeats(spark, tmp_path):
+    """applyInPandasWithState: per-key new-vs-repeat accounting across batches."""
+    import os
+
+    from data_deduplication_service_spark.streaming.dedup_stream import (
+        run_stream_to_memory,
+        stateful_seen_hashes,
+    )
+
+    src = str(tmp_path / "stateful_src")
+    os.makedirs(src)
+    # user 1: 6 docs, 3 distinct; user 2: 4 docs, 4 distinct
+    rows = [(1, f"c{i % 3}") for i in range(6)] + [(2, f"d{i}") for i in range(4)]
+    spark.createDataFrame(rows, "user_id long, content string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("user_id long, content string").parquet(src)
+    out = stateful_seen_hashes(stream)
+    q = run_stream_to_memory(out, "stateful_sink", output_mode="update")
+    got = {r.key: (r.docs_seen, r.new_docs, r.repeat_docs) for r in spark.sql(
+        "SELECT * FROM stateful_sink").collect()}
+    assert got["1"] == (6, 3, 3)
+    assert got["2"] == (4, 4, 0)
+    q.stop()

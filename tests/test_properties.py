@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+These pin the reference semantics over arbitrary inputs — unicode, odd
+lengths, degenerate sizes — without Spark in the loop (the Spark layer is
+exercised by the golden/oracle suites; these guard the kernels they share).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.functions import signatures as S
+from tests.oracle import segment_bytes, char_shingles
+
+text_st = st.text(
+    alphabet=st.characters(codec="utf-8"), min_size=0, max_size=2000
+)
+seg_st = st.sampled_from([1, 2, 3, 16, 64, 255, 4096])
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=text_st, seg=seg_st)
+def test_segmentation_reassembles_and_respects_bounds(text, seg):
+    parts = segment_bytes(text, seg)
+    raw = text.encode("utf-8")
+    assert b"".join(parts) == raw                      # lossless
+    if raw:
+        assert all(len(p) == seg for p in parts[:-1])  # full blocks
+        assert 1 <= len(parts[-1]) <= seg              # true-length tail
+    else:
+        assert parts == []
+
+
+@settings(max_examples=100, deadline=None)
+@given(text=text_st, k=st.sampled_from([3, 9, 25]))
+def test_char_shingle_hash_count_matches_set(text, k):
+    data = text.encode("utf-8")
+    hashes = S.char_shingle_hashes(data, k)
+    if len(data) == 0:
+        assert hashes.size == 0
+        return
+    windows = {data[i : i + k] for i in range(max(len(data) - k + 1, 1))}
+    # polynomial hash is injective in expectation; allow (astronomically
+    # unlikely) collisions to shrink, never grow
+    assert hashes.size <= len(windows)
+    assert hashes.size >= len(windows) - 2
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    shingles=st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=500),
+)
+def test_minhash_permutation_invariance(shingles):
+    """Signature depends only on the SET — order/duplicates are irrelevant."""
+    cfg = DedupConfig()
+    a, b = S._minhash_params(cfg)
+    sh = np.array(sorted(set(shingles)), dtype=np.uint64)
+    rng = np.random.default_rng(0)
+    shuffled = np.array(shingles, dtype=np.uint64)
+    rng.shuffle(shuffled)
+    m1 = S.minhash_from_shingles(sh, a, b)
+    m2 = S.minhash_from_shingles(np.unique(shuffled), a, b)
+    assert (m1 == m2).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    base=st.lists(st.integers(min_value=0, max_value=2**62), min_size=10, max_size=300, unique=True)
+)
+def test_minhash_identical_sets_identical_sigs(base):
+    cfg = DedupConfig()
+    a, b = S._minhash_params(cfg)
+    sh = np.array(sorted(base), dtype=np.uint64)
+    assert (S.minhash_from_shingles(sh, a, b) == S.minhash_from_shingles(sh.copy(), a, b)).all()
+    # superset changes signature monotonically downward (elementwise min)
+    extra = np.append(sh, np.uint64(2**63 + 17))
+    m_sub, m_sup = S.minhash_from_shingles(sh, a, b), S.minhash_from_shingles(extra, a, b)
+    assert (m_sup <= m_sub).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_suffix_array_always_valid(data):
+    from data_deduplication_service_spark.operators.suffix import suffix_array
+
+    sa = suffix_array(data)
+    assert sorted(sa.tolist()) == list(range(len(data)))
+    for i in range(1, len(sa)):
+        assert data[sa[i - 1] :] <= data[sa[i] :]
