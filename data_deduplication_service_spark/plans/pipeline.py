@@ -121,8 +121,12 @@ def run_pipeline(
     segments = timed("segments", lambda: build_segments_table(file_segments, cfg))
     # near-dup stack runs on exact-dup REPRESENTATIVES only (see
     # exact_representatives); the dropped duplicates re-enter as star edges.
+    # keep_shingles=False: the 3-zone verify re-derives shingles from content
+    # for the borderline sliver, so storing the full hash sets (≈16× the row
+    # size) would only bloat the checkpoint and every downstream exchange
     signatures = timed(
-        "signatures", lambda: signature_table(exact_representatives(files)[0], cfg)
+        "signatures",
+        lambda: signature_table(exact_representatives(files)[0], cfg, keep_shingles=False),
     )
     bands = timed("bands", lambda: band_table(signatures, cfg))
 

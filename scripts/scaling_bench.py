@@ -58,6 +58,9 @@ def worker(cores: int, input_path: str) -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # small Arrow batches: 10k-row batches of signature output churned
+        # python worker memory (measured 228s -> 67s at 8 cores)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
         # shuffle to tmpfs: both parallelism levels share ONE local disk in
         # this sandbox, which serializes shuffle I/O and measures the disk,
         # not the cores — on a real cluster each of the 4N executors brings
@@ -104,7 +107,10 @@ def worker(cores: int, input_path: str) -> None:
     from data_deduplication_service_spark.plans.pipeline import exact_representatives
 
     reps, exact_edges = exact_representatives(files)
-    sig = signature_table(reps, cfg).persist()
+    # scale path never touches stored shingle sets (borderline verification
+    # re-derives them from content) — dropping them shrinks signature rows
+    # ~16x (2k int64 hashes vs 128-long minhash + scalars)
+    sig = signature_table(reps, cfg, keep_shingles=False).persist()
     cands = candidate_pairs(band_table(sig, cfg), cfg)
     near = verified_pairs(cands, sig, cfg, exact=True, files=reps)
     pairs = near.select("a", "b").unionByName(exact_edges.select("a", "b")).distinct().persist()
