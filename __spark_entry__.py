@@ -2,15 +2,22 @@
 
 `queries()` exposes every implemented operator family from SURVEY.md §2 as
 a (spark, sf_dir) -> DataFrame callable; `oracle_sql()` gives the
-DuckDB-equivalent ANSI SQL for everything SQL-expressible. Column names
-and integer/double types are aligned on both sides; doubles are rounded
-in-query (identically on both sides) so order-insensitive value hashing
-is stable.
+DuckDB-equivalent ANSI SQL for every entry. Column names and integer/double
+types are aligned on both sides; doubles are rounded in-query (identically
+on both sides) so order-insensitive value hashing is stable.
 
-Non-SQL-expressible ops (seeded MinHash/LSH/SimHash, random-hyperplane
-ANN, full pipeline clustering) have queries() entries without oracles —
-the driver records rows-only checks; their exact-math verification lives
-in tests/ (recall vs exact-Jaccard ground truth, CC vs union-find).
+Every query has an oracle. The seeded MinHash/SimHash/ANN paths are made
+oracle-checkable by (a) running them at provably-complete correctness-tier
+configs (rows_per_band=1 banding, pigeonhole simhash blocks, high-recall
+hyperplane tables) so their output equals an exact brute-force computation,
+and (b) reproducing the engine's exact uint64 polynomial shingle hash in
+DuckDB via HUGEINT modular arithmetic — the oracle values are bit-identical
+to the numpy kernels, not merely statistically close.
+
+Byte-exactness: the engine segments/shingles UTF-8 BYTES. DuckDB 1.0 has
+no BLOB substring, so byte semantics are expressed in the HEX domain:
+`upper(hex(encode(text)))` is 2 chars per byte and substrings of it are
+byte-exact windows — the oracles stay correct for non-ASCII corpora.
 """
 
 from __future__ import annotations
@@ -33,6 +40,15 @@ from data_deduplication_service_spark.functions.text import (
 CFG = DedupConfig()  # segment_size=64, sha256 — the reference test config
 SEG = CFG.segment_size
 
+# Correctness-tier LSH banding: every one of the 128 minhash values is its
+# own band, so candidate pairs ⊇ all pairs sharing ≥1 minhash value. A pair
+# with true Jaccard ≥ t=0.7 shares none with P ≤ (1-t)^128 ≈ 1e-67; exact
+# verification then makes the output EQUAL brute-force exact-Jaccard pairs
+# (verified bit-identical vs the DuckDB oracle at sf0.001 and sf0.01).
+# The production/scale config stays CFG (32 bands × 4 rows, ≥2 collisions,
+# bucket caps) — see plans/pipeline.py and bench.py.
+LSH1 = CFG.with_(bands=128, rows_per_band=1, min_band_collisions=1, max_bucket_size=10**9)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -49,6 +65,25 @@ def _doc_segments(spark: SparkSession, sf_dir: str, keep_data: bool = False) -> 
     from data_deduplication_service_spark.operators.segmentation import segment_files
 
     return segment_files(_doc_files(spark, sf_dir), CFG, keep_data=keep_data)
+
+
+def _exact_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH(r=1)→exact-verify pairs ≡ brute-force exact-Jaccard ≥ t."""
+    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.operators.lsh import (
+        band_table,
+        candidate_pairs,
+        exact_jaccard_for_pairs,
+    )
+
+    files = _doc_files(spark, sf_dir)
+    sig = signature_table(files, LSH1, keep_shingles=True)
+    cands = candidate_pairs(band_table(sig, LSH1), LSH1)
+    # no estimate pre-filter here: candidates go straight to exact Jaccard so
+    # the result is exactly {pairs : J(a,b) ≥ t}, matching the oracle
+    return exact_jaccard_for_pairs(cands, sig).filter(
+        F.col("jaccard") >= LSH1.jaccard_threshold
+    )
 
 
 # --------------------------------------------------------------------------
@@ -89,12 +124,16 @@ def q_dedup_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hottest segments (boilerplate detection; reference segments.segment_count)."""
+    """Hottest segments (boilerplate detection; reference segments.segment_count).
+
+    Keyed by the segment BYTES (as hex) rather than their sha256: DuckDB 1.0
+    cannot hash raw bytes, and grouping by the bytes themselves is the
+    strictly stronger check (C2 hex codec + byte-exact segment identity)."""
     return (
-        _doc_segments(spark, sf_dir)
-        .groupBy(F.lower(F.hex("segment_hash")).alias("seg_sha256"))
+        _doc_segments(spark, sf_dir, keep_data=True)
+        .groupBy(F.upper(F.hex("segment_data")).alias("seg_hex"))
         .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.asc("seg_sha256"))
+        .orderBy(F.desc("n"), F.asc("seg_hex"))
         .limit(20)
     )
 
@@ -126,6 +165,21 @@ def q_dedup_characteristics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") * (CFG.digest_size + 8)).cast("long").alias("data_size"),
         )
     )
+
+
+def q_global_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Original vs stored footprint (reference J5/A4, lib/FileService.cpp:77-108)."""
+    from data_deduplication_service_spark.operators.exact import global_sizes
+    from data_deduplication_service_spark.operators.segmentation import build_segments_table
+
+    files = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"),
+        F.col("text").alias("content"),
+        F.octet_length("text").cast("long").alias("size_in_bytes"),
+    )
+    fs = _doc_segments(spark, sf_dir, keep_data=True)
+    segments = build_segments_table(fs, CFG, keep_data=True)
+    return global_sizes(files, fs, segments, CFG.digest_size)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,15 +258,34 @@ def q_delete_gc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT-based consistency invariant (reference A6, lib/dbCommon.cpp:192-202)."""
+    """Mutation-then-check consistency (reference A6, lib/dbCommon.cpp:192-202
+    + the upsert/decrement DML it guards, lib/dbManager.cpp:110-121,274-281).
+
+    The store is mutated through the INCREMENTAL lifecycle ops — delete all
+    'src0' docs (decrement + GC), then re-ingest them (upsert count-merge) —
+    and the output is the store's final segment-count histogram. The DuckDB
+    oracle derives the same histogram directly from the corpus, so a drop-
+    or double-count anywhere in the decrement/GC/upsert path fails the gate
+    (the round-1 oracle compared a CTE to itself and could not)."""
+    from data_deduplication_service_spark.operators.lifecycle import (
+        DedupTables,
+        delete_files,
+        ingest_increment,
+    )
     from data_deduplication_service_spark.operators.segmentation import build_segments_table
 
+    docs = _docs(spark, sf_dir)
+    files = _doc_files(spark, sf_dir)
     fs = _doc_segments(spark, sf_dir)
-    segments = build_segments_table(fs, CFG)
-    derived = fs.groupBy("segment_hash").agg(F.count("*").alias("segment_count"))
-    return derived.exceptAll(segments.select("segment_hash", "segment_count")).agg(
-        F.count("*").alias("violations")
+    tables = DedupTables(files=files, segments=build_segments_table(fs, CFG), file_segments=fs)
+    victims = docs.filter(F.col("source") == "src0").select(F.col("doc_id").alias("file_id"))
+    after_delete = delete_files(tables, victims)
+    restored = ingest_increment(
+        after_delete,
+        files.join(victims, "file_id", "left_semi"),
+        fs.join(victims, "file_id", "left_semi"),
     )
+    return restored.segments.groupBy("segment_count").agg(F.count("*").alias("n_hashes"))
 
 
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,13 +351,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix/containment dedup tier (operators/suffix.py): files whose text
-    is a verbatim substring of another file's text."""
+    is a verbatim substring of another file's text. Inclusion gate is BYTE
+    length ≥ 12 on both sides (Spark and the oracle), not shingle counts —
+    the predicates are aligned so repetitive or multi-byte docs can't flip
+    between engines."""
     from data_deduplication_service_spark.functions.signatures import signature_table
     from data_deduplication_service_spark.operators.suffix import substring_containment_pairs
 
     files = _doc_files(spark, sf_dir)
     sig = signature_table(files, CFG, keep_shingles=True)
-    out = substring_containment_pairs(files, sig, min_shingles=4)
+    out = substring_containment_pairs(files, sig, min_len_bytes=12, max_shingle_doc_freq=50)
     return out.select(
         F.col("inner").alias("inner_doc"), F.col("outer").alias("outer_doc"), "inner_len"
     )
@@ -311,62 +387,66 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- rows-only queries (seeded/iterative — no SQL oracle) -----------------
+# ---- seeded/iterative queries, run at provably-complete configs -----------
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded MinHash + LSH + exact-verify dup pairs (tested vs ground truth
-    in tests/test_lsh_components.py; not SQL-expressible)."""
-    from data_deduplication_service_spark.functions.signatures import signature_table
-    from data_deduplication_service_spark.operators.lsh import (
-        band_table,
-        candidate_pairs,
-        verified_pairs,
-    )
+    """Seeded MinHash + LSH + exact-verify dup pairs.
 
-    files = _doc_files(spark, sf_dir)
-    sig = signature_table(files, CFG)
-    pairs = verified_pairs(candidate_pairs(band_table(sig, CFG), CFG), sig, CFG, exact=True)
-    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    At the correctness tier the banding is rows_per_band=1 (see LSH1), so
+    after exact verification the output EQUALS brute-force exact-Jaccard
+    pairs ≥ t — which the DuckDB oracle computes with bit-identical uint64
+    polynomial shingle hashes (HUGEINT modular arithmetic)."""
+    return _exact_lsh_pairs(spark, sf_dir).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash block-permute candidates (operators/lsh.py:simhash_candidate_pairs)."""
+    """SimHash near-dup pairs (operators/lsh.py:simhash_candidate_pairs).
+
+    block_bits=8 / max_hamming=7: pairs within Hamming ≤ 7 must agree on ≥1
+    of the 8 disjoint 8-bit blocks (pigeonhole), so the banding is COMPLETE,
+    not approximate — output equals all-pairs Hamming ≤ 7 over the numpy
+    simhash values, which the oracle recomputes exactly in SQL."""
     from data_deduplication_service_spark.functions.signatures import signature_table
     from data_deduplication_service_spark.operators.lsh import simhash_candidate_pairs
 
     sig = signature_table(_doc_files(spark, sf_dir), CFG)
-    return simhash_candidate_pairs(sig, max_hamming=8)
+    pairs = simhash_candidate_pairs(sig, max_hamming=7, block_bits=8)
+    return pairs.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline clustering (LSH pairs → connected components)."""
-    from data_deduplication_service_spark.functions.signatures import signature_table
+    """Full pipeline clustering (exact-verified LSH pairs → connected
+    components → singleton fill). The oracle recomputes the same pairs
+    brute-force and clusters them with a recursive CTE (min reachable id —
+    the same labeling rule large-star/small-star converges to)."""
     from data_deduplication_service_spark.operators.components import (
         clusters_with_singletons,
         connected_components,
     )
-    from data_deduplication_service_spark.operators.lsh import (
-        band_table,
-        candidate_pairs,
-        verified_pairs,
-    )
 
     files = _doc_files(spark, sf_dir)
-    sig = signature_table(files, CFG)
-    pairs = verified_pairs(candidate_pairs(band_table(sig, CFG), CFG), sig, CFG, exact=True)
+    pairs = _exact_lsh_pairs(spark, sf_dir)
     comp = connected_components(pairs.select("a", "b"))
     return clusters_with_singletons(comp, files).withColumnRenamed("file_id", "doc_id")
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (operators/similarity.py:lsh_topk)."""
+    """Random-hyperplane LSH ANN (operators/similarity.py:lsh_topk).
+
+    Correctness-tier config (96 tables × 4 bits): the synthetic embeddings'
+    true top-5 cosines run as low as ~0.26 (θ≈75°), so per-table collision
+    ≈ 0.58⁴ ≈ 0.11 and a true neighbor escapes all 96 tables with
+    P ≈ (1-0.11)⁹⁶ < 1e-5 — candidates ⊇ the true top-k and the exact
+    re-rank makes the output equal brute force (the oracle)."""
     from data_deduplication_service_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = lsh_topk(emb, queries, dim=64, k=5)
+    out = lsh_topk(emb, queries, dim=64, k=5, n_tables=96, bits_per_table=4)
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine_sim")
 
 
@@ -375,7 +455,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full dedup pipeline summary over sf0.001 (no collect)."""
+    """Flagship: full dedup pipeline summary over sf0.001.
+
+    The summary row is collected and re-wrapped so the temp warehouse can be
+    removed before returning (the driver's collect then touches no disk)."""
     import shutil
     import tempfile
 
@@ -384,18 +467,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
     corpus = with_file_identity(corpus_from_documents(spark, "/root/testdata/sf0.001"))
     warehouse = tempfile.mkdtemp(prefix="dedup_entry_wh_")
-    result = run_pipeline(spark, corpus, CFG, warehouse, collect_lineage=False)
-    return pipeline_summary(result)
+    try:
+        result = run_pipeline(spark, corpus, CFG, warehouse, collect_lineage=False)
+        summary = pipeline_summary(result)
+        return spark.createDataFrame(summary.collect(), schema=summary.schema)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Free the PREVIOUS query's scoped caches before building this one —
+    the driver materializes queries sequentially, so by the time the next
+    callable runs, the prior results are collected and its persisted
+    intermediates are dead weight (see cache.py)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_deduplication_service_spark.cache import release_scoped
+
+        release_scoped()
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _released(fn) for name, fn in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "exact_dup_clusters": q_exact_dup_clusters,
         "segment_stats": q_segment_stats,
         "dedup_coefficient": q_dedup_coefficient,
         "top_segments": q_top_segments,
         "reconstruct_roundtrip": q_reconstruct_roundtrip,
         "dedup_characteristics": q_dedup_characteristics,
+        "global_sizes": q_global_sizes,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "token_stats": q_token_stats,
@@ -414,25 +520,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_lsh_topk": q_ann_lsh_topk,
-    }
+}
 
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# --------------------------------------------------------------------------
+
+# Byte-exact segment CTE in the hex domain: `seg` is the UPPERCASE hex of a
+# segment's BYTES, so counts/distinctness/concatenation are byte-exact even
+# for multi-byte UTF-8 (a 64-byte window = 128 hex chars).
+_HX = "upper(hex(encode(text)))"
 
 _SEGS_CTE = f"""
 WITH segs AS (
     SELECT doc_id,
            t.i AS segment_num,
-           substring(text, ((t.i - 1) * {SEG}) + 1, {SEG}) AS seg
+           substring({_HX}, ((t.i - 1) * {SEG} * 2) + 1, {SEG} * 2) AS seg
     FROM documents,
-         unnest(generate_series(1, CAST(ceil(length(text) / {SEG}.0) AS BIGINT))) AS t(i)
+         unnest(generate_series(1, CAST(ceil(octet_length(encode(text)) / {SEG}.0) AS BIGINT))) AS t(i)
 )
 """
 
+# char-domain 9-grams — both engines use character substrings for this
+# operator family (ngram.py / text.py), so the domains are aligned as-is
 _GRAMS_CTE = """
 WITH g AS (
     SELECT DISTINCT doc_id, substring(text, t.i, 9) AS gram
     FROM documents,
          unnest(generate_series(1, greatest(length(text) - 8, 1))) AS t(i)
 )
+"""
+
+_FNV_PRIME = 1099511628211
+_U64 = 2**64
+_T = CFG.jaccard_threshold
+
+
+def _hexv(e: str) -> str:
+    return f"(strpos('0123456789ABCDEF', {e}) - 1)"
+
+
+def _gh_cte() -> str:
+    """CTE gh(doc_id, hv): the engine's EXACT distinct byte-shingle hashes
+    (functions/signatures.py:char_shingle_hashes — k=9 byte windows, whole
+    doc if shorter, uint64 polynomial hash with FNV-prime base). HUGEINT
+    modular arithmetic reproduces uint64 wraparound bit-for-bit; verified
+    equal to the numpy kernel per-doc at both sf tiers."""
+    pw = ", ".join(
+        f"({L},{j},{pow(_FNV_PRIME, L - 1 - j, _U64)}::HUGEINT)"
+        for L in range(1, 10)
+        for j in range(L)
+    )
+    return f"""
+WITH RECURSIVE pw(glen, j, v) AS (VALUES {pw}),
+hx AS (
+    SELECT doc_id, {_HX} AS hxs,
+           octet_length(encode(text)) AS nbytes,
+           least(9, octet_length(encode(text))) AS glen
+    FROM documents
+), g0 AS (
+    SELECT doc_id, glen, t.i AS gid, substring(hxs, 2*(t.i-1)+1, 2*glen) AS g
+    FROM hx, unnest(generate_series(1, greatest(nbytes - 8, 1))) AS t(i)
+), gb AS (
+    SELECT doc_id, glen, gid, b.j,
+           ({_hexv("substring(g, 2*b.j+1, 1)")}*16
+            + {_hexv("substring(g, 2*b.j+2, 1)")})::HUGEINT AS byte
+    FROM g0, unnest(generate_series(0, glen-1)) AS b(j)
+), gh AS (
+    SELECT DISTINCT doc_id, hv FROM (
+        SELECT doc_id, gid, sum(byte * pw.v) % 18446744073709551616::HUGEINT AS hv
+        FROM gb JOIN pw ON pw.glen = gb.glen AND pw.j = gb.j
+        GROUP BY doc_id, gid, gb.glen
+    )
+)
+"""
+
+
+# brute-force exact-Jaccard pairs over the hashed shingle sets — what the
+# recall-1.0 LSH + exact verify provably equals
+_PAIRS_FROM_GH = f"""
+, sz AS (SELECT doc_id, count(*) AS sz FROM gh GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+    FROM gh x JOIN gh y USING (hv)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+pr AS (
+    SELECT a, b, c * 1.0 / (sa.sz + sb.sz - c) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = a
+    JOIN sz sb ON sb.doc_id = b
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {_T}
+)
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 7) -> str:
+    """All-pairs Hamming ≤ d over simhash values recomputed EXACTLY in SQL:
+    per-bit ±1 votes over the distinct shingle hashes (the numpy kernel's
+    majority rule, functions/signatures.py:simhash_from_shingles), bits
+    assembled into the same signed int64."""
+    p2 = ", ".join(f"({j},{2**j}::HUGEINT)" for j in range(64))
+    return _gh_cte() + f"""
+, p2(j, v) AS (VALUES {p2}),
+bits AS (
+    SELECT doc_id, p2.j,
+           CASE WHEN sum(CASE WHEN (hv // p2.v) % 2 = 1 THEN 1 ELSE -1 END) > 0
+                THEN 1 ELSE 0 END AS bit
+    FROM gh, p2 GROUP BY doc_id, p2.j
+), sim AS (
+    SELECT doc_id,
+           CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                     THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS simhash
+    FROM (SELECT doc_id, sum(bit::HUGEINT * p2.v) AS s
+          FROM bits JOIN p2 USING (j) GROUP BY doc_id)
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 """
 
 
@@ -458,19 +666,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_segments": _SEGS_CTE
         + """
-            SELECT sha256(seg) AS seg_sha256, count(*) AS n
+            SELECT seg AS seg_hex, count(*) AS n
             FROM segs GROUP BY 1
-            ORDER BY n DESC, seg_sha256 ASC LIMIT 20
+            ORDER BY n DESC, seg_hex ASC LIMIT 20
         """,
         "reconstruct_roundtrip": _SEGS_CTE
-        + """
+        + f"""
             , rec AS (
                 SELECT doc_id, string_agg(seg, '' ORDER BY segment_num) AS r
                 FROM segs GROUP BY doc_id
             )
             SELECT count(*) AS n_docs,
-                   CAST(sum(CASE WHEN rec.r = d.text THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
-            FROM rec JOIN documents d USING (doc_id)
+                   CAST(sum(CASE WHEN rec.r = {_HX} THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+            FROM rec JOIN documents USING (doc_id)
         """,
         "dedup_characteristics": _SEGS_CTE
         + f"""
@@ -480,6 +688,21 @@ def oracle_sql() -> dict[str, str]:
                    round(count(DISTINCT seg) * 100.0 / count(*), 2) AS unique_percentage,
                    CAST(count(*) * {CFG.digest_size + 8} AS BIGINT) AS data_size
             FROM segs GROUP BY doc_id
+        """,
+        "global_sizes": _SEGS_CTE
+        + f"""
+            , u AS (SELECT DISTINCT seg FROM segs)
+            SELECT
+                (SELECT CAST(sum(octet_length(encode(text))) AS BIGINT) FROM documents)
+                    AS total_file_size,
+                (SELECT CAST(count(*) * {CFG.digest_size + 8} AS BIGINT) FROM segs)
+                    AS mapping_size,
+                (SELECT CAST(sum(length(seg) // 2 + {CFG.digest_size + 8}) AS BIGINT) FROM u)
+                    AS segment_store_size,
+                round(((SELECT count(*) * {CFG.digest_size + 8} FROM segs)
+                       + (SELECT sum(length(seg) // 2 + {CFG.digest_size + 8}) FROM u))
+                      * 1.0 / (SELECT sum(octet_length(encode(text))) FROM documents), 4)
+                    AS stored_to_original
         """,
         "ngram_jaccard_pairs": _GRAMS_CTE
         + """
@@ -570,21 +793,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c AS segment_count, count(*) AS n_hashes FROM cnts GROUP BY c
         """,
+        # derived INDEPENDENTLY of the Spark side's delete+re-ingest mutation
+        # path: the oracle histogram comes straight from the corpus, so any
+        # miscount in decrement/GC/upsert shows up as a gate mismatch
         "consistency_check": _SEGS_CTE
         + """
-            , derived AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg),
-            stored AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg)
-            SELECT count(*) AS violations FROM (
-                SELECT * FROM derived EXCEPT SELECT * FROM stored
-            )
+            , cnts AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg)
+            SELECT c AS segment_count, count(*) AS n_hashes FROM cnts GROUP BY c
         """,
         "substring_containment": """
             SELECT x.doc_id AS inner_doc,
                    y.doc_id AS outer_doc,
-                   CAST(length(x.text) AS BIGINT) AS inner_len
+                   CAST(octet_length(encode(x.text)) AS BIGINT) AS inner_len
             FROM documents x, documents y
             WHERE x.doc_id != y.doc_id
-              AND length(x.text) >= 12           -- >= 4 shingles at k=9
+              AND octet_length(encode(x.text)) >= 12   -- byte gate, same as Spark
               AND position(x.text IN y.text) > 0
         """,
         "event_sessions": """
@@ -640,6 +863,49 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "embedding_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           q.qv, list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4)
+                           AS cosine_sim
+                FROM q, embeddings e
+                WHERE e.vec_id != q.query_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine_sim
+            FROM ranked WHERE rank <= 5
+        """,
+        "minhash_lsh_pairs": _gh_cte()
+        + _PAIRS_FROM_GH
+        + """
+            SELECT a, b, round(jaccard, 6) AS jaccard FROM pr
+        """,
+        "simhash_pairs": _simhash_pairs_sql(max_hamming=7),
+        "near_dup_clusters": _gh_cte()
+        + _PAIRS_FROM_GH
+        + """
+            , edges AS (
+                SELECT a AS u, b AS v FROM pr
+                UNION
+                SELECT b AS u, a AS v FROM pr
+            ),
+            reach AS (
+                SELECT doc_id AS u, doc_id AS v FROM documents
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+        """,
+        # identical to embedding_topk: the 96×4-bit LSH config provably
+        # recovers the exact top-k (see q_ann_lsh_topk docstring)
+        "ann_lsh_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -24,8 +24,11 @@ import time
 from data_deduplication_service_spark import DedupConfig, get_spark
 
 # bench skips the all-pairs exact n-gram join (quadratic oracle op, not a
-# scale path) and runs the LSH/minhash route instead — both are correctness-
-# checked against oracles/ground truth in tests.
+# scale path). The near-dup queries here run the PRODUCTION config (32×4
+# banding, ≥2-band collisions, bucket caps, 3-zone verify) — the entry-query
+# variants of the same operators deliberately use the recall-1.0
+# correctness-tier config (rows_per_band=1) to equal their brute-force
+# oracles, which is quadratic-ish by design and not a scale path.
 BENCH_QUERIES = [
     "exact_dup_clusters",
     "segment_stats",
@@ -33,6 +36,7 @@ BENCH_QUERIES = [
     "top_segments",
     "reconstruct_roundtrip",
     "dedup_characteristics",
+    "global_sizes",
     "doc_fingerprints",
     "token_stats",
     "quality_scores",
@@ -41,9 +45,48 @@ BENCH_QUERIES = [
     "revenue_topk",
     "events_hourly",
     "embedding_topk",
-    "minhash_lsh_pairs",
-    "near_dup_clusters",
 ]
+
+
+def _scale_near_dup_queries():
+    """Production-config near-dup paths (match round-1 bench semantics)."""
+    from pyspark.sql import functions as F
+
+    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.operators.components import (
+        clusters_with_singletons,
+        connected_components,
+    )
+    from data_deduplication_service_spark.operators.lsh import (
+        band_table,
+        candidate_pairs,
+        verified_pairs,
+    )
+
+    cfg = DedupConfig()
+
+    def _pairs(spark, sf_dir):
+        files = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+        )
+        sig = signature_table(files, cfg)
+        return files, verified_pairs(
+            candidate_pairs(band_table(sig, cfg), cfg), sig, cfg, exact=True
+        )
+
+    def minhash_lsh_pairs_scalecfg(spark, sf_dir):
+        return _pairs(spark, sf_dir)[1]
+
+    def near_dup_clusters_scalecfg(spark, sf_dir):
+        files, pairs = _pairs(spark, sf_dir)
+        return clusters_with_singletons(
+            connected_components(pairs.select("a", "b")), files
+        )
+
+    return {
+        "minhash_lsh_pairs_scalecfg": minhash_lsh_pairs_scalecfg,
+        "near_dup_clusters_scalecfg": near_dup_clusters_scalecfg,
+    }
 
 
 def materialize(df) -> None:
@@ -57,14 +100,17 @@ def main() -> None:
     spark = get_spark("dedup-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 4))
 
     import __spark_entry__ as entry_mod
+    from data_deduplication_service_spark.cache import release_scoped
 
     qs = entry_mod.queries()
+    qs.update(_scale_near_dup_queries())
     timings: dict[str, float] = {}
 
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + list(_scale_near_dup_queries()):
         t0 = time.monotonic()
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
+        release_scoped()  # free this query's scoped caches before the next
 
     # full pipeline (cold, checkpointed) — the files/sec headline
     from data_deduplication_service_spark.plans.pipeline import run_pipeline

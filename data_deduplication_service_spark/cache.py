@@ -1,0 +1,43 @@
+"""Scoped persist registry.
+
+Several operators persist() intermediates that feed multiple DAG branches
+(the LSH pair set feeds 3 branches; recomputing it re-runs the whole
+banding self-join — measured 102s vs 27s on the 5k-file corpus). But a
+bare persist() leaks: over a multi-query session (bench.py runs 17
+queries; the driver gate runs 25) cached RDDs accumulate in executor
+storage memory and evict each other.
+
+Contract: operators call ``persist_scoped(df)`` instead of ``df.persist()``;
+whoever OWNS the query boundary (bench loop, run_pipeline, the queries()
+wrapper in __spark_entry__) calls ``release_scoped()`` once the previous
+query's results are materialized. Accumulation is then bounded to one
+query's working set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_PERSISTED: list[DataFrame] = []
+
+
+def persist_scoped(df: DataFrame) -> DataFrame:
+    """persist() + register for the next release_scoped() sweep."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_scoped() -> int:
+    """Unpersist everything registered since the last sweep. Safe to call
+    any time AFTER the consuming query's results are materialized (and
+    before the next query's DataFrames are built)."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to free
+    _PERSISTED.clear()
+    return n

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from data_deduplication_service_spark.cache import persist_scoped
 from data_deduplication_service_spark.config import DedupConfig
 
 
@@ -114,8 +115,9 @@ def exact_jaccard_for_pairs(pairs: DataFrame, signatures: DataFrame) -> DataFram
     """
     # The pair set feeds three branches (involved ×2 + the final join);
     # persist it or the whole upstream banding/self-join recomputes per
-    # branch (measured 102s vs 27s on the 5k-file corpus).
-    pairs = pairs.persist()
+    # branch (measured 102s vs 27s on the 5k-file corpus). Scoped: the
+    # query-boundary owner unpersists after materialization (cache.py).
+    pairs = persist_scoped(pairs)
     involved = pairs.select(F.col("a").alias("file_id")).union(
         pairs.select(F.col("b").alias("file_id"))
     ).distinct()
@@ -213,7 +215,7 @@ def verified_pairs(
         )
 
     t = cfg.jaccard_threshold
-    est = estimate_jaccard(pairs, signatures, cfg).persist()
+    est = persist_scoped(estimate_jaccard(pairs, signatures, cfg))
     if files is None:
         cand = est.filter(F.col("jaccard_est") >= t - reject_margin).select("a", "b")
         j = exact_jaccard_for_pairs(cand, signatures)

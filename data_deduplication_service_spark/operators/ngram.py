@@ -44,7 +44,11 @@ def ngram_jaccard_pairs(
     desired behavior; re-verify with lsh.exact_jaccard_for_pairs if the
     uncapped value is required.
     """
-    grams = doc_ngrams(docs, id_col, text_col, n).cache()
+    # scoped cache (grams feed the size agg + both join sides); released by
+    # the query-boundary owner — see data_deduplication_service_spark/cache.py
+    from data_deduplication_service_spark.cache import persist_scoped
+
+    grams = persist_scoped(doc_ngrams(docs, id_col, text_col, n))
     sizes = grams.groupBy("_id").agg(F.count("*").alias("sz"))
 
     joinable = grams

@@ -87,32 +87,59 @@ def lcp_array(data: bytes, sa: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def substring_containment_pairs(
-    files: DataFrame, signatures: DataFrame, min_shingles: int = 4
+    files: DataFrame,
+    signatures: DataFrame,
+    min_len_bytes: int = 12,
+    max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
     """(inner, outer) pairs where inner.content ⊆ outer.content verbatim.
 
     Candidates: every shingle of `inner` appears in `outer` (shingle-set
     containment — necessary condition for substring containment when the
     shingle width ≤ len(inner)). Verified exactly on candidates only.
-    `min_shingles` skips degenerate tiny docs whose containment is noise.
+
+    `min_len_bytes` skips degenerate tiny docs (BYTE-length gate — aligned
+    with the SQL oracle's octet_length predicate, not shingle counts).
+
+    `max_shingle_doc_freq` is the hot-key cap for the candidate self-join:
+    a boilerplate shingle present in d docs contributes d² join rows, so
+    shingles above the doc-frequency cap are EXCLUDED from the join on both
+    sides, symmetric to lsh.candidate_pairs' bucket cap. Correctness: for a
+    true contained pair every inner shingle (hot or not) appears in outer,
+    so requiring only the non-hot subset to match keeps a SUPERSET of true
+    candidates (exact verification restores precision). The only recall
+    loss is docs whose shingles are ALL hot — reported, never silently
+    dropped (`containment_overflow_docs`).
     """
-    sig = signatures.select("file_id", "n_shingles", F.explode("shingles").alias("s"))
-    a = sig.select(F.col("file_id").alias("inner"), F.col("n_shingles").alias("_na"), "s")
-    b = sig.select(F.col("file_id").alias("outer"), "s")
+    sig = signatures.select("file_id", F.explode("shingles").alias("s"))
+    joinable = sig
+    if max_shingle_doc_freq is not None:
+        # shingle arrays are per-doc distinct (np.unique), so count(*) = doc freq
+        hot = (
+            sig.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_doc_freq)
+            .select("s")
+        )
+        joinable = sig.join(hot, "s", "left_anti")
+    na = joinable.groupBy("file_id").agg(F.count("*").alias("_na"))
+    a = joinable.join(na, "file_id").select(
+        F.col("file_id").alias("inner"), F.col("_na").alias("_na"), "s"
+    )
+    b = joinable.select(F.col("file_id").alias("outer"), "s")
     shared = (
         a.join(b, "s")
         .filter(F.col("inner") != F.col("outer"))
         .groupBy("inner", "outer", "_na")
         .agg(F.count("*").alias("_shared"))
     )
-    cands = shared.filter(
-        (F.col("_shared") == F.col("_na")) & (F.col("_na") >= min_shingles)
-    ).select("inner", "outer")
+    cands = shared.filter(F.col("_shared") == F.col("_na")).select("inner", "outer")
 
     content = files.select("file_id", "content")
     pairs = (
         cands.join(content.select(F.col("file_id").alias("inner"), F.col("content").alias("_ci")), "inner")
         .join(content.select(F.col("file_id").alias("outer"), F.col("content").alias("_co")), "outer")
+        .filter(F.octet_length("_ci") >= min_len_bytes)
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -122,10 +149,32 @@ def substring_containment_pairs(
             # vectorized pandas str containment over the candidate batch
             mask = [ci in co for ci, co in zip(pdf["_ci"], pdf["_co"])]
             out = pdf.loc[mask, ["inner", "outer"]].copy()
-            out["inner_len"] = pdf.loc[mask, "_ci"].str.len().astype("int64")
+            out["inner_len"] = (
+                pdf.loc[mask, "_ci"].map(lambda s: len(s.encode("utf-8"))).astype("int64")
+            )
             yield out
 
     return pairs.mapInPandas(verify, schema="inner long, outer long, inner_len long")
+
+
+def containment_overflow_docs(
+    signatures: DataFrame, max_shingle_doc_freq: int
+) -> DataFrame:
+    """Docs invisible to the capped containment join (every shingle above the
+    doc-frequency cap) — the skew-cap observability report, symmetric to
+    lsh.overflow_buckets."""
+    sig = signatures.select("file_id", F.explode("shingles").alias("s"))
+    hot = (
+        sig.groupBy("s")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_shingle_doc_freq)
+        .select("s")
+    )
+    survivors = sig.join(hot, "s", "left_anti").select("file_id").distinct()
+    return (
+        signatures.select("file_id", "n_shingles")
+        .join(survivors, "file_id", "left_anti")
+    )
 
 
 def repeated_substrings_in_partition(

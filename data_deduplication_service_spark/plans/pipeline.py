@@ -61,7 +61,14 @@ def exact_representatives(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     # where the rep map outgrows broadcast (≳10^9 distinct contents), drop
     # the hint: AQE falls back to a shuffle join on content_sha256, which
     # a sha-bucketed table layout makes co-partitioned anyway.
-    rep_map = files.groupBy("content_sha256").agg(F.min("file_id").alias("rep_id"))
+    # Scoped persist: reps + exact_edges are separate DAG branches of the
+    # same action, and Spark recomputes shared subtrees per branch — one
+    # cached groupBy instead of two full corpus-key scans.
+    from data_deduplication_service_spark.cache import persist_scoped
+
+    rep_map = persist_scoped(
+        files.groupBy("content_sha256").agg(F.min("file_id").alias("rep_id"))
+    )
     reps = files.join(
         F.broadcast(rep_map.select(F.col("rep_id").alias("file_id"))), "file_id", "left_semi"
     )
@@ -120,19 +127,20 @@ def run_pipeline(
     file_segments = timed("file_segments", lambda: segment_files(files, cfg))
     segments = timed("segments", lambda: build_segments_table(file_segments, cfg))
     # near-dup stack runs on exact-dup REPRESENTATIVES only (see
-    # exact_representatives); the dropped duplicates re-enter as star edges.
+    # exact_representatives) — computed ONCE, reused by the signature stage
+    # and the pair build; the dropped duplicates re-enter as star edges.
+    reps, exact_edges = exact_representatives(files)
     # keep_shingles=False: the 3-zone verify re-derives shingles from content
     # for the borderline sliver, so storing the full hash sets (≈16× the row
     # size) would only bloat the checkpoint and every downstream exchange
     signatures = timed(
         "signatures",
-        lambda: signature_table(exact_representatives(files)[0], cfg, keep_shingles=False),
+        lambda: signature_table(reps, cfg, keep_shingles=False),
     )
     bands = timed("bands", lambda: band_table(signatures, cfg))
 
     def build_pairs() -> DataFrame:
         cands = candidate_pairs(bands, cfg)
-        reps, exact_edges = exact_representatives(files)
         # files=reps enables the 3-zone verify (estimate accept/reject,
         # content-exact only for borderline pairs)
         near = verified_pairs(cands, signatures, cfg, exact=exact_verify, files=reps)
@@ -154,6 +162,12 @@ def run_pipeline(
     n_overflow = overflow_buckets(bands, cfg).count()
     if n_overflow:
         metrics.record("lsh_overflow_buckets", 0.0, n_overflow)
+
+    # every stage is checkpointed parquet by now — the scoped caches
+    # (rep_map, LSH pair set, estimates) are dead weight; free them
+    from data_deduplication_service_spark.cache import release_scoped
+
+    release_scoped()
 
     return PipelineResult(
         files=files,

@@ -121,14 +121,17 @@ def stateful_seen_hashes(
         docs_seen, new_docs, hashes = (
             state.get if state.exists else (0, 0, [])
         )
-        seen = set(hashes)
+        # insertion-ordered set (dict keys) so eviction past MAX_HASHES drops
+        # the OLDEST hashes deterministically — a plain set's iteration order
+        # is arbitrary and made rerun state contents nondeterministic
+        seen = dict.fromkeys(hashes)
         for pdf in pdfs:
             for content in pdf[content_col]:
                 h = hashlib.sha256(str(content).encode()).hexdigest()
                 docs_seen += 1
                 if h not in seen:
                     new_docs += 1
-                    seen.add(h)
+                    seen[h] = None
         hashes = list(seen)[-MAX_HASHES:]
         state.update((docs_seen, new_docs, hashes))
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
