@@ -23,8 +23,8 @@ HASH_DIGEST_SIZES = {
 }
 
 # Digests computable JVM-side (whole-stage codegen; no Python). md4 is the
-# only one that needs a pandas-UDF fallback (and only if the local OpenSSL
-# still ships the legacy provider).
+# only one that needs a pandas-UDF fallback (hashlib when OpenSSL ships the
+# legacy provider, else the pure-Python RFC 1320 impl in functions/md4.py).
 JVM_HASHES = {"sha224", "sha256", "sha384", "sha512", "md5"}
 
 # Reference benchmark sweep (doc/benchmarks.md:12-17).

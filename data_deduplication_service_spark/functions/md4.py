@@ -1,0 +1,49 @@
+"""Pure-Python MD4 (RFC 1320) — dependency-free fallback digest.
+
+The reference supports 6 digests (include/HashUtils.h:21-69); 5 map to JVM
+builtins (operators/segmentation.py). MD4 has no JVM builtin and modern
+OpenSSL ships without the legacy provider, so hashlib.new("md4") raises —
+this implementation un-gates the 6th digest everywhere. It is a cold-path
+parity op (nobody should pick md4 for new data); byte-identity is pinned to
+the RFC 1320 test vectors in tests/test_segmentation.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MASK = 0xFFFFFFFF
+
+
+def _lrot(x: int, n: int) -> int:
+    x &= _MASK
+    return ((x << n) | (x >> (32 - n))) & _MASK
+
+
+def md4(data: bytes) -> bytes:
+    """MD4 digest of ``data`` (16 bytes)."""
+    a, b, c, d = 0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476
+
+    msg = data + b"\x80"
+    msg += b"\x00" * ((56 - len(msg) % 64) % 64)
+    msg += struct.pack("<Q", (len(data) * 8) & 0xFFFFFFFFFFFFFFFF)
+
+    for off in range(0, len(msg), 64):
+        x = struct.unpack("<16I", msg[off : off + 64])
+        aa, bb, cc, dd = a, b, c, d
+
+        # round 1: F = (b & c) | (~b & d)
+        for i, s in zip(range(16), (3, 7, 11, 19) * 4):
+            a, b, c, d = d, _lrot(a + ((b & c) | (~b & d)) + x[i], s), b, c
+        # round 2: G = (b & c) | (b & d) | (c & d), +0x5A827999
+        order2 = (0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15)
+        for i, s in zip(order2, (3, 5, 9, 13) * 4):
+            a, b, c, d = d, _lrot(a + ((b & c) | (b & d) | (c & d)) + x[i] + 0x5A827999, s), b, c
+        # round 3: H = b ^ c ^ d, +0x6ED9EBA1
+        order3 = (0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15)
+        for i, s in zip(order3, (3, 9, 11, 15) * 4):
+            a, b, c, d = d, _lrot(a + (b ^ c ^ d) + x[i] + 0x6ED9EBA1, s), b, c
+
+        a, b, c, d = (a + aa) & _MASK, (b + bb) & _MASK, (c + cc) & _MASK, (d + dd) & _MASK
+
+    return struct.pack("<4I", a, b, c, d)

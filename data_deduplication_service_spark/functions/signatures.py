@@ -93,16 +93,25 @@ def segment_shingle_hashes(data: bytes, segment_size: int) -> np.ndarray:
 
 
 def word_shingle_hashes(text: str, k: int) -> np.ndarray:
-    """k-window polynomial combine over FNV-1a token hashes."""
+    """k-window polynomial combine over FNV-1a token hashes.
+
+    FNV is sequential per token but independent ACROSS tokens, so the hash
+    runs as a loop over byte POSITIONS (≤ longest token, ~10-20 steps) with
+    all tokens advanced simultaneously — measured ≥20× the per-byte Python
+    loop on word-mode shingling, bit-identical output."""
     words = text.split()
     if not words:
         return np.empty(0, dtype=np.uint64)
-    wh = np.empty(len(words), dtype=np.uint64)
-    for i, w in enumerate(words):  # token count ≪ byte count; outer loop only
-        h = _FNV_OFFSET
-        for byte in w.encode("utf-8"):
-            h = (h ^ np.uint64(byte)) * _FNV_PRIME
-        wh[i] = h
+    tb = [w.encode("utf-8") for w in words]
+    cat = np.frombuffer(b"".join(tb), dtype=np.uint8).astype(np.uint64)
+    lens = np.fromiter((len(x) for x in tb), dtype=np.int64, count=len(tb))
+    offs = np.zeros(len(tb), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    wh = np.full(len(tb), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max())):
+            live = np.nonzero(lens > j)[0]
+            wh[live] = (wh[live] ^ cat[offs[live] + j]) * _FNV_PRIME
     if len(words) <= k:
         windows = wh[None, :]
         powers = _poly_powers(len(words))
@@ -157,15 +166,172 @@ def simhash_from_shingles(sh: np.ndarray, chunk: int = 512) -> int:
     return int(sim.astype(np.int64))
 
 
-def signature_table(files: DataFrame, cfg: DedupConfig, keep_shingles: bool = True) -> DataFrame:
+# --------------------------------------------------------------------------
+# batched char-mode kernel (Arrow zero-copy path)
+# --------------------------------------------------------------------------
+
+def _char_batch_kernel(
+    data: np.ndarray,
+    offs: np.ndarray,
+    k: int,
+    a: np.ndarray,
+    b: np.ndarray,
+    want_simhash: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Signatures for a whole BATCH of documents in one numpy pass.
+
+    data: uint8 concatenation of every doc's UTF-8 bytes; offs: int64
+    (n_docs+1) boundaries into it — exactly Arrow's string-array layout, so
+    the Spark path feeds this zero-copy. Bit-identical to the per-doc
+    kernels (property-tested): the k-window polynomial hash is ONE matmul
+    over the concatenated bytes (windows crossing doc boundaries are simply
+    never sliced out), np.unique per doc, and MinHash runs as L2-resident
+    (perm-group × position-block) tiles with np.minimum.reduceat folding
+    doc boundaries — measured 2.4× the per-doc kernel single-threaded and,
+    more importantly, ~50× fewer numpy dispatches per document.
+
+    Returns (sizes[n], uniq_concat, starts[n+1], minhash[(n_perm, n)],
+    simhash[n]); empty docs get 0 shingles / all-max minhash / simhash 0.
+    """
+    n_docs = offs.size - 1
+    arr = data.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        if arr.size >= k:
+            H = np.lib.stride_tricks.sliding_window_view(arr, k) @ _poly_powers(k)
+        else:
+            H = np.empty(0, dtype=np.uint64)
+
+    uniqs: list[np.ndarray] = []
+    for d in range(n_docs):
+        s, e = int(offs[d]), int(offs[d + 1])
+        if e == s:
+            uniqs.append(np.empty(0, dtype=np.uint64))
+        elif e - s <= k:  # short doc: whole content is the single shingle
+            with np.errstate(over="ignore"):
+                uniqs.append(np.atleast_1d(arr[s:e] @ _poly_powers(e - s)))
+        else:
+            uniqs.append(np.unique(H[s : e - (k - 1)]))
+    sizes = np.fromiter((u.size for u in uniqs), dtype=np.int64, count=n_docs)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    u = np.concatenate(uniqs) if n_docs else np.empty(0, dtype=np.uint64)
+
+    # reduceat boundaries must come from NONEMPTY docs only (an empty
+    # segment makes reduceat return the element at the index, not identity)
+    ne = np.nonzero(sizes)[0]
+    sne = starts[ne]
+    minhash = np.full((a.size, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
+    mh_c = np.full((a.size, ne.size), np.iinfo(np.uint64).max, dtype=np.uint64)
+    BLK, PG = 8192, 4  # 4×8192×8B = 256KB tiles (L2-resident; swept empirically)
+    with np.errstate(over="ignore"):
+        for s0 in range(0, int(u.size), BLK):
+            e0 = min(s0 + BLK, int(u.size))
+            blk = u[s0:e0]
+            i0 = int(np.searchsorted(sne, s0, side="right")) - 1
+            i1 = int(np.searchsorted(sne, e0, side="left"))
+            idx = np.clip(sne[i0:i1], s0, e0) - s0
+            for p0 in range(0, a.size, PG):
+                p1 = min(p0 + PG, a.size)
+                v = a[p0:p1, None] * blk[None, :] + b[p0:p1, None]
+                m = np.minimum.reduceat(v, idx, axis=1)
+                np.minimum(mh_c[p0:p1, i0:i1], m, out=mh_c[p0:p1, i0:i1])
+    minhash[:, ne] = mh_c
+
+    simhash = np.zeros(n_docs, dtype=np.int64)
+    if want_simhash:
+        for d in ne:
+            simhash[d] = simhash_from_shingles(uniqs[d])
+    return sizes, u, starts, minhash, simhash
+
+
+def _utf8_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (data uint8, offsets int64) view of an Arrow string array."""
+    import pyarrow as pa
+
+    if col.null_count:
+        raise ValueError("content column must not contain nulls (reject upstream)")
+    if pa.types.is_large_string(col.type):
+        odt = np.int64
+    elif pa.types.is_string(col.type):
+        odt = np.int32
+    else:
+        raise TypeError(f"expected a string column, got {col.type}")
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return data, offs.astype(np.int64)
+
+
+def _fast_char_signature_table(
+    files: DataFrame, cfg: DedupConfig, keep_shingles: bool, with_simhash: bool
+) -> DataFrame:
+    """mapInArrow signature path: Arrow string buffers ARE the concatenated
+    UTF-8 bytes + offsets the batch kernel wants, so content never becomes
+    Python strings or pandas objects — the per-document Python cost of the
+    signature stage drops to ~zero (this was the scaling bottleneck: python
+    workers idling at ~30% while the JVM fed pandas conversions)."""
+    import pyarrow as pa
+
+    a, b = _minhash_params(cfg)
+    k = cfg.shingle_k
+    out_type = pa.list_(pa.int64())
+
+    def compute(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            fid = batch.column(batch.schema.get_field_index("file_id"))
+            content = batch.column(batch.schema.get_field_index("content"))
+            data, offs = _utf8_view(content)
+            base = int(offs[0])
+            sizes, u, starts, mh, sim = _char_batch_kernel(
+                data[base : int(offs[-1])], offs - base, k, a, b, with_simhash
+            )
+            if keep_shingles:
+                shingles = pa.ListArray.from_arrays(
+                    pa.array(starts, type=pa.int32()), pa.array(u.view(np.int64))
+                )
+            else:
+                shingles = pa.nulls(n, out_type)
+            mh_rows = np.ascontiguousarray(mh.T).view(np.int64)
+            minhash = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * a.size, type=pa.int32()),
+                pa.array(mh_rows.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    fid,
+                    pa.array(sizes.astype(np.int32)),
+                    shingles,
+                    minhash,
+                    pa.array(sim),
+                ],
+                names=["file_id", "n_shingles", "shingles", "minhash", "simhash"],
+            )
+
+    return files.select("file_id", "content").mapInArrow(compute, schema=SIGNATURE_SCHEMA)
+
+
+def signature_table(
+    files: DataFrame,
+    cfg: DedupConfig,
+    keep_shingles: bool = True,
+    with_simhash: bool = True,
+) -> DataFrame:
     """(file_id, content) → (file_id, n_shingles, [shingles], minhash, simhash).
 
-    One mapInPandas pass — map-side only, zero shuffles. ``keep_shingles``
-    retains the shingle-hash sets for exact-Jaccard verification of LSH
-    candidates (small/correctness tiers); at extreme scale, drop them and
-    re-derive shingles only for the candidate files (semi-join pruning in
-    lsh.exact_jaccard_for_pairs handles both layouts).
+    One map-side pass, zero shuffles. char mode (the default) runs the
+    zero-copy Arrow batch kernel; word/segment modes use the per-doc pandas
+    path. ``keep_shingles`` retains the shingle-hash sets for exact-Jaccard
+    verification of LSH candidates (small/correctness tiers); at extreme
+    scale, drop them and re-derive shingles only for the candidate files
+    (semi-join pruning in lsh.exact_jaccard_for_pairs handles both layouts).
+    ``with_simhash=False`` skips the simhash votes (manual column pruning —
+    Catalyst can't prune inside a UDF; the LSH pipeline only reads minhash).
     """
+    if cfg.shingle_mode == "char":
+        return _fast_char_signature_table(files, cfg, keep_shingles, with_simhash)
     a, b = _minhash_params(cfg)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,7 +346,7 @@ def signature_table(files: DataFrame, cfg: DedupConfig, keep_shingles: bool = Tr
                         int(sh.size),
                         sh.astype(np.int64).tolist() if keep_shingles else None,
                         mh.tolist(),
-                        simhash_from_shingles(sh),
+                        simhash_from_shingles(sh) if with_simhash else 0,
                     )
                 )
             yield pd.DataFrame(

@@ -55,11 +55,53 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
     return row.n, row.h
 
 
+def _local_components(edges_df: DataFrame) -> DataFrame:
+    """Vectorized driver-side solve of a SMALL edge set: min-label
+    propagation with pointer jumping (Shiloach–Vishkin style) over dense-
+    relabeled numpy arrays — O(E · log V) vector passes, no per-edge Python.
+    Same labeling rule (cluster_id = min reachable id) as the distributed
+    rounds, so outputs are interchangeable."""
+    import numpy as np
+
+    pdf = edges_df.toPandas()
+    spark = edges_df.sparkSession
+    schema = "file_id long, cluster_id long"
+    if not len(pdf):
+        return spark.createDataFrame([], schema)
+    ab = np.concatenate([pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)])
+    ids, inv = np.unique(ab, return_inverse=True)  # ids sorted ⇒ min id = min index
+    ua, va = inv[: len(pdf)], inv[len(pdf) :]
+    label = np.arange(ids.size, dtype=np.int64)
+    while True:
+        before = label.copy()
+        np.minimum.at(label, ua, label[va])
+        np.minimum.at(label, va, label[ua])
+        label = label[label]  # pointer jumping halves tree heights
+        if np.array_equal(label, before):
+            break
+    out = {"file_id": ids, "cluster_id": ids[label]}
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(out), schema)
+
+
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 25, use_checkpoint: bool = True
+    pairs: DataFrame,
+    max_iterations: int = 25,
+    use_checkpoint: bool = True,
+    local_solve_threshold: int = 2_000_000,
 ) -> DataFrame:
     """pairs(a, b) → (file_id, cluster_id=min reachable id). Converges to a
     star forest; fixpoint detected by an order-insensitive edge fingerprint.
+
+    Hybrid execution (the standard CC-at-scale shape, Kiveris et al. §6):
+    distributed large/small-star rounds contract the graph; as soon as the
+    edge count fits ``local_solve_threshold`` (checked before every round —
+    including round 0, so small graphs never pay distributed-round
+    scheduling), the remainder is solved on the driver in one vectorized
+    pass. Star rounds preserve connectivity, so solving the contracted
+    graph yields the same min-label clustering; at 10^12-file scale the
+    rounds run until the contraction fits, exactly as on a real cluster.
     """
     edges = pairs.select(
         F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
@@ -68,6 +110,8 @@ def connected_components(
         edges = edges.localCheckpoint()
     prev = _edge_fingerprint(edges)
     for _ in range(max_iterations):
+        if prev[0] <= local_solve_threshold:
+            return _local_components(edges)
         edges = _small_star(_large_star(edges))
         if use_checkpoint:
             edges = edges.localCheckpoint()  # cut lineage every round

@@ -46,19 +46,20 @@ def _jvm_digest(col: Column, hash_name: str) -> Column:
 
 
 def _md4_digest_udf() -> Column:
-    """Vectorized md4 over a binary column via hashlib (legacy OpenSSL only)."""
+    """md4 over a binary column: hashlib when OpenSSL still ships the legacy
+    provider (C speed), else the pure-Python RFC 1320 implementation
+    (functions/md4.py) — the digest is available either way."""
     import hashlib
 
     try:
         hashlib.new("md4")
-    except Exception as exc:  # pragma: no cover - environment dependent
-        raise NotImplementedError(
-            "md4 requires OpenSSL legacy provider; unavailable here"
-        ) from exc
+        impl = lambda b: hashlib.new("md4", b).digest()  # noqa: E731
+    except Exception:  # no legacy provider — pure-Python fallback
+        from data_deduplication_service_spark.functions.md4 import md4 as impl
 
     @F.pandas_udf("binary")
     def md4(s: pd.Series) -> pd.Series:
-        return s.map(lambda b: hashlib.new("md4", b).digest())
+        return s.map(impl)
 
     return md4
 

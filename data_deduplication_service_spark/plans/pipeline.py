@@ -132,10 +132,12 @@ def run_pipeline(
     reps, exact_edges = exact_representatives(files)
     # keep_shingles=False: the 3-zone verify re-derives shingles from content
     # for the borderline sliver, so storing the full hash sets (≈16× the row
-    # size) would only bloat the checkpoint and every downstream exchange
+    # size) would only bloat the checkpoint and every downstream exchange.
+    # with_simhash=False: nothing downstream of the pipeline reads simhash —
+    # manual column pruning (Catalyst can't prune inside the UDF).
     signatures = timed(
         "signatures",
-        lambda: signature_table(reps, cfg, keep_shingles=False),
+        lambda: signature_table(reps, cfg, keep_shingles=False, with_simhash=False),
     )
     bands = timed("bands", lambda: band_table(signatures, cfg))
 

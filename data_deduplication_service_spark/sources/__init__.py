@@ -2,6 +2,7 @@ from data_deduplication_service_spark.sources.corpus import (
     corpus_from_documents,
     load_table,
     synthesize_corpus,
+    with_directory_stubs,
     with_file_identity,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "corpus_from_documents",
     "load_table",
     "synthesize_corpus",
+    "with_directory_stubs",
     "with_file_identity",
 ]

@@ -12,6 +12,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from data_deduplication_service_spark.config import HASH_DIGEST_SIZES
+
+
+def hash_functions_table(spark: SparkSession) -> DataFrame:
+    """The reference's hash_functions dimension table (lib/dbManager.cpp:
+    543-548, COPY-loaded :559-568): one row per supported digest with its
+    size — joins against files.hash_name resolve digest widths."""
+    rows = sorted(HASH_DIGEST_SIZES.items())
+    return spark.createDataFrame(rows, "hash_name string, digest_size int")
+
 
 def database_exists(spark: SparkSession, name: str) -> bool:
     """pg_database probe analog (lib/dbCommon.cpp:299-307)."""
@@ -52,6 +62,7 @@ def register_dedup_tables(
     - `files` sorted by (repo, path) (prefix-listing pruning, F2).
     """
     create_database(spark, db, location=f"{warehouse}/{db}")
+    hash_functions_table(spark).write.mode("overwrite").saveAsTable(f"{db}.hash_functions")
     files.orderBy("repo", "path").write.mode("overwrite").saveAsTable(f"{db}.files")
     (
         segments.write.mode("overwrite")

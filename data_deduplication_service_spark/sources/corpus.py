@@ -155,6 +155,36 @@ def with_file_identity(corpus: DataFrame) -> DataFrame:
     )
 
 
+def with_directory_stubs(files_with_identity: DataFrame) -> DataFrame:
+    """files ∪ directory rows, the way the reference stores a tree walk:
+    every ancestor directory becomes a files row with size 0 and NULL
+    content/hash (lib/dbManager.cpp:630-632), so directory listings and the
+    dedup-characteristics RIGHT JOIN (F6 null classification) see them.
+
+    Dir identity: file_id = xxhash64(repo, dirpath, '<dir>') — deterministic
+    and disjoint from file ids (no file has commit '<dir>')."""
+    parts = F.split("path", "/")
+    ancestors = F.transform(
+        F.sequence(F.lit(1), F.size(parts) - 1),
+        lambda i: F.array_join(F.slice(parts, F.lit(1), i), "/"),
+    )
+    dirs = (
+        files_with_identity.select("repo", F.explode(ancestors).alias("path"))
+        .distinct()
+        .select(
+            F.xxhash64("repo", "path", F.lit("<dir>")).alias("file_id"),
+            "repo",
+            "path",
+            F.lit("<dir>").alias("commit"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("content"),
+            F.lit(0).cast("long").alias("size_in_bytes"),
+            F.lit(None).cast("string").alias("content_sha256"),
+        )
+    )
+    return files_with_identity.unionByName(dirs)
+
+
 def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's documents table to the corpus shape."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -110,7 +110,7 @@ def worker(cores: int, input_path: str) -> None:
     # scale path never touches stored shingle sets (borderline verification
     # re-derives them from content) — dropping them shrinks signature rows
     # ~16x (2k int64 hashes vs 128-long minhash + scalars)
-    sig = signature_table(reps, cfg, keep_shingles=False).persist()
+    sig = signature_table(reps, cfg, keep_shingles=False, with_simhash=False).persist()
     cands = candidate_pairs(band_table(sig, cfg), cfg)
     near = verified_pairs(cands, sig, cfg, exact=True, files=reps)
     pairs = near.select("a", "b").unionByName(exact_edges.select("a", "b")).distinct().persist()

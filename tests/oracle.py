@@ -18,7 +18,13 @@ def segment_bytes(content: str, segment_size: int) -> list[bytes]:
 
 
 def segment_hashes(content: str, segment_size: int, hash_name: str = "sha256") -> list[bytes]:
-    return [hashlib.new(hash_name, s).digest() for s in segment_bytes(content, segment_size)]
+    try:
+        hashlib.new(hash_name)
+        digest = lambda s: hashlib.new(hash_name, s).digest()  # noqa: E731
+    except ValueError:  # md4 without the OpenSSL legacy provider
+        from data_deduplication_service_spark.functions.md4 import md4 as digest
+
+    return [digest(s) for s in segment_bytes(content, segment_size)]
 
 
 def segments_table(contents: dict[int, str], segment_size: int, hash_name: str = "sha256") -> Counter:

@@ -54,3 +54,37 @@ def test_search_files_regex(spark, small_corpus):
     assert got.count() > 0
     for r in got.select("path").collect():
         assert r.path.endswith(".py")
+
+
+def test_hash_functions_dimension_table(spark):
+    """Reference hash_functions table (lib/dbManager.cpp:543-548): 6 digests
+    with their sizes, registered alongside the dedup tables."""
+    from data_deduplication_service_spark.config import HASH_DIGEST_SIZES
+    from data_deduplication_service_spark.sources.catalog import hash_functions_table
+
+    rows = {r.hash_name: r.digest_size for r in hash_functions_table(spark).collect()}
+    assert rows == HASH_DIGEST_SIZES
+    assert rows["md4"] == 16 and rows["sha512"] == 64
+
+
+def test_directory_stubs_listed_like_get_all_files(spark, small_corpus, cfg):
+    """getAllFiles analog (lib/dbManager.cpp:624-638): directories appear as
+    rows with size 0 and NULL hash; the dedup-characteristics RIGHT JOIN
+    keeps them with NULL segment counts (F6 null classification)."""
+    from data_deduplication_service_spark.operators.exact import dedup_characteristics
+    from data_deduplication_service_spark.sources import with_directory_stubs
+
+    ident = with_file_identity(small_corpus.limit(40))
+    listing = with_directory_stubs(ident)
+    dirs = listing.filter(F.col("content_sha256").isNull())
+    n_dirs = dirs.count()
+    assert n_dirs > 0
+    assert dirs.filter(F.col("size_in_bytes") != 0).count() == 0
+    # every file's parent chain is present
+    assert dirs.filter(F.col("path") == "src").count() > 0
+    # right-join keeps dir rows with NULL stats
+    fs = segment_files(ident, cfg)
+    chars = dedup_characteristics(listing, fs, cfg.digest_size)
+    assert chars.filter(F.col("segment_count").isNull()).count() == n_dirs
+    # ids are unique across files ∪ dirs
+    assert listing.select("file_id").distinct().count() == listing.count()

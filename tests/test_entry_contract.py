@@ -63,6 +63,70 @@ def test_query_matches_oracle(spark, duck, name):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9, rtol=0)
 
 
+# queries that read ONLY the documents table (the byte-semantics surface)
+_DOC_QUERIES = [
+    "exact_dup_clusters",
+    "segment_stats",
+    "dedup_coefficient",
+    "top_segments",
+    "reconstruct_roundtrip",
+    "dedup_characteristics",
+    "global_sizes",
+    "delete_gc_histogram",
+    "consistency_check",
+    "substring_containment",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "near_dup_clusters",
+]
+
+
+@pytest.fixture(scope="module")
+def non_ascii_dir(spark, tmp_path_factory):
+    """A documents table where char-counts ≠ byte-counts everywhere: multi-
+    byte UTF-8, segment boundaries splitting codepoints, planted near-dups
+    and containment — the corpus the ASCII driver data can't exercise."""
+    base = "дедупликация данных – это 🚀 процесс удаления дубликатов! " * 8
+    rows = []
+    for i in range(40):
+        rows.append((i, base + f"хвост номер {i} " * (i % 5 + 1), "ru", f"src{i % 3}"))
+    rows.append((100, base + "хвост номер 7 " * 3 + "χ", "ru", "src0"))   # near-dup of 7
+    rows.append((101, base[30:200], "ru", "src1"))                        # contained slice
+    rows.append((102, "短い", "ja", "src1"))                              # 6 bytes < k
+    rows.append((103, base + "хвост номер 3 ", "ru", "src2"))             # near-dup of 3
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("nonascii"))
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "text": pa.array(cols[1], pa.string()),
+            "lang": pa.array(cols[2], pa.string()),
+            "source": pa.array(cols[3], pa.string()),
+        }
+    )
+    # single FILE (like the driver's testdata), readable by Spark and DuckDB
+    pq.write_table(table, f"{out}/documents.parquet")
+    return out
+
+
+@pytest.mark.parametrize("name", _DOC_QUERIES)
+def test_oracles_byte_exact_on_non_ascii(spark, non_ascii_dir, name):
+    """The hex-domain oracles must stay correct when bytes ≠ chars — this is
+    the regression test for the round-1 ASCII-only-by-luck oracle CTEs."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{non_ascii_dir}/documents.parquet')"
+    )
+    got = _canon(entry_mod.queries()[name](spark, non_ascii_dir).toPandas())
+    exp = _canon(con.execute(entry_mod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns), name
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9, rtol=0)
+
+
 def test_rows_only_queries_run(spark):
     qs = entry_mod.queries()
     for name in sorted(set(qs) - set(ORACLE_KEYS)):

@@ -82,13 +82,35 @@ def test_minhash_estimate_close_to_exact(neardup_setup):
     assert diffs and sum(diffs) / len(diffs) < 0.08
 
 
-def test_connected_components_match_union_find(spark):
-    # hand graph: two chains, a triangle, singletons implied
+@pytest.mark.parametrize("threshold", [0, 2_000_000])
+def test_connected_components_match_union_find(spark, threshold):
+    # hand graph: two chains, a triangle, singletons implied.
+    # threshold=0 forces the distributed star rounds; the default exercises
+    # the vectorized driver-side solve — both must match union-find exactly.
     edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (30, 31), (31, 32), (32, 33)]
     df = spark.createDataFrame(edges, "a long, b long")
-    got = {r.file_id: r.cluster_id for r in connected_components(df).collect()}
+    got = {
+        r.file_id: r.cluster_id
+        for r in connected_components(df, local_solve_threshold=threshold).collect()
+    }
     exp = cc_oracle(edges)
     assert got == exp
+
+
+def test_connected_components_paths_agree_on_random_graph(spark):
+    """Distributed rounds and the local vectorized solve are interchangeable:
+    identical clustering on a 3000-edge random graph with long chains."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 1500, (3000, 2)) if a != b]
+    edges += [(i, i + 1) for i in range(5000, 5200)]  # a 200-node chain
+    df = spark.createDataFrame(edges, "a long, b long")
+    dist = {r.file_id: r.cluster_id
+            for r in connected_components(df, local_solve_threshold=0).collect()}
+    local = {r.file_id: r.cluster_id
+             for r in connected_components(df).collect()}
+    assert dist == local == cc_oracle(edges)
 
 
 def test_end_to_end_clusters_match_oracle(neardup_setup):

@@ -52,12 +52,31 @@ def test_segments_match_oracle(spark, seg_size):
     assert [(r.file_id, r.segment_num, bytes(r.segment_hash), bytes(r.segment_data)) for r in got] == expected
 
 
-@pytest.mark.parametrize("hash_name", ["sha224", "sha256", "sha384", "sha512", "md5"])
+@pytest.mark.parametrize("hash_name", ["sha224", "sha256", "sha384", "sha512", "md5", "md4"])
 def test_hash_functions(spark, hash_name):
     cfg = DedupConfig(segment_size=64, hash_name=hash_name)
     got = segment_files(_df(spark, {5: CASES[5]}), cfg).orderBy("segment_num").collect()
     exp = segment_hashes(CASES[5], 64, hash_name)
     assert [bytes(r.segment_hash) for r in got] == exp
+
+
+def test_md4_rfc1320_vectors():
+    """The pure-Python MD4 fallback is pinned to the RFC 1320 test suite —
+    the independent ground truth when hashlib lacks the legacy provider."""
+    from data_deduplication_service_spark.functions.md4 import md4
+
+    vectors = {
+        b"": "31d6cfe0d16ae931b73c59d7e0c089c0",
+        b"a": "bde52cb31de33e46245e05fbdbd6fb24",
+        b"abc": "a448017aaf21d8525fc10ae87aa6729d",
+        b"message digest": "d9130a8164549fe818874806e1c7014b",
+        b"abcdefghijklmnopqrstuvwxyz": "d79e1c308aa5bbcdeea8ed63df412da9",
+        b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789":
+            "043f8582f241db351ce627e153e7f0e4",
+        b"1234567890" * 8: "e33b4ddc9c38f2199c3e7b164fcc0536",
+    }
+    for msg, exp in vectors.items():
+        assert md4(msg).hex() == exp
 
 
 def test_positions_one_based_and_partial_block(spark):

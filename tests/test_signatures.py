@@ -74,6 +74,33 @@ def test_simhash_locality():
     assert ham(h(text), h(near)) <= 12
 
 
+def test_char_batch_kernel_bit_identity():
+    """The Arrow-path batch kernel must equal the per-doc kernels EXACTLY —
+    including empty docs, sub-k docs, multi-byte UTF-8 and degenerate
+    repeats (the reduceat-boundary edge cases)."""
+    cfg = DedupConfig()
+    a, b = S._minhash_params(cfg)
+    rng = np.random.default_rng(3)
+    docs = [
+        b"",
+        b"x",
+        b"exactly9!",
+        "юникод 🚀 multibyte — ещё".encode(),
+        b"a" * 300,
+        b"",
+    ] + [bytes(rng.integers(32, 127, size=int(n), dtype=np.uint8)) for n in rng.integers(1, 900, 40)]
+    data = np.frombuffer(b"".join(docs), dtype=np.uint8)
+    offs = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in docs], out=offs[1:])
+    sizes, u, starts, mh, sim = S._char_batch_kernel(data, offs, cfg.shingle_k, a, b, True)
+    for d, doc in enumerate(docs):
+        sh = S.char_shingle_hashes(doc, cfg.shingle_k)
+        assert sizes[d] == sh.size
+        assert np.array_equal(u[starts[d] : starts[d + 1]], sh)
+        assert np.array_equal(mh[:, d], S.minhash_from_shingles(sh, a, b)), d
+        assert int(sim[d]) == S.simhash_from_shingles(sh), d
+
+
 def test_signature_table_schema_and_values(spark, small_corpus):
     from data_deduplication_service_spark.sources import with_file_identity
 

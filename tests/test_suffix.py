@@ -55,6 +55,30 @@ def test_substring_containment_pairs(spark):
     assert (3, 1) not in got and (1, 3) not in got
 
 
+def test_containment_cap_bounds_fanout_and_reports_overflow(spark):
+    """Boilerplate-heavy corpus: a shingle shared by all docs must not feed
+    the candidate self-join (d² rows per hot shingle). With the cap, planted
+    containments are still found, pure-boilerplate docs drop out of
+    candidate generation entirely, and the overflow report names them."""
+    from data_deduplication_service_spark.operators.suffix import containment_overflow_docs
+
+    boiler = "LICENSE HEADER boilerplate text shared verbatim by every file. " * 4
+    rows = [(i, boiler + f"unique tail {i} " * 6) for i in range(30)]
+    rows.append((100, "unique tail 3 " * 6))  # planted: contained in doc 3
+    rows.append((101, boiler))                # pure boilerplate: all-hot shingles
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    sig = signature_table(files, DedupConfig())
+
+    capped = substring_containment_pairs(files, sig, max_shingle_doc_freq=10)
+    got = {(r.inner, r.outer) for r in capped.collect()}
+    assert (100, 3) in got
+    # doc 101 is invisible to the capped join (would otherwise pair with all
+    # 30 hosts = the quadratic fanout) and must be surfaced in the report
+    assert not any(101 in p for p in got)
+    overflow = containment_overflow_docs(sig, 10)
+    assert {r.file_id for r in overflow.collect()} == {101}
+
+
 def test_repeated_substrings_in_partition(spark):
     shared = "this exact block of fifty-plus characters is copied verbatim between documents!"
     rows = [
