@@ -223,6 +223,11 @@ def _char_batch_kernel(
     minhash = np.full((a.size, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
     mh_c = np.full((a.size, ne.size), np.iinfo(np.uint64).max, dtype=np.uint64)
     BLK, PG = 8192, 4  # 4×8192×8B = 256KB tiles (L2-resident; swept empirically)
+    # ONE preallocated tile reused via out= ufuncs: a fresh numpy temp per
+    # (block × perm-group) iteration rotates allocations through the shared
+    # L3 (32 workers × 256KB/iter of store traffic), which measurably caps
+    # multi-process scaling; a reused buffer stays hot in the core's L2.
+    vbuf = np.empty((PG, BLK), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for s0 in range(0, int(u.size), BLK):
             e0 = min(s0 + BLK, int(u.size))
@@ -232,7 +237,9 @@ def _char_batch_kernel(
             idx = np.clip(sne[i0:i1], s0, e0) - s0
             for p0 in range(0, a.size, PG):
                 p1 = min(p0 + PG, a.size)
-                v = a[p0:p1, None] * blk[None, :] + b[p0:p1, None]
+                v = vbuf[: p1 - p0, : e0 - s0]
+                np.multiply(a[p0:p1, None], blk[None, :], out=v)
+                np.add(v, b[p0:p1, None], out=v)
                 m = np.minimum.reduceat(v, idx, axis=1)
                 np.minimum(mh_c[p0:p1, i0:i1], m, out=mh_c[p0:p1, i0:i1])
     minhash[:, ne] = mh_c

@@ -106,9 +106,13 @@ def connected_components(
     edges = pairs.select(
         F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
     ).filter(F.col("a") != F.col("b")).distinct()
+    # route BEFORE the eager checkpoint: the local path reads edges once
+    # (toPandas), so materializing checkpoint blocks first is pure overhead
+    prev = _edge_fingerprint(edges)
+    if prev[0] <= local_solve_threshold:
+        return _local_components(edges)
     if use_checkpoint:
         edges = edges.localCheckpoint()
-    prev = _edge_fingerprint(edges)
     for _ in range(max_iterations):
         if prev[0] <= local_solve_threshold:
             return _local_components(edges)

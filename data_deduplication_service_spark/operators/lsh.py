@@ -53,15 +53,38 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     pair generation (they are boilerplate-degenerate; members still pair
     up through their other, more selective bands). The cap bounds the
     worst-case pair fanout at buckets·cap², independent of corpus size.
+
+    Plan shape: ONE logical shuffle of the band table. Bucket sizes are
+    counted first (map-side-combined, never materializes members), oversize
+    buckets are dropped by key, and only then is the surviving membership
+    gathered per (band_id, band_hash) — so every gathered array is bounded
+    by max_bucket_size and a degenerate 10^8-member bucket can never become
+    one row. The count, the key-prune join, and the gather all hash on the
+    same keys, so Catalyst reuses one exchange; pairs then expand MAP-SIDE
+    from the sorted member array, replacing the bucket self-join (which
+    shuffled the band table twice more and sort-merge-joined it against
+    itself).
     """
     sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("_sz"))
-    ok = bands.join(
-        sizes.filter(F.col("_sz") <= cfg.max_bucket_size).select("band_id", "band_hash"),
-        ["band_id", "band_hash"],
+    ok_keys = sizes.filter(
+        (F.col("_sz") >= 2) & (F.col("_sz") <= cfg.max_bucket_size)
+    ).select("band_id", "band_hash")
+    buckets = (
+        bands.join(ok_keys, ["band_id", "band_hash"])
+        .groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("file_id")).alias("_m"))
     )
-    a = ok.select("band_id", "band_hash", F.col("file_id").alias("a"))
-    b = ok.select("band_id", "band_hash", F.col("file_id").alias("b"))
-    raw = a.join(b, ["band_id", "band_hash"]).filter(F.col("a") < F.col("b")).select("a", "b")
+    # all (a < b) pairs from the sorted member array, whole-stage codegen
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size("_m")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    raw = buckets.select(F.explode(pair_expr).alias("p")).select("p.a", "p.b")
     if cfg.min_band_collisions <= 1:
         return raw.distinct()
     # require agreement in ≥k bands: the deliberate-collision count for a
@@ -149,10 +172,21 @@ def exact_jaccard_by_content(pairs: DataFrame, files: DataFrame, cfg: DedupConfi
     re-shingling is the same numpy kernel the signature stage used, so the
     sets are bit-identical. Use for the (few) pairs that actually need
     exact verification.
+
+    The content table is semi-join-pruned to the pairs' involved files
+    FIRST: borderline pairs are a sliver of the corpus, so without the
+    prune the two equi-joins shuffled every content byte of the corpus
+    twice (measured as the dominant cost of the verify stage at 400k).
     """
     from data_deduplication_service_spark.functions.signatures import shingle_hashes
 
-    content = files.select("file_id", "content")
+    pairs = persist_scoped(pairs)  # feeds involved(×2) + the final join
+    involved = (
+        pairs.select(F.col("a").alias("file_id"))
+        .union(pairs.select(F.col("b").alias("file_id")))
+        .distinct()
+    )
+    content = files.select("file_id", "content").join(involved, "file_id", "left_semi")
     joined = (
         pairs.join(content.select(F.col("file_id").alias("a"), F.col("content").alias("_ca")), "a")
         .join(content.select(F.col("file_id").alias("b"), F.col("content").alias("_cb")), "b")
@@ -162,11 +196,16 @@ def exact_jaccard_by_content(pairs: DataFrame, files: DataFrame, cfg: DedupConfi
         import numpy as np
         import pandas as pd
 
+        # cache persists ACROSS batches (a hot doc borders many pairs);
+        # bounded so a skewed partition can't balloon worker memory
         cache: dict = {}
+        MAX_CACHED = 8192
 
         def sh(text: str) -> np.ndarray:
             got = cache.get(text)
             if got is None:
+                if len(cache) >= MAX_CACHED:
+                    cache.clear()
                 got = cache[text] = shingle_hashes(text, cfg)
             return got
 
@@ -178,7 +217,6 @@ def exact_jaccard_by_content(pairs: DataFrame, files: DataFrame, cfg: DedupConfi
                 sa, sb = sh(ca), sh(cb)
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 out[i] = inter / (sa.size + sb.size - inter)
-            cache.clear()
             yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "jaccard": out})
 
     return joined.mapInPandas(verify, schema="a long, b long, jaccard double")

@@ -3,16 +3,28 @@
 The reference gets free restart points from its 4-transactions-per-file
 design (SURVEY §3.1: createFile / insertFileFromStream /
 finishFileProcessing / updateFileTime each commit independently). Our
-analog: every pipeline stage writes its output table atomically to a
-warehouse directory with a manifest; a re-run skips stages whose manifest
-matches the current config fingerprint.
+analog: every pipeline stage commits an immutable, numbered SNAPSHOT to a
+warehouse directory; a re-run skips stages whose current snapshot matches
+the config fingerprint.
 
-This is the Iceberg-snapshot pattern (one snapshot per stage = resumable
-checkpoint) expressed over plain Parquet so it runs in this sandbox with
-no extra jars: write to `<stage>.tmp/` → fsync manifest → atomic rename.
+This is the Iceberg table-format contract expressed over plain Parquet so
+it runs in this sandbox with no extra jars, feature for feature:
+
+  snapshot ids    — every commit appends {snapshot_id, stage, dir, rows} to
+                    an append-only log (`_SNAPSHOTS.jsonl` = the metadata
+                    log) and gets its own immutable directory.
+  atomic commit   — write to `<dir>.tmp/` → fsync manifest → atomic rename,
+                    then an atomic CURRENT-pointer swap (the "metadata
+                    pointer swap" that makes Iceberg commits atomic).
+  time travel     — `load_snapshot(id)` reads any retained snapshot;
+                    `snapshots()` lists the log.
+  expiration      — `expire_snapshots(keep_last=n)` deletes old snapshot
+                    dirs but never the current one (Iceberg
+                    `expire_snapshots` semantics).
+
 On a real cluster the same StageStore maps 1:1 onto
-`df.writeTo(tbl).createOrReplace()` with Iceberg snapshot IDs in the
-manifest; the orchestration logic (fingerprint, skip, resume) is
+`df.writeTo(tbl).createOrReplace()` with Iceberg's own snapshot ids in the
+manifest; the orchestration (fingerprint, skip, resume, travel) is
 unchanged.
 """
 
@@ -30,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from data_deduplication_service_spark.config import DedupConfig
 
 MANIFEST = "_MANIFEST.json"
+SNAPLOG = "_SNAPSHOTS.jsonl"
 
 
 def config_fingerprint(cfg: DedupConfig, extra: dict[str, Any] | None = None) -> str:
@@ -40,7 +53,7 @@ def config_fingerprint(cfg: DedupConfig, extra: dict[str, Any] | None = None) ->
 
 
 class StageStore:
-    """Atomic, fingerprinted per-stage table store with lineage records."""
+    """Atomic, fingerprinted per-stage snapshot store with a snapshot log."""
 
     def __init__(self, spark: SparkSession, warehouse: str, cfg: DedupConfig):
         self.spark = spark
@@ -49,29 +62,60 @@ class StageStore:
         self.fingerprint = config_fingerprint(cfg)
         os.makedirs(warehouse, exist_ok=True)
 
-    def _dir(self, stage: str) -> str:
-        # fingerprint-namespaced: a config change writes NEW snapshot dirs
-        # instead of clobbering the old ones, so existing DataFrame handles
-        # stay valid (Iceberg snapshot semantics: old snapshots remain
-        # readable until expired).
-        return os.path.join(self.warehouse, f"{stage}__{self.fingerprint}")
+    # -- snapshot log -------------------------------------------------------
+
+    def _log_path(self) -> str:
+        return os.path.join(self.warehouse, SNAPLOG)
+
+    def snapshots(self, stage: str | None = None) -> list[dict[str, Any]]:
+        """The append-only snapshot log (optionally filtered by stage)."""
+        if not os.path.exists(self._log_path()):
+            return []
+        with open(self._log_path()) as f:
+            entries = [json.loads(line) for line in f if line.strip()]
+        return [e for e in entries if stage is None or e["stage"] == stage]
+
+    def _next_snapshot_id(self) -> int:
+        entries = self.snapshots()
+        return (max(e["snapshot_id"] for e in entries) + 1) if entries else 1
+
+    def _current_file(self, stage: str) -> str:
+        # one current pointer per (stage, fingerprint): a config change gets
+        # fresh pointers, old fingerprints' snapshots remain readable
+        return os.path.join(self.warehouse, f"{stage}__{self.fingerprint}.CURRENT")
+
+    def _current_dir(self, stage: str) -> str | None:
+        p = self._current_file(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            d = os.path.join(self.warehouse, f.read().strip())
+        return d
+
+    # -- commits ------------------------------------------------------------
 
     def is_done(self, stage: str) -> bool:
-        mpath = os.path.join(self._dir(stage), MANIFEST)
-        if not os.path.exists(mpath):
+        d = self._current_dir(stage)
+        if d is None:
+            return False
+        mpath = os.path.join(d, MANIFEST)
+        if not os.path.exists(mpath):  # dangling pointer (snapshot wiped)
             return False
         with open(mpath) as f:
             m = json.load(f)
         return m.get("fingerprint") == self.fingerprint and m.get("status") == "committed"
 
     def save(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
-        """Write stage output atomically; returns the re-read (checkpointed) DF.
+        """Commit a new snapshot; returns the re-read (checkpointed) DF.
 
         Re-reading from storage (not .cache()) both cuts lineage — the next
         stage plans against a fresh parquet scan with pushdown/pruning —
         and makes the stage a durable resume point.
         """
-        final, tmp = self._dir(stage), self._dir(stage) + ".tmp"
+        sid = self._next_snapshot_id()
+        name = f"{stage}__{self.fingerprint}__s{sid}"
+        final = os.path.join(self.warehouse, name)
+        tmp = final + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         t0 = time.monotonic()
         writer = df.write.mode("overwrite")
@@ -82,6 +126,7 @@ class StageStore:
         rows = self.spark.read.parquet(tmp).count()
         manifest = {
             "stage": stage,
+            "snapshot_id": sid,
             "fingerprint": self.fingerprint,
             "status": "committed",
             "rows": rows,
@@ -91,18 +136,65 @@ class StageStore:
         }
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2)
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(tmp, final)  # atomic commit — the snapshot boundary
-        # drop any cached file listing for the replaced path (Spark's
-        # FileStatusCache would otherwise serve the pre-commit part files)
+        os.rename(tmp, final)  # snapshot dir becomes immutable
+        with open(self._log_path(), "a") as f:
+            f.write(json.dumps({"snapshot_id": sid, "stage": stage,
+                                "fingerprint": self.fingerprint, "dir": name,
+                                "rows": rows}) + "\n")
+        # atomic CURRENT swap — the commit point readers observe
+        ptr_tmp = self._current_file(stage) + ".tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(name)
+        os.rename(ptr_tmp, self._current_file(stage))
+        # drop any cached file listing for the path (Spark's FileStatusCache
+        # would otherwise serve a stale pre-commit listing)
         self.spark.catalog.refreshByPath(final)
         return self.load(stage)
 
     def load(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._dir(stage))
+        d = self._current_dir(stage)
+        if d is None:
+            raise FileNotFoundError(f"stage {stage!r} has no committed snapshot")
+        return self.spark.read.parquet(d)
+
+    def load_snapshot(self, snapshot_id: int) -> DataFrame:
+        """Time travel: read any retained snapshot by id."""
+        for e in self.snapshots():
+            if e["snapshot_id"] == snapshot_id:
+                d = os.path.join(self.warehouse, e["dir"])
+                if not os.path.isdir(d):
+                    raise FileNotFoundError(f"snapshot {snapshot_id} was expired")
+                return self.spark.read.parquet(d)
+        raise KeyError(f"unknown snapshot id {snapshot_id}")
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Delete all but the newest ``keep_last`` snapshots per stage (the
+        current snapshot is always kept). Returns expired ids."""
+        currents = set()
+        for e in self.snapshots():
+            cur = self._current_dir(e["stage"])
+            if cur is not None:
+                currents.add(os.path.basename(cur))
+        expired: list[int] = []
+        by_stage: dict[str, list[dict[str, Any]]] = {}
+        for e in self.snapshots():
+            by_stage.setdefault(e["stage"], []).append(e)
+        for entries in by_stage.values():
+            entries.sort(key=lambda e: e["snapshot_id"])
+            for e in entries[:-keep_last] if keep_last else entries:
+                if e["dir"] in currents:
+                    continue
+                d = os.path.join(self.warehouse, e["dir"])
+                if os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                    expired.append(e["snapshot_id"])
+        return expired
 
     def manifest(self, stage: str) -> dict[str, Any]:
-        with open(os.path.join(self._dir(stage), MANIFEST)) as f:
+        d = self._current_dir(stage)
+        if d is None:
+            raise FileNotFoundError(f"stage {stage!r} has no committed snapshot")
+        with open(os.path.join(d, MANIFEST)) as f:
             return json.load(f)
 
     def run_stage(

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Kernel-level scaling evidence: the signature batch kernel at N vs 4N
+worker processes.
+
+The job-level 8→32 measurement on this single box is memory-bandwidth- and
+single-JVM-bound (see BENCH/BASELINE.md analysis); this microbench isolates
+the dominant COMPUTE of the pipeline — `_char_batch_kernel` (whole-batch
+shingle hashing + tiled MinHash) — behind a multiprocessing pool, the level
+at which hardware rather than single-JVM orchestration sets the limit.
+
+    python scripts/kernel_scaling.py [--batches 96] [--docs 1000]
+
+Prints one JSON line with throughput at 8 and 32 processes and the
+efficiency (r32/r8)/4. Work is identical and deterministic at both levels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def _one_batch(seed: int, n_docs: int, mode: str = "batch") -> int:
+    import numpy as np
+
+    from data_deduplication_service_spark.config import DedupConfig
+    from data_deduplication_service_spark.functions.signatures import (
+        _char_batch_kernel,
+        _minhash_params,
+        char_shingle_hashes,
+        minhash_from_shingles,
+    )
+
+    cfg = DedupConfig()
+    a, b = _minhash_params(cfg)
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(800, 3200, size=n_docs)
+    data = rng.integers(32, 127, size=int(lens.sum()), dtype=np.uint8)
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    if mode == "batch":
+        sizes, _u, _s, mh, _sim = _char_batch_kernel(data, offs, cfg.shingle_k, a, b, False)
+        return int(sizes.sum()) + int(mh[0, 0])  # consume results
+    acc = 0  # round-1-style per-doc path, for comparison
+    for d in range(n_docs):
+        sh = char_shingle_hashes(data[offs[d] : offs[d + 1]].tobytes(), cfg.shingle_k)
+        acc += int(minhash_from_shingles(sh, a, b)[0]) & 1
+    return acc
+
+
+def run_level(procs: int, batches: int, n_docs: int, mode: str = "batch") -> float:
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(procs) as pool:
+        # warm up workers/imports
+        pool.starmap(_one_batch, [(s, n_docs, mode) for s in range(2)], chunksize=1)
+        work = [(s, n_docs, mode) for s in range(100, 100 + batches)]
+        t0 = time.monotonic()
+        pool.starmap(_one_batch, work, chunksize=1)
+        dt = time.monotonic() - t0
+    return batches / dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=96)
+    ap.add_argument("--docs", type=int, default=1000)
+    ap.add_argument("--mode", choices=("batch", "perdoc"), default="batch")
+    args = ap.parse_args()
+    r8 = run_level(8, args.batches, args.docs, args.mode)
+    r32 = run_level(32, args.batches, args.docs, args.mode)
+    eff = (r32 / r8) / 4
+    print(
+        json.dumps(
+            {
+                "kernel": f"{args.mode} (hash+unique+minhash, simhash off)",
+                "batches": args.batches,
+                "docs_per_batch": args.docs,
+                "batches_per_sec_8_procs": round(r8, 3),
+                "batches_per_sec_32_procs": round(r32, 3),
+                "speedup_8_to_32": round(r32 / r8, 2),
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,27 @@ def test_stage_store_skip_and_invalidation(spark, warehouse):
     assert config_fingerprint(cfg) != config_fingerprint(cfg.with_(segment_size=128))
 
 
+def test_snapshot_ids_time_travel_and_expiration(spark, warehouse):
+    """Iceberg-contract emulation: numbered snapshots, time travel to any
+    retained snapshot, expire_snapshots keeps the current one."""
+    cfg = DedupConfig()
+    store = StageStore(spark, warehouse, cfg)
+    store.save("t", spark.range(3).withColumnRenamed("id", "x"))
+    store.save("t", spark.range(7).withColumnRenamed("id", "x"))
+    log = store.snapshots("t")
+    assert [e["snapshot_id"] for e in log] == [1, 2]
+    assert store.load("t").count() == 7          # current = latest commit
+    assert store.load_snapshot(1).count() == 3   # time travel
+    assert store.manifest("t")["snapshot_id"] == 2
+    expired = store.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    assert store.load("t").count() == 7          # current survives expiry
+    with pytest.raises(FileNotFoundError):
+        store.load_snapshot(1)
+    with pytest.raises(KeyError):
+        store.load_snapshot(99)
+
+
 def test_pipeline_end_to_end_and_resume(spark, warehouse):
     cfg = DedupConfig()
     corpus = with_file_identity(synthesize_corpus(spark, 150, seed=42))
