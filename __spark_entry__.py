@@ -432,6 +432,20 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters_with_singletons(comp, files).withColumnRenamed("file_id", "doc_id")
 
 
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (operators/similarity.py:
+    cosine_near_dup_pairs): hyperplane-LSH candidates + exact cosine ≥ 0.35.
+
+    Correctness-tier config 96×4-bit tables: the weakest in-threshold pair
+    (cos = 0.35, θ ≈ 69.5°) collides per table with p ≈ 0.614⁴ ≈ 0.142 and
+    escapes all 96 with P ≈ 4e-7, so candidates ⊇ the true pair set and
+    exact re-scoring makes the output equal the brute-force oracle."""
+    from data_deduplication_service_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dup_pairs(emb, dim=64, threshold=0.35)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (operators/similarity.py:lsh_topk).
 
@@ -520,6 +534,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "simhash_pairs": q_simhash_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
 }
 
 
@@ -902,6 +917,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
             )
             SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+        """,
+        "embedding_near_dup_pairs": """
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(
+                       list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+                       list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 4)
+                       AS cosine_sim
+            FROM embeddings x, embeddings y
+            WHERE x.vec_id < y.vec_id
+              AND round(list_cosine_similarity(
+                      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+                      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 4) >= 0.35
         """,
         # identical to embedding_topk: the 96×4-bit LSH config provably
         # recovers the exact top-k (see q_ann_lsh_topk docstring)

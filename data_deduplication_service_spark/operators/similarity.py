@@ -110,6 +110,63 @@ def hyperplane_signatures(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float,
+    n_tables: int = 96,
+    bits_per_table: int = 4,
+    seed: int = 42,
+    max_bucket_size: int = 4096,
+    round_digits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a < b) pairs with rounded cosine ≥ threshold — the embedding
+    analog of the MinHash near-dup tier: sign-random-projection buckets
+    generate candidates (collision in ANY table), exact cosine re-rank
+    keeps precision exact, recall is tuned by (n_tables, bits_per_table).
+
+    Scale shape mirrors lsh.candidate_pairs: bucket membership is gathered
+    per (table_id, bucket) after a count prefilter caps degenerate buckets
+    (a hot bucket of s members would otherwise emit s² join rows), and
+    pairs expand map-side from the sorted member array.
+    """
+    sig = hyperplane_signatures(
+        embeddings, dim, n_tables, bits_per_table, seed, id_col=id_col, vec_col=vec_col
+    )
+    sizes = sig.groupBy("table_id", "bucket").agg(F.count("*").alias("_sz"))
+    ok = sizes.filter((F.col("_sz") >= 2) & (F.col("_sz") <= max_bucket_size)).select(
+        "table_id", "bucket"
+    )
+    buckets = (
+        sig.join(ok, ["table_id", "bucket"])
+        .groupBy("table_id", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("_m"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size("_m")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cands = buckets.select(F.explode(pair_expr).alias("p")).select("p.a", "p.b").distinct()
+    emb = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    scored = (
+        cands.join(emb.select(F.col("_id").alias("a"), F.col("_v").alias("_va")), "a")
+        .join(emb.select(F.col("_id").alias("b"), F.col("_v").alias("_vb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_digits).alias("cosine_sim"),
+        )
+    )
+    return scored.filter(F.col("cosine_sim") >= threshold)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

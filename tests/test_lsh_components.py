@@ -172,3 +172,24 @@ def test_simhash_candidates_find_near_identical(spark):
     got = {(r.a, r.b) for r in simhash_candidate_pairs(sig, max_hamming=3).collect()}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_candidate_pairs_plan_is_gather_not_self_join(spark):
+    """Scale-shape regression: candidate pairs must come from the bucket
+    GATHER + map-side explode, not a band-table self-join (which shuffled
+    the band table twice more and emitted s² join rows per bucket). The
+    plan may keep ONE join — the co-partitioned key-prune against bucket
+    counts — but must contain the pair-expanding Generate and at most that
+    single join, with ≤4 hash exchanges."""
+    import re
+
+    rows = [(i, f"some body text for document {i} " * 8) for i in range(40)]
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    cfg = DedupConfig()
+    df = candidate_pairs(band_table(signature_table(files, cfg), cfg), cfg)
+    df.write.mode("overwrite").format("noop").save()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") >= 1, plan
+    n_joins = len(re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
+    assert n_joins <= 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4, plan
