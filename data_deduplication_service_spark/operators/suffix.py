@@ -204,6 +204,33 @@ def containment_overflow_docs(
     )
 
 
+def repeated_substrings_by_cluster(
+    files: DataFrame,
+    clusters: DataFrame,
+    min_len: int = 50,
+    id_col: str = "file_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """GLOBAL repeated-substring detection: co-locate each near-dup
+    cluster's members into one partition (hash repartition on cluster_id),
+    then run the per-partition suffix-array scan.
+
+    This is the scale path the per-partition op documents: long verbatim
+    repeats overwhelmingly live INSIDE near-dup clusters (that is what made
+    them near-dups), so partitioning by the LSH clustering bounds each
+    partition's blob by its co-hashed clusters rather than the corpus, and
+    the suffix array never sees unrelated content. Matches found are the
+    same (file_a, file_b, match_len, sample) rows regardless of the input's
+    physical layout."""
+    tagged = files.select(id_col, text_col).join(
+        clusters.select(F.col("file_id").alias(id_col), "cluster_id"), id_col
+    )
+    co_located = tagged.repartition("cluster_id")
+    return repeated_substrings_in_partition(
+        co_located, min_len=min_len, id_col=id_col, text_col=text_col
+    )
+
+
 def repeated_substrings_in_partition(
     files: DataFrame, min_len: int = 50, id_col: str = "file_id", text_col: str = "content"
 ) -> DataFrame:

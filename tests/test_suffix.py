@@ -79,6 +79,30 @@ def test_containment_cap_bounds_fanout_and_reports_overflow(spark):
     assert {r.file_id for r in overflow.collect()} == {101}
 
 
+def test_repeated_substrings_by_cluster_is_layout_independent(spark):
+    """The global tier must find cross-doc repeats even when the input's
+    physical partitioning separates the matching docs — cluster
+    co-location, not input layout, determines visibility."""
+    from data_deduplication_service_spark.operators.suffix import repeated_substrings_by_cluster
+
+    shared = "this exact block of fifty-plus characters is copied verbatim between documents!"
+    rows = [
+        (1, "prefix one | " + shared + " | suffix one"),
+        (2, "totally different beginning :: " + shared + " :: other end"),
+        (3, "no overlap here at all, just unique text " * 3),
+        (4, "another unrelated document body " * 4),
+    ]
+    # adversarial layout: each doc in its own partition
+    files = spark.createDataFrame(rows, "file_id long, content string").repartition(4, "file_id")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4)], "file_id long, cluster_id long"
+    )
+    got = {(r.file_a, r.file_b): r.match_len
+           for r in repeated_substrings_by_cluster(files, clusters, min_len=50).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= len(shared)
+    assert all(p == (1, 2) for p in got)
+
+
 def test_repeated_substrings_in_partition(spark):
     shared = "this exact block of fifty-plus characters is copied verbatim between documents!"
     rows = [
