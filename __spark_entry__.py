@@ -183,10 +183,15 @@ def q_global_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (operators/ngram.py)."""
+    """Exact n-gram Jaccard near-dup pairs (operators/ngram.py).
+
+    max_doc_freq=None: explicit uncapped opt-out — the oracle computes the
+    EXACT metric, and a capped run reports lower-bound jaccards."""
     from data_deduplication_service_spark.operators.ngram import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=9, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=9, threshold=0.5, max_doc_freq=None
+    )
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -354,13 +359,19 @@ def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a verbatim substring of another file's text. Inclusion gate is BYTE
     length ≥ 12 on both sides (Spark and the oracle), not shingle counts —
     the predicates are aligned so repetitive or multi-byte docs can't flip
-    between engines."""
+    between engines.
+
+    max_shingle_doc_freq=None: explicit uncapped opt-out — the oracle is
+    brute force, so the capped join's blind spot (a doc whose EVERY shingle
+    is hotter than the cap) would silently fail the gate on data the sf
+    tiers merely happen not to contain. The scale path keeps the operator's
+    finite default cap + containment_overflow_docs observability."""
     from data_deduplication_service_spark.functions.signatures import signature_table
     from data_deduplication_service_spark.operators.suffix import substring_containment_pairs
 
     files = _doc_files(spark, sf_dir)
     sig = signature_table(files, CFG, keep_shingles=True)
-    out = substring_containment_pairs(files, sig, min_len_bytes=12, max_shingle_doc_freq=50)
+    out = substring_containment_pairs(files, sig, min_len_bytes=12, max_shingle_doc_freq=None)
     return out.select(
         F.col("inner").alias("inner_doc"), F.col("outer").alias("outer_doc"), "inner_len"
     )
@@ -412,7 +423,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_deduplication_service_spark.operators.lsh import simhash_candidate_pairs
 
     sig = signature_table(_doc_files(spark, sf_dir), CFG)
-    pairs = simhash_candidate_pairs(sig, max_hamming=7, block_bits=8)
+    # max_bucket_size=None: explicit uncapped opt-out so the pigeonhole
+    # banding stays provably COMPLETE at the correctness tier (the scale
+    # path keeps the default cap + simhash_overflow_blocks observability)
+    pairs = simhash_candidate_pairs(sig, max_hamming=7, block_bits=8, max_bucket_size=None)
     return pairs.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 

@@ -29,6 +29,12 @@ from data_deduplication_service_spark import DedupConfig, get_spark
 # variants of the same operators deliberately use the recall-1.0
 # correctness-tier config (rows_per_band=1) to equal their brute-force
 # oracles, which is quadratic-ish by design and not a scale path.
+#
+# BENCH KEY STABILITY (do not rename; round-over-round diffs are mechanical):
+#   minhash_lsh_pairs_scalecfg  == r1's "minhash_lsh_pairs"  (same operator +
+#   near_dup_clusters_scalecfg  == r1's "near_dup_clusters"   production cfg;
+#   renamed once in r2 when the entry-query variants moved to the
+#   correctness-tier config). All other keys are unchanged since r1.
 BENCH_QUERIES = [
     "exact_dup_clusters",
     "segment_stats",

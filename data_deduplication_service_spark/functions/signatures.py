@@ -35,6 +35,11 @@ from data_deduplication_service_spark.config import DedupConfig
 _FNV_PRIME = np.uint64(1099511628211)
 _FNV_OFFSET = np.uint64(14695981039346656037)
 
+# Arrow ListArray int32 offset ceiling; output batches whose cumulative
+# shingle count would exceed it are split at doc boundaries (tests patch
+# this down to exercise the split without 2^31 actual shingles).
+_I32_SAFE = 2**31 - 1
+
 SIGNATURE_SCHEMA = (
     "file_id long, n_shingles int, shingles array<long>, minhash array<long>, simhash long"
 )
@@ -295,27 +300,45 @@ def _fast_char_signature_table(
             sizes, u, starts, mh, sim = _char_batch_kernel(
                 data[base : int(offs[-1])], offs - base, k, a, b, with_simhash
             )
-            if keep_shingles:
-                shingles = pa.ListArray.from_arrays(
-                    pa.array(starts, type=pa.int32()), pa.array(u.view(np.int64))
+
+            def emit(lo: int, hi: int) -> pa.RecordBatch:
+                s0, s1 = int(starts[lo]), int(starts[hi])
+                if keep_shingles:
+                    shingles = pa.ListArray.from_arrays(
+                        pa.array((starts[lo : hi + 1] - s0).astype(np.int32), type=pa.int32()),
+                        pa.array(u[s0:s1].view(np.int64)),
+                    )
+                else:
+                    shingles = pa.nulls(hi - lo, out_type)
+                mh_rows = np.ascontiguousarray(mh[:, lo:hi].T).view(np.int64)
+                minhash = pa.ListArray.from_arrays(
+                    pa.array(np.arange(hi - lo + 1, dtype=np.int32) * a.size, type=pa.int32()),
+                    pa.array(mh_rows.ravel()),
                 )
+                return pa.RecordBatch.from_arrays(
+                    [
+                        fid.slice(lo, hi - lo),
+                        pa.array(sizes[lo:hi].astype(np.int32)),
+                        shingles,
+                        minhash,
+                        pa.array(sim[lo:hi]),
+                    ],
+                    names=["file_id", "n_shingles", "shingles", "minhash", "simhash"],
+                )
+
+            if not keep_shingles or int(starts[-1]) <= _I32_SAFE:
+                yield emit(0, n)
             else:
-                shingles = pa.nulls(n, out_type)
-            mh_rows = np.ascontiguousarray(mh.T).view(np.int64)
-            minhash = pa.ListArray.from_arrays(
-                pa.array(np.arange(n + 1, dtype=np.int32) * a.size, type=pa.int32()),
-                pa.array(mh_rows.ravel()),
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    fid,
-                    pa.array(sizes.astype(np.int32)),
-                    shingles,
-                    minhash,
-                    pa.array(sim),
-                ],
-                names=["file_id", "n_shingles", "shingles", "minhash", "simhash"],
-            )
+                # a batch whose total distinct-shingle count exceeds the
+                # int32 ListArray offset range is SPLIT at doc boundaries so
+                # every emitted slice's offsets fit (large docs × big Arrow
+                # batches with keep_shingles=True would otherwise overflow)
+                lo = 0
+                while lo < n:
+                    hi = int(np.searchsorted(starts, starts[lo] + _I32_SAFE, side="right")) - 1
+                    hi = min(max(hi, lo + 1), n)
+                    yield emit(lo, hi)
+                    lo = hi
 
     return files.select("file_id", "content").mapInArrow(compute, schema=SIGNATURE_SCHEMA)
 

@@ -106,13 +106,23 @@ def connected_components(
     edges = pairs.select(
         F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
     ).filter(F.col("a") != F.col("b")).distinct()
-    # route BEFORE the eager checkpoint: the local path reads edges once
-    # (toPandas), so materializing checkpoint blocks first is pure overhead
+    # persist BEFORE the routing fingerprint so the greatest/least+distinct
+    # derivation executes exactly once on EITHER route: the fingerprint
+    # action fills the cache, then the local solve's toPandas (small route)
+    # or the eager localCheckpoint (distributed route) reads cached blocks
+    # instead of recomputing the full upstream plan.
+    edges = edges.persist()
     prev = _edge_fingerprint(edges)
     if prev[0] <= local_solve_threshold:
-        return _local_components(edges)
+        out = _local_components(edges)
+        edges.unpersist()
+        return out
     if use_checkpoint:
-        edges = edges.localCheckpoint()
+        ck = edges.localCheckpoint()
+        edges.unpersist()
+        edges = ck
+    else:
+        edges.unpersist()  # lazily; loop rounds re-derive from source
     for _ in range(max_iterations):
         if prev[0] <= local_solve_threshold:
             return _local_components(edges)

@@ -269,30 +269,86 @@ def verified_pairs(
     return accepted.unionByName(verified)
 
 
-def simhash_candidate_pairs(signatures: DataFrame, max_hamming: int = 3, block_bits: int = 16) -> DataFrame:
-    """SimHash near-dup candidates: block-permute banding over 64-bit keys.
-
-    Pigeonhole over 4 disjoint 16-bit blocks: pairs within Hamming ≤ 3
-    must agree on ≥1 block. Block-equality buckets via shiftRight/mask —
-    pure JVM — then verify the Hamming bound with bit_count.
-    """
+def _simhash_blocks(signatures: DataFrame, block_bits: int) -> DataFrame:
     n_blocks = 64 // block_bits
     mask = (1 << block_bits) - 1
-    sim = signatures.select("file_id", "simhash")
-    blocks = sim.select(
-        "file_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("block_id"),
-    ).withColumn(
-        "block_key",
-        F.expr(f"(cast(simhash as bigint) >> (block_id * {block_bits})) & {mask}"),
-    )
-    a = blocks.select("block_id", "block_key", F.col("file_id").alias("a"), F.col("simhash").alias("sa"))
-    b = blocks.select("block_id", "block_key", F.col("file_id").alias("b"), F.col("simhash").alias("sb"))
     return (
-        a.join(b, ["block_id", "block_key"])
-        .filter(F.col("a") < F.col("b"))
-        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= max_hamming)
-        .select("a", "b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        signatures.select("file_id", "simhash")
+        .select(
+            "file_id",
+            "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("block_id"),
+        )
+        .withColumn(
+            "block_key",
+            F.expr(f"(cast(simhash as bigint) >> (block_id * {block_bits})) & {mask}"),
+        )
+    )
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """SimHash near-dup candidates: block-permute banding over 64-bit keys.
+
+    Pigeonhole over 64/block_bits disjoint blocks: pairs within Hamming ≤
+    (n_blocks - 1) must agree on ≥1 block. Block-equality buckets via
+    shiftRight/mask — pure JVM — then verify the Hamming bound with
+    bit_count.
+
+    Same single-shuffle capped-gather shape as ``candidate_pairs``: bucket
+    sizes are count-prefiltered map-side, buckets above ``max_bucket_size``
+    are dropped by key (a hot block value — e.g. block 0 of many low-weight
+    simhashes — would otherwise emit s² self-join rows), and surviving
+    memberships are gathered once per (block_id, block_key) with pairs
+    expanding MAP-SIDE from the sorted member array. Capped buckets are
+    observable via ``simhash_overflow_blocks``, never silently dropped.
+    ``max_bucket_size=None`` is the explicit uncapped opt-out (correctness
+    tiers, where completeness of the pigeonhole banding must be provable).
+    """
+    blocks = _simhash_blocks(signatures, block_bits)
+    sizes = blocks.groupBy("block_id", "block_key").agg(F.count("*").alias("_sz"))
+    size_ok = F.col("_sz") >= 2
+    if max_bucket_size is not None:
+        size_ok = size_ok & (F.col("_sz") <= max_bucket_size)
+    ok_keys = sizes.filter(size_ok).select("block_id", "block_key")
+    buckets = (
+        blocks.join(ok_keys, ["block_id", "block_key"])
+        .groupBy("block_id", "block_key")
+        .agg(F.sort_array(F.collect_list(F.struct("file_id", "simhash"))).alias("_m"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size("_m")),
+                lambda y: F.struct(
+                    x["file_id"].alias("a"),
+                    y["file_id"].alias("b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.a", "p.b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_overflow_blocks(
+    signatures: DataFrame, block_bits: int = 16, max_bucket_size: int = 200
+) -> DataFrame:
+    """The block buckets the cap excluded — logged, never silently dropped
+    (symmetric to ``overflow_buckets`` for the MinHash bands)."""
+    return (
+        _simhash_blocks(signatures, block_bits)
+        .groupBy("block_id", "block_key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
     )

@@ -33,16 +33,18 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 9,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 512,
 ) -> DataFrame:
     """All (a < b, jaccard ≥ threshold) pairs by exact n-gram Jaccard.
 
-    jaccard = |A∩B| / (|A|+|B|−|A∩B|). With the cap OFF (default) the
-    metric is exact. With a cap, capped grams are excluded from the
-    intersection count too, so the reported jaccard is a LOWER BOUND and
-    ultra-common boilerplate no longer inflates similarity — usually the
-    desired behavior; re-verify with lsh.exact_jaccard_for_pairs if the
-    uncapped value is required.
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|). With the cap (FINITE by default —
+    the uncapped self-join is quadratic in the hottest gram's doc
+    frequency, so opting into that path must be explicit via ``None``),
+    capped grams are excluded from the intersection count too, so the
+    reported jaccard is a LOWER BOUND and ultra-common boilerplate no
+    longer inflates similarity — usually the desired behavior. Pass
+    ``max_doc_freq=None`` for the exact metric (oracle tiers); re-verify
+    with lsh.exact_jaccard_for_pairs if the uncapped value is required.
     """
     # scoped cache (grams feed the size agg + both join sides); released by
     # the query-boundary owner — see data_deduplication_service_spark/cache.py

@@ -117,7 +117,7 @@ def substring_containment_pairs(
     files: DataFrame,
     signatures: DataFrame,
     min_len_bytes: int = 12,
-    max_shingle_doc_freq: int | None = None,
+    max_shingle_doc_freq: int | None = 512,
 ) -> DataFrame:
     """(inner, outer) pairs where inner.content ⊆ outer.content verbatim.
 
@@ -137,6 +137,11 @@ def substring_containment_pairs(
     candidates (exact verification restores precision). The only recall
     loss is docs whose shingles are ALL hot — reported, never silently
     dropped (`containment_overflow_docs`).
+
+    The cap defaults FINITE (512) because the uncapped join is quadratic in
+    the hottest shingle's doc frequency — a caller must opt out explicitly
+    with ``None`` (correctness tiers comparing against a brute-force
+    oracle), never fall into the quadratic path by omission.
     """
     sig = signatures.select("file_id", F.explode("shingles").alias("s"))
     joinable = sig

@@ -123,7 +123,10 @@ class StageStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
         wall_ms = (time.monotonic() - t0) * 1000
-        rows = self.spark.read.parquet(tmp).count()
+        # ONE read-back serves both the row count and the schema (footer
+        # bound, but two reads were two listings + an extra count job)
+        written = self.spark.read.parquet(tmp)
+        rows = written.count()
         manifest = {
             "stage": stage,
             "snapshot_id": sid,
@@ -131,11 +134,16 @@ class StageStore:
             "status": "committed",
             "rows": rows,
             "wall_ms": round(wall_ms, 1),
-            "schema": self.spark.read.parquet(tmp).schema.simpleString(),
+            "schema": written.schema.simpleString(),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2)
+        # crash-orphan cleanup: a crash between the rename below and the log
+        # append leaves a dir whose name reuses this (uncommitted) sid — the
+        # log is the commit record, so an unlogged same-name dir is garbage
+        # and os.rename onto a non-empty dir would otherwise wedge the stage
+        shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)  # snapshot dir becomes immutable
         with open(self._log_path(), "a") as f:
             f.write(json.dumps({"snapshot_id": sid, "stage": stage,

@@ -164,8 +164,15 @@ def with_directory_stubs(files_with_identity: DataFrame) -> DataFrame:
     Dir identity: file_id = xxhash64(repo, dirpath, '<dir>') — deterministic
     and disjoint from file ids (no file has commit '<dir>')."""
     parts = F.split("path", "/")
+    # guard: F.sequence defaults to step -1 when start > stop, so a single-
+    # component path (no '/') would yield [1, 0] and mint two bogus stubs
+    # (one shadowing the file's own path, one empty) — top-level files get
+    # no ancestors instead
+    ancestor_idx = F.when(
+        F.size(parts) >= 2, F.sequence(F.lit(1), F.size(parts) - 1)
+    ).otherwise(F.array().cast("array<int>"))
     ancestors = F.transform(
-        F.sequence(F.lit(1), F.size(parts) - 1),
+        ancestor_idx,
         lambda i: F.array_join(F.slice(parts, F.lit(1), i), "/"),
     )
     dirs = (

@@ -88,3 +88,24 @@ def test_directory_stubs_listed_like_get_all_files(spark, small_corpus, cfg):
     assert chars.filter(F.col("segment_count").isNull()).count() == n_dirs
     # ids are unique across files ∪ dirs
     assert listing.select("file_id").distinct().count() == listing.count()
+
+
+def test_directory_stubs_top_level_path_has_no_ancestors(spark):
+    """A single-component path (no '/') must mint NO directory stubs —
+    F.sequence(1, 0) would otherwise step -1 and emit a stub shadowing the
+    file's own path plus an empty-string stub."""
+    from data_deduplication_service_spark.sources import with_directory_stubs
+
+    rows = [
+        ("org/r", "README", "c1", "txt", "top-level file"),
+        ("org/r", "src/mod.py", "c2", "py", "nested file"),
+    ]
+    ident = with_file_identity(
+        spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+    )
+    listing = with_directory_stubs(ident)
+    dirs = {r.path for r in listing.filter(F.col("commit") == "<dir>").collect()}
+    assert dirs == {"src"}  # no "README" stub, no "" stub
+    assert listing.count() == 3

@@ -193,3 +193,47 @@ def test_candidate_pairs_plan_is_gather_not_self_join(spark):
     n_joins = len(re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
     assert n_joins <= 1, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4, plan
+
+
+def test_simhash_degenerate_block_cannot_explode(spark):
+    """A hot block value (here: 60 docs whose simhashes share block 0 but
+    are far apart overall) must be excluded by the bucket cap instead of
+    emitting s² join rows, and must appear in the overflow report."""
+    from data_deduplication_service_spark.operators.lsh import simhash_overflow_blocks
+
+    # 60 very different docs + 2 true near-identical ones
+    rows = [(i, f"wholly distinct document body {i} " + "x" * (i % 17)) for i in range(60)]
+    base = "shared near identical content that differs by one char " * 4
+    rows += [(100, base), (101, base + "!")]
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    sig = signature_table(files, DedupConfig())
+    # block_bits=32 → block 1 of docs with few high bits collides often;
+    # cap=5 forces every bucket bigger than 5 out of pair generation
+    capped = simhash_candidate_pairs(sig, max_hamming=6, block_bits=32, max_bucket_size=5)
+    uncapped = simhash_candidate_pairs(sig, max_hamming=6, block_bits=32, max_bucket_size=None)
+    got_capped = {(r.a, r.b) for r in capped.collect()}
+    got_uncapped = {(r.a, r.b) for r in uncapped.collect()}
+    assert got_capped <= got_uncapped
+    overflow = simhash_overflow_blocks(sig, block_bits=32, max_bucket_size=5)
+    # capped ≠ uncapped ⟹ some bucket was capped ⟹ it must be reported
+    if got_capped != got_uncapped:
+        assert overflow.count() > 0
+    assert overflow.filter(F.col("bucket_size") <= 5).count() == 0
+
+
+def test_simhash_candidate_plan_is_gather_not_self_join(spark):
+    """Scale-shape regression (mirrors the minhash-band assertion): simhash
+    candidates must come from the capped bucket GATHER + map-side explode —
+    at most the single co-partitioned key-prune join, ≤4 hash exchanges."""
+    import re
+
+    rows = [(i, f"some body text for document {i} " * 8) for i in range(40)]
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    sig = signature_table(files, DedupConfig())
+    df = simhash_candidate_pairs(sig, max_hamming=3)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") >= 1, plan
+    n_joins = len(re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
+    assert n_joins <= 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4, plan

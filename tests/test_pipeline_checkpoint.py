@@ -97,3 +97,20 @@ def test_pipeline_end_to_end_and_resume(spark, warehouse):
     assert summary.n_files == 150
     assert summary.n_dup_pairs > 0
     assert summary.n_clusters < 150  # dup groups collapsed
+
+
+def test_save_recovers_from_crash_orphan_snapshot_dir(spark, warehouse):
+    """A crash between os.rename(tmp, final) and the snapshot-log append
+    leaves an unlogged dir whose name reuses the next snapshot id; the next
+    save() must replace it instead of wedging on ENOTEMPTY forever."""
+    cfg = DedupConfig()
+    store = StageStore(spark, warehouse, cfg)
+    store.save("s1", spark.range(5).withColumnRenamed("id", "x"))
+    # simulate the orphan: next sid is 2 — plant a non-empty unlogged dir
+    orphan = os.path.join(warehouse, f"s2__{store.fingerprint}__s2")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("left behind by a crash")
+    store.save("s2", spark.range(7).withColumnRenamed("id", "y"))
+    assert store.load("s2").count() == 7
+    assert store.is_done("s2")

@@ -117,3 +117,22 @@ def test_signature_table_schema_and_values(spark, small_corpus):
         assert got.n_shingles == sh.size
         assert got.minhash == S.minhash_from_shingles(sh, a, b).astype(np.int64).tolist()
         assert sorted(got.shingles) == sorted(sh.astype(np.int64).tolist())
+
+
+def test_keep_shingles_batch_split_on_offset_ceiling(spark, monkeypatch):
+    """An output batch whose cumulative shingle count exceeds the int32
+    ListArray offset ceiling must be SPLIT at doc boundaries with identical
+    results (the real ceiling is 2^31; patched down to exercise the path)."""
+    rows = [(i, f"document body number {i} with plenty of distinct text " * 6) for i in range(12)]
+    files = spark.createDataFrame(rows, "file_id long, content string").coalesce(1)
+    cfg = DedupConfig()
+    want = {
+        r.file_id: (r.n_shingles, tuple(r.shingles), tuple(r.minhash))
+        for r in S.signature_table(files, cfg, keep_shingles=True).collect()
+    }
+    monkeypatch.setattr(S, "_I32_SAFE", 400)  # force multi-slice emission
+    got = {
+        r.file_id: (r.n_shingles, tuple(r.shingles), tuple(r.minhash))
+        for r in S.signature_table(files, cfg, keep_shingles=True).collect()
+    }
+    assert got == want
