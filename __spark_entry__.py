@@ -377,6 +377,24 @@ def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cluster repeated-substring pairs (operators/suffix.py:
+    repeated_substrings_global): doc pairs sharing a verbatim byte block
+    ≥ 100 bytes, found via winnowing anchors + per-pair suffix-array
+    verification — NOT limited to near-dup clusters.
+
+    Oracle-complete config: max_anchor_members=10^9 (no exemplar
+    truncation), and winnowing guarantees a shared anchor for any common
+    substring of length ≥ window + k − 1 = min_len, so the output is
+    EXACTLY {pairs sharing an L-byte substring} — which DuckDB computes as
+    pairs sharing any L-byte gram (hex domain, byte-exact)."""
+    from data_deduplication_service_spark.operators.suffix import repeated_substrings_global
+
+    files = _doc_files(spark, sf_dir)
+    out = repeated_substrings_global(files, min_len=100, max_anchor_members=10**9)
+    return out.select("file_a", "file_b").distinct()
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions (30-min inactivity gap):
     per-session event counts and bounds — covers lag/cumsum window shapes."""
@@ -539,6 +557,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "delete_gc_histogram": q_delete_gc_histogram,
         "consistency_check": q_consistency_check,
         "substring_containment": q_substring_containment,
+        "global_repeats": q_global_repeats,
         "event_sessions": q_event_sessions,
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_topk": q_revenue_topk,
@@ -838,6 +857,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE x.doc_id != y.doc_id
               AND octet_length(encode(x.text)) >= 12   -- byte gate, same as Spark
               AND position(x.text IN y.text) > 0
+        """,
+        # pairs sharing a verbatim substring of ≥ 100 BYTES ⟺ pairs sharing
+        # any 100-byte gram — computed byte-exactly in the hex domain (2 hex
+        # chars per byte, windows slide by whole bytes)
+        "global_repeats": f"""
+            WITH lg AS (
+              SELECT DISTINCT doc_id,
+                     substring({_HX}, 2*(t.i-1)+1, 2*100) AS gram
+              FROM documents,
+                   unnest(generate_series(1, octet_length(encode(text)) - 100 + 1)) AS t(i)
+              WHERE octet_length(encode(text)) >= 100
+            )
+            SELECT a.doc_id AS file_a, b.doc_id AS file_b
+            FROM lg a JOIN lg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "event_sessions": """
             WITH e AS (

@@ -69,7 +69,10 @@ def _scale_near_dup_queries():
         verified_pairs,
     )
 
-    cfg = DedupConfig()
+    # minhash_bits=32 is the shipped production scale config as of round 3
+    # (halved signature/band bytes; recall ≥0.99 gate in
+    # tests/test_lsh_components.py::test_recall_with_32bit_minhash)
+    cfg = DedupConfig(minhash_bits=32)
 
     def _pairs(spark, sf_dir):
         files = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -89,9 +92,23 @@ def _scale_near_dup_queries():
             connected_components(pairs.select("a", "b")), files
         )
 
+    def global_repeats_scalecfg(spark, sf_dir):
+        # production config for the winnowing suffix tier: capped exemplars
+        # (the entry-query variant runs uncapped to equal its brute-force
+        # 100-byte-gram oracle)
+        from data_deduplication_service_spark.operators.suffix import (
+            repeated_substrings_global,
+        )
+
+        files = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+        )
+        return repeated_substrings_global(files, min_len=100, max_anchor_members=8)
+
     return {
         "minhash_lsh_pairs_scalecfg": minhash_lsh_pairs_scalecfg,
         "near_dup_clusters_scalecfg": near_dup_clusters_scalecfg,
+        "global_repeats_scalecfg": global_repeats_scalecfg,
     }
 
 
@@ -127,7 +144,7 @@ def main() -> None:
     warehouse = tempfile.mkdtemp(prefix="dedup_bench_wh_")
     t0 = time.monotonic()
     result = run_pipeline(
-        spark, corpus, DedupConfig(), warehouse, force=True, collect_lineage=False
+        spark, corpus, DedupConfig(minhash_bits=32), warehouse, force=True, collect_lineage=False
     )
     result.clusters.count()
     pipeline_sec = round(time.monotonic() - t0, 3)

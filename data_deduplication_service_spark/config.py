@@ -43,6 +43,10 @@ class DedupConfig:
     shingle_mode: str = "char"      # char | word | segment
     shingle_k: int = 9              # k-gram width (chars or words)
     minhash_n: int = 128            # signature length
+    minhash_bits: int = 64          # stored signature width: 64, or 32 (high
+    #   bits of the 64-bit min — halves signature/band bytes; the extra
+    #   per-position collision probability is 2^-32, invisible next to the
+    #   J(1-J)/n estimator noise; gated by the recall ≥0.99 tests)
     bands: int = 32                 # LSH bands
     rows_per_band: int = 4          # minhash_n == bands * rows_per_band
     jaccard_threshold: float = 0.7  # near-dup decision threshold
@@ -70,6 +74,8 @@ class DedupConfig:
                 f"minhash_n ({self.minhash_n}) must equal bands*rows_per_band "
                 f"({self.bands}*{self.rows_per_band})"
             )
+        if self.minhash_bits not in (32, 64):
+            raise ValueError("minhash_bits must be 32 or 64")
         if self.shingle_mode not in ("char", "word", "segment"):
             raise ValueError(f"bad shingle_mode {self.shingle_mode!r}")
         if not 0.0 < self.jaccard_threshold <= 1.0:

@@ -45,6 +45,24 @@ SIGNATURE_SCHEMA = (
 )
 
 
+def signature_schema(cfg: DedupConfig) -> str:
+    """Output schema of signature_table — minhash element width follows
+    cfg.minhash_bits (array<int> at 32 halves every downstream signature
+    byte: the persisted table, the band slices, both estimate-join sides)."""
+    mh = "array<int>" if cfg.minhash_bits == 32 else "array<long>"
+    return f"file_id long, n_shingles int, shingles array<long>, minhash {mh}, simhash long"
+
+
+def _store_minhash(mh_u64: np.ndarray, bits: int) -> np.ndarray:
+    """uint64 minhash values → storage dtype. 32-bit keeps the HIGH half of
+    the 64-bit min (the min is still taken over full 64-bit values, so the
+    stored signature is exactly the wide signature truncated — positionwise
+    equality gains only a 2^-32 accidental-collision term)."""
+    if bits == 32:
+        return (mh_u64 >> np.uint64(32)).astype(np.uint32).view(np.int32)
+    return mh_u64.view(np.int64)
+
+
 def _minhash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(cfg.seed)
     a = rng.integers(1, 2**63 - 1, size=cfg.minhash_n, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
@@ -61,8 +79,11 @@ def _poly_powers(k: int) -> np.ndarray:
     return out
 
 
-def char_shingle_hashes(data: bytes, k: int) -> np.ndarray:
-    """Unique uint64 hashes of all k-byte windows (whole doc if len<k)."""
+def char_window_hashes(data: bytes, k: int) -> np.ndarray:
+    """POSITIONAL uint64 hashes of all k-byte windows, in document order
+    (whole doc as one window if len<k). The positional form is what
+    position-sensitive consumers (winnowing anchors) need; the set form
+    below just uniques it."""
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     n = arr.size
     if n == 0:
@@ -74,8 +95,12 @@ def char_shingle_hashes(data: bytes, k: int) -> np.ndarray:
         windows = np.lib.stride_tricks.sliding_window_view(arr, k)
         powers = _poly_powers(k)
     with np.errstate(over="ignore"):
-        h = windows @ powers  # modular 2^64 polynomial hash
-    return np.unique(h)
+        return windows @ powers  # modular 2^64 polynomial hash
+
+
+def char_shingle_hashes(data: bytes, k: int) -> np.ndarray:
+    """Unique uint64 hashes of all k-byte windows (whole doc if len<k)."""
+    return np.unique(char_window_hashes(data, k))
 
 
 def segment_shingle_hashes(data: bytes, segment_size: int) -> np.ndarray:
@@ -175,6 +200,42 @@ def simhash_from_shingles(sh: np.ndarray, chunk: int = 512) -> int:
 # batched char-mode kernel (Arrow zero-copy path)
 # --------------------------------------------------------------------------
 
+def _char_batch_positional_minhash(
+    data: np.ndarray, offs: np.ndarray, k: int, a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Scale-path kernel variant: MinHash straight from POSITIONAL window
+    hashes — no per-doc np.unique. A duplicate shingle value cannot change
+    an elementwise min, so the signatures are BIT-IDENTICAL to the unique-
+    set kernel (property-tested); what disappears is the per-doc O(n log n)
+    sort, which is random-access DRAM traffic — exactly the resource the
+    8→32 scaling decomposition showed this box runs out of. Returns
+    (window_counts[n], minhash uint64 (n_perm, n)); use only when neither
+    the shingle sets nor simhash (multiplicity-sensitive) are needed."""
+    n_docs = offs.size - 1
+    arr = data.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        if arr.size >= k:
+            H = np.lib.stride_tricks.sliding_window_view(arr, k) @ _poly_powers(k)
+        else:
+            H = np.empty(0, dtype=np.uint64)
+    parts: list[np.ndarray] = []
+    counts = np.zeros(n_docs, dtype=np.int64)
+    for d in range(n_docs):
+        s, e = int(offs[d]), int(offs[d + 1])
+        if e == s:
+            continue
+        if e - s <= k:
+            with np.errstate(over="ignore"):
+                parts.append(np.atleast_1d(arr[s:e] @ _poly_powers(e - s)))
+        else:
+            parts.append(H[s : e - (k - 1)])
+        counts[d] = parts[-1].size
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    u = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+    return counts, _batch_minhash(u, starts, counts, a, b)
+
+
 def _char_batch_kernel(
     data: np.ndarray,
     offs: np.ndarray,
@@ -221,6 +282,31 @@ def _char_batch_kernel(
     np.cumsum(sizes, out=starts[1:])
     u = np.concatenate(uniqs) if n_docs else np.empty(0, dtype=np.uint64)
 
+    minhash = _batch_minhash(u, starts, sizes, a, b)
+
+    ne = np.nonzero(sizes)[0]
+    simhash = np.zeros(n_docs, dtype=np.int64)
+    if want_simhash:
+        for d in ne:
+            simhash[d] = simhash_from_shingles(uniqs[d])
+    return sizes, u, starts, minhash, simhash
+
+
+def _batch_minhash(
+    u: np.ndarray, starts: np.ndarray, sizes: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """MinHash for a whole batch of docs whose unique shingle sets are laid
+    out CONTIGUOUSLY (u = concat of per-doc uniques, starts = int64 (n+1)
+    boundaries). Returns uint64 (n_perm, n_docs); empty docs get all-max.
+
+    Shared by the char Arrow kernel and the word/segment batch path — the
+    tiling is the DRAM-critical part: L2-resident (perm-group ×
+    position-block) tiles with np.minimum.reduceat folding doc boundaries,
+    ONE preallocated tile reused via out= ufuncs (a fresh numpy temp per
+    iteration rotates allocations through the shared L3 — 32 workers ×
+    256KB/iter of store traffic — which measurably caps multi-process
+    scaling; a reused buffer stays hot in the core's L2)."""
+    n_docs = sizes.size
     # reduceat boundaries must come from NONEMPTY docs only (an empty
     # segment makes reduceat return the element at the index, not identity)
     ne = np.nonzero(sizes)[0]
@@ -228,10 +314,6 @@ def _char_batch_kernel(
     minhash = np.full((a.size, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
     mh_c = np.full((a.size, ne.size), np.iinfo(np.uint64).max, dtype=np.uint64)
     BLK, PG = 8192, 4  # 4×8192×8B = 256KB tiles (L2-resident; swept empirically)
-    # ONE preallocated tile reused via out= ufuncs: a fresh numpy temp per
-    # (block × perm-group) iteration rotates allocations through the shared
-    # L3 (32 workers × 256KB/iter of store traffic), which measurably caps
-    # multi-process scaling; a reused buffer stays hot in the core's L2.
     vbuf = np.empty((PG, BLK), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for s0 in range(0, int(u.size), BLK):
@@ -248,12 +330,7 @@ def _char_batch_kernel(
                 m = np.minimum.reduceat(v, idx, axis=1)
                 np.minimum(mh_c[p0:p1, i0:i1], m, out=mh_c[p0:p1, i0:i1])
     minhash[:, ne] = mh_c
-
-    simhash = np.zeros(n_docs, dtype=np.int64)
-    if want_simhash:
-        for d in ne:
-            simhash[d] = simhash_from_shingles(uniqs[d])
-    return sizes, u, starts, minhash, simhash
+    return minhash
 
 
 def _utf8_view(col) -> tuple[np.ndarray, np.ndarray]:
@@ -286,7 +363,10 @@ def _fast_char_signature_table(
 
     a, b = _minhash_params(cfg)
     k = cfg.shingle_k
+    bits = cfg.minhash_bits
     out_type = pa.list_(pa.int64())
+
+    lean = not keep_shingles and not with_simhash
 
     def compute(batches):
         for batch in batches:
@@ -297,9 +377,21 @@ def _fast_char_signature_table(
             content = batch.column(batch.schema.get_field_index("content"))
             data, offs = _utf8_view(content)
             base = int(offs[0])
-            sizes, u, starts, mh, sim = _char_batch_kernel(
-                data[base : int(offs[-1])], offs - base, k, a, b, with_simhash
-            )
+            if lean:
+                # scale path: positional kernel — identical minhash, no
+                # per-doc sort; n_shingles is the WINDOW count here (distinct
+                # counts require the set kernel — keep_shingles=True)
+                sizes, mh = _char_batch_positional_minhash(
+                    data[base : int(offs[-1])], offs - base, k, a, b
+                )
+                u = np.empty(0, dtype=np.uint64)
+                starts = np.zeros(n + 1, dtype=np.int64)
+                sim = np.zeros(n, dtype=np.int64)
+            else:
+                sizes, u, starts, mh, sim = _char_batch_kernel(
+                    data[base : int(offs[-1])], offs - base, k, a, b, with_simhash
+                )
+            mh_store = _store_minhash(mh, bits)
 
             def emit(lo: int, hi: int) -> pa.RecordBatch:
                 s0, s1 = int(starts[lo]), int(starts[hi])
@@ -310,7 +402,7 @@ def _fast_char_signature_table(
                     )
                 else:
                     shingles = pa.nulls(hi - lo, out_type)
-                mh_rows = np.ascontiguousarray(mh[:, lo:hi].T).view(np.int64)
+                mh_rows = np.ascontiguousarray(mh_store[:, lo:hi].T)
                 minhash = pa.ListArray.from_arrays(
                     pa.array(np.arange(hi - lo + 1, dtype=np.int32) * a.size, type=pa.int32()),
                     pa.array(mh_rows.ravel()),
@@ -340,7 +432,7 @@ def _fast_char_signature_table(
                     yield emit(lo, hi)
                     lo = hi
 
-    return files.select("file_id", "content").mapInArrow(compute, schema=SIGNATURE_SCHEMA)
+    return files.select("file_id", "content").mapInArrow(compute, schema=signature_schema(cfg))
 
 
 def signature_table(
@@ -352,8 +444,10 @@ def signature_table(
     """(file_id, content) → (file_id, n_shingles, [shingles], minhash, simhash).
 
     One map-side pass, zero shuffles. char mode (the default) runs the
-    zero-copy Arrow batch kernel; word/segment modes use the per-doc pandas
-    path. ``keep_shingles`` retains the shingle-hash sets for exact-Jaccard
+    zero-copy Arrow batch kernel; word/segment modes extract shingles
+    per-doc (already numpy-vectorized) but run MinHash through the SAME
+    L2-tiled batch kernel, so a config flip doesn't fall off the fast path.
+    ``keep_shingles`` retains the shingle-hash sets for exact-Jaccard
     verification of LSH candidates (small/correctness tiers); at extreme
     scale, drop them and re-derive shingles only for the candidate files
     (semi-join pruning in lsh.exact_jaccard_for_pairs handles both layouts).
@@ -363,29 +457,135 @@ def signature_table(
     if cfg.shingle_mode == "char":
         return _fast_char_signature_table(files, cfg, keep_shingles, with_simhash)
     a, b = _minhash_params(cfg)
+    bits = cfg.minhash_bits
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = []
-            for fid, content in zip(pdf["file_id"], pdf["content"]):
-                sh = shingle_hashes(content, cfg)
-                mh = minhash_from_shingles(sh, a, b).astype(np.int64)
-                recs.append(
-                    (
-                        int(fid),
-                        int(sh.size),
-                        sh.astype(np.int64).tolist() if keep_shingles else None,
-                        mh.tolist(),
-                        simhash_from_shingles(sh) if with_simhash else 0,
-                    )
-                )
+            if not len(pdf):
+                continue
+            uniqs = [shingle_hashes(c, cfg) for c in pdf["content"]]
+            sizes = np.fromiter((x.size for x in uniqs), dtype=np.int64, count=len(uniqs))
+            starts = np.zeros(sizes.size + 1, dtype=np.int64)
+            np.cumsum(sizes, out=starts[1:])
+            u = np.concatenate(uniqs) if uniqs else np.empty(0, dtype=np.uint64)
+            mh = _store_minhash(_batch_minhash(u, starts, sizes, a, b), bits)
             yield pd.DataFrame(
-                recs, columns=["file_id", "n_shingles", "shingles", "minhash", "simhash"]
+                {
+                    "file_id": pdf["file_id"].astype("int64"),
+                    "n_shingles": sizes.astype(np.int32),
+                    "shingles": [s.astype(np.int64).tolist() if keep_shingles else None
+                                 for s in uniqs],
+                    "minhash": list(np.ascontiguousarray(mh.T)),
+                    "simhash": [simhash_from_shingles(s) if with_simhash else 0
+                                for s in uniqs],
+                }
             )
 
-    return files.select("file_id", "content").mapInPandas(compute, schema=SIGNATURE_SCHEMA)
+    return files.select("file_id", "content").mapInPandas(compute, schema=signature_schema(cfg))
 
 
 def hamming64(x: Column, y: Column) -> Column:
     """Hamming distance between two int64 simhashes, JVM-side (bit_count)."""
     return F.bit_count(x.bitwiseXOR(y))
+
+
+# --------------------------------------------------------------------------
+# fused one-pass scan: segment digests + signatures from the SAME bytes
+# --------------------------------------------------------------------------
+
+def _segment_hasher(hash_name: str):
+    """bytes-like → digest bytes for the reference's 6 digests (same dispatch
+    as operators/segmentation.py: hashlib, with the pure-Python RFC 1320
+    fallback when OpenSSL dropped the legacy md4 provider)."""
+    import hashlib
+
+    try:
+        hashlib.new(hash_name)
+        return lambda b: hashlib.new(hash_name, b).digest()
+    except Exception:
+        if hash_name == "md4":
+            from data_deduplication_service_spark.functions.md4 import md4
+
+            return md4
+        raise
+
+
+def fused_signature_segments(files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """ONE pass over content → (file_id, n_shingles, minhash, seg_hashes).
+
+    The scale pipeline's two content consumers — the exact-dedup segment
+    store (non-overlapping segment_size digests, reference semantics per
+    operators/segmentation.py) and the near-dup signature stage — otherwise
+    each scan + decompress the full corpus parquet. At 10^12-file scale the
+    job is data-motion-bound (BENCH/BASELINE.md), so streaming every
+    content byte ONCE instead of twice is the cheapest win available: this
+    kernel computes both outputs from the same Arrow string buffer, zero
+    copies, and downstream stages derive from its (much smaller) output.
+
+    seg_hashes[i] is exactly segment_files' digest for segment_num=i+1
+    (1-based, trailing partial block hashed at true length, empty content →
+    zero segments, matching reject_empty's filter); minhash/n_shingles are
+    bit-identical to signature_table(keep_shingles=False, with_simhash=False)
+    — both equalities are pinned by tests.
+    """
+    import pyarrow as pa
+
+    a, b = _minhash_params(cfg)
+    k = cfg.shingle_k
+    bits = cfg.minhash_bits
+    seg = cfg.segment_size
+    digest = _segment_hasher(cfg.hash_name)
+    mh_type = "array<int>" if bits == 32 else "array<long>"
+    schema = f"file_id long, n_shingles int, minhash {mh_type}, seg_hashes array<binary>"
+
+    def compute(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            fid = batch.column(batch.schema.get_field_index("file_id"))
+            content = batch.column(batch.schema.get_field_index("content"))
+            data, offs = _utf8_view(content)
+            base = int(offs[0])
+            data = data[base : int(offs[-1])]
+            offs = offs - base
+            # positional kernel: bit-identical minhash, no per-doc sort
+            # (n_shingles is the window count on this lean path)
+            sizes, mh = _char_batch_positional_minhash(data, offs, k, a, b)
+            mh_store = _store_minhash(mh, bits)
+
+            # segment digests over the same buffer (hashlib reads numpy
+            # slice memoryviews directly — no bytes copies)
+            mem = memoryview(data)
+            digests: list[bytes] = []
+            seg_counts = np.empty(n, dtype=np.int64)
+            for d in range(n):
+                s, e = int(offs[d]), int(offs[d + 1])
+                c0 = len(digests)
+                for p in range(s, e, seg):
+                    digests.append(digest(mem[p : min(p + seg, e)]))
+                seg_counts[d] = len(digests) - c0
+            seg_offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(seg_counts, out=seg_offsets[1:])
+            seg_list = pa.ListArray.from_arrays(
+                pa.array(seg_offsets, type=pa.int32()),
+                pa.array(digests, type=pa.binary()),
+            )
+            minhash = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * a.size, type=pa.int32()),
+                pa.array(np.ascontiguousarray(mh_store.T).ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [fid, pa.array(sizes.astype(np.int32)), minhash, seg_list],
+                names=["file_id", "n_shingles", "minhash", "seg_hashes"],
+            )
+
+    return files.select("file_id", "content").mapInArrow(compute, schema=schema)
+
+
+def file_segments_from_fused(fused: DataFrame) -> DataFrame:
+    """fused → (file_id, segment_num, segment_hash), the segment_files shape
+    (1-based positions), ready for build_segments_table's salted groupBy."""
+    return fused.select("file_id", F.posexplode("seg_hashes").alias("_i", "segment_hash")).select(
+        "file_id", (F.col("_i") + 1).alias("segment_num"), "segment_hash"
+    )

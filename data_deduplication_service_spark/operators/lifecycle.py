@@ -77,6 +77,38 @@ def delete_files(tables: DedupTables, victims: DataFrame) -> DedupTables:
     return DedupTables(files=files, segments=segments, file_segments=file_segments)
 
 
+def delete_files_dml(files_tbl: str, segments_tbl: str, file_segments_tbl: str,
+                     victims_view: str = "_victims") -> list[str]:
+    """The exact Iceberg DML `delete_files` commits on a real warehouse —
+    four statements, same semantics as the DataFrame path (decrement via
+    MERGE, victim row deletes, zero-count GC). Mirrors the reference's
+    upsert (lib/dbManager.cpp:274-281) and decrement (:110-121)."""
+    return [
+        f"""MERGE INTO {segments_tbl} s
+            USING (SELECT fs.segment_hash, count(*) AS _dec
+                   FROM {file_segments_tbl} fs
+                   JOIN {victims_view} v ON fs.file_id = v.file_id
+                   GROUP BY fs.segment_hash) d
+            ON s.segment_hash = d.segment_hash
+            WHEN MATCHED THEN UPDATE SET s.segment_count = s.segment_count - d._dec""",
+        f"DELETE FROM {file_segments_tbl} WHERE file_id IN (SELECT file_id FROM {victims_view})",
+        f"DELETE FROM {files_tbl} WHERE file_id IN (SELECT file_id FROM {victims_view})",
+        f"DELETE FROM {segments_tbl} WHERE segment_count <= 0",
+    ]
+
+
+def delete_files_iceberg(spark, files_tbl: str, segments_tbl: str,
+                         file_segments_tbl: str, victims: DataFrame) -> None:
+    """Run the delete+GC flow as REAL Iceberg transactions (one snapshot per
+    statement) when the tables live in an Iceberg catalog — the in-place
+    route the immutable-snapshot DataFrame path emulates. Requires Iceberg
+    jars + catalog (plans/checkpoint.py:iceberg_catalogs); tests skip
+    cleanly when absent."""
+    victims.select("file_id").distinct().createOrReplaceTempView("_victims")
+    for stmt in delete_files_dml(files_tbl, segments_tbl, file_segments_tbl):
+        spark.sql(stmt)
+
+
 def gc_unused_segments(segments: DataFrame) -> DataFrame:
     """Standalone GC (deleteUnusedSegments, lib/dbCommon.cpp:188-190)."""
     return segments.filter(F.col("segment_count") > 0)

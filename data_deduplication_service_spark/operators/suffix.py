@@ -209,12 +209,186 @@ def containment_overflow_docs(
     )
 
 
+# --------------------------------------------------------------------------
+# GLOBAL repeated-substring tier: winnowing anchors (cross-cluster coverage)
+# --------------------------------------------------------------------------
+
+def winnow_anchor_set(data: bytes, anchor_k: int, window: int) -> np.ndarray:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): the min hash of
+    every `window` consecutive k-byte window hashes, deduplicated.
+
+    Guarantee: two documents sharing a verbatim substring of length ≥
+    window + anchor_k − 1 select at least one IDENTICAL fingerprint (the
+    shared region contains ≥ `window` consecutive window hashes, all equal
+    in both docs, so the min over some fully-contained winnow window is the
+    same value) — position-independent, layout-independent."""
+    from data_deduplication_service_spark.functions.signatures import char_window_hashes
+
+    h = char_window_hashes(data, anchor_k)
+    if h.size == 0:
+        return h
+    if h.size <= window:
+        return np.unique(h.min(keepdims=True))
+    return np.unique(np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1))
+
+
+def winnowed_anchor_table(
+    files: DataFrame,
+    anchor_k: int = 16,
+    window: int = 35,
+    id_col: str = "file_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """(file_id, anchor) — each doc's winnowing fingerprint set, exploded.
+    Anchor density ≈ 2/(window+1) of positions, so the table is ~6% of the
+    corpus byte count at the defaults — small enough to shuffle freely."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            anchors: list[np.ndarray] = []
+            for fid, text in zip(pdf[id_col], pdf[text_col]):
+                a = winnow_anchor_set(text.encode("utf-8"), anchor_k, window)
+                ids.extend([int(fid)] * a.size)
+                anchors.append(a.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {"file_id": np.array(ids, dtype=np.int64),
+                     "anchor": np.concatenate(anchors)}
+                )
+
+    return files.select(id_col, text_col).mapInPandas(
+        per_batch, schema="file_id long, anchor long"
+    )
+
+
+def global_repeat_candidates(
+    anchors: DataFrame, max_anchor_members: int = 16
+) -> DataFrame:
+    """Distinct (a < b) candidate pairs from shared winnowing anchors.
+
+    Hot anchors (boilerplate blocks shared corpus-wide) are NOT dropped —
+    unlike the LSH bucket cap, dropping them would erase exactly the
+    canonical use case (a license block shared by thousands of otherwise-
+    dissimilar files). Instead each anchor keeps its ``max_anchor_members``
+    smallest file_ids as EXEMPLARS (row_number window — the full membership
+    is never gathered into one row), so every shared block is discovered
+    between exemplars with bounded cap²/2 fanout per anchor; truncation is
+    observable via ``global_repeat_overflow_anchors``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor").orderBy("file_id")
+    top = (
+        anchors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_anchor_members)
+    )
+    buckets = (
+        top.groupBy("anchor")
+        .agg(F.sort_array(F.collect_list("file_id")).alias("_m"))
+        .filter(F.size("_m") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size("_m")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pair_expr).alias("p")).select("p.a", "p.b").distinct()
+
+
+def global_repeat_overflow_anchors(
+    anchors: DataFrame, max_anchor_members: int = 16
+) -> DataFrame:
+    """Anchors whose membership was exemplar-truncated — the observability
+    report for the global tier's cap (symmetric to the LSH bucket report)."""
+    return (
+        anchors.groupBy("anchor")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > max_anchor_members)
+    )
+
+
+def repeated_substrings_global(
+    files: DataFrame,
+    min_len: int = 50,
+    anchor_k: int = 16,
+    max_anchor_members: int = 16,
+    id_col: str = "file_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Cross-CLUSTER verbatim-repeat detection (the coverage the cluster-
+    scoped tier structurally lacks): a 500-byte license block shared by
+    thousands of otherwise-dissimilar files is invisible to
+    repeated_substrings_by_cluster (the files are not near-dups) but is
+    found here, because winnowing anchors key on the shared bytes alone.
+
+    Stage shape: anchor extraction (one narrow content pass) → capped
+    exemplar pair generation (one shuffle on anchor) → per-PAIR suffix-array
+    longest-common-substring verification on semi-join-pruned content (the
+    blob per scan is one doc pair, so the Kasai cost is bounded by the two
+    docs, never a partition). The winnow window is derived from min_len so
+    any common substring of length ≥ min_len is guaranteed a shared anchor:
+    window = min_len − anchor_k + 1.
+
+    Output: (file_a, file_b, match_len, sample) — same schema as the
+    cluster tier; union them for full coverage.
+    """
+    window = max(1, min_len - anchor_k + 1)
+    anchors = winnowed_anchor_table(files, anchor_k, window, id_col, text_col)
+    pairs = global_repeat_candidates(anchors, max_anchor_members)
+
+    from data_deduplication_service_spark.cache import persist_scoped
+
+    pairs = persist_scoped(pairs)
+    involved = (
+        pairs.select(F.col("a").alias("_id"))
+        .union(pairs.select(F.col("b").alias("_id")))
+        .distinct()
+    )
+    content = (
+        files.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .join(involved, "_id", "left_semi")
+    )
+    joined = (
+        pairs.join(content.select(F.col("_id").alias("a"), F.col("_t").alias("_ta")), "a")
+        .join(content.select(F.col("_id").alias("b"), F.col("_t").alias("_tb")), "b")
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc_cache: dict = {}
+
+        def enc(t: str) -> bytes:
+            got = enc_cache.get(t)
+            if got is None:
+                if len(enc_cache) >= 4096:
+                    enc_cache.clear()
+                got = enc_cache[t] = t.encode("utf-8")
+            return got
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for a, b, ta, tb in zip(pdf["a"], pdf["b"], pdf["_ta"], pdf["_tb"]):
+                found = _scan_chunk([int(a), int(b)], [enc(ta), enc(tb)], min_len)
+                if found:
+                    rows.append(max(found, key=lambda r: r[2]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["file_a", "file_b", "match_len", "sample"])
+
+    return joined.mapInPandas(
+        verify, schema="file_a long, file_b long, match_len long, sample string"
+    )
+
+
 def repeated_substrings_by_cluster(
     files: DataFrame,
     clusters: DataFrame,
     min_len: int = 50,
     id_col: str = "file_id",
     text_col: str = "content",
+    max_blob_bytes: int | None = None,
 ) -> DataFrame:
     """GLOBAL repeated-substring detection: co-locate each near-dup
     cluster's members into one partition (hash repartition on cluster_id),
@@ -231,13 +405,72 @@ def repeated_substrings_by_cluster(
         clusters.select(F.col("file_id").alias(id_col), "cluster_id"), id_col
     )
     co_located = tagged.repartition("cluster_id")
+    kw = {} if max_blob_bytes is None else {"max_blob_bytes": max_blob_bytes}
     return repeated_substrings_in_partition(
-        co_located, min_len=min_len, id_col=id_col, text_col=text_col
+        co_located, min_len=min_len, id_col=id_col, text_col=text_col, **kw
     )
 
 
+def _scan_chunk(ids: list[int], texts: list[bytes], min_len: int) -> list[tuple]:
+    """SA + Kasai scan of one bounded doc group; rows of (a, b, len, sample).
+
+    Throughput note (measured on this box, scripts/suffix_microbench.py
+    style run): lcp_array processes ~1.1 MB/s of blob on repetitive code and
+    ~1.6 MB/s on mixed text — the outer Kasai loop is one Python iteration
+    per byte, which is exactly why callers must bound the blob
+    (max_blob_bytes) rather than feed it partition-sized inputs."""
+    if len(texts) < 2:
+        return []
+    blob = b"\x00".join(texts)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum([len(t) + 1 for t in texts[:-1]], out=starts[1:])
+    doc_of = np.searchsorted(starts, np.arange(len(blob)), side="right") - 1
+    sa = suffix_array(blob)
+    lcp = lcp_array(blob, sa)
+    ends = starts + np.array([len(t) for t in texts], dtype=np.int64)
+
+    rows = []
+    for i in np.nonzero(lcp >= min_len)[0]:
+        p, q = int(sa[i - 1]), int(sa[i])
+        da, db = int(doc_of[p]), int(doc_of[q])
+        if da == db:
+            continue
+        # clamp the match to stay inside both documents (no separator)
+        m = min(int(lcp[i]), int(ends[da] - p), int(ends[db] - q))
+        if m < min_len:
+            continue
+        a_id, b_id = ids[da], ids[db]
+        if a_id > b_id:
+            a_id, b_id = b_id, a_id
+        rows.append((a_id, b_id, m, blob[p : p + min(m, 80)].decode("utf-8", "replace")))
+    return rows
+
+
+DEFAULT_MAX_BLOB_BYTES = 32 * 1024 * 1024
+
+
+def blob_chunks(sizes: list[int], max_blob_bytes: int) -> list[int]:
+    """Greedy doc-boundary chunking: returns chunk END indices such that each
+    chunk's byte total stays ≤ max_blob_bytes (a single oversized doc gets
+    its own chunk). Exposed so callers/tests can see exactly how a partition
+    would split."""
+    ends: list[int] = []
+    acc = 0
+    for i, s in enumerate(sizes):
+        if acc and acc + s > max_blob_bytes:
+            ends.append(i)
+            acc = 0
+        acc += s
+    ends.append(len(sizes))
+    return ends
+
+
 def repeated_substrings_in_partition(
-    files: DataFrame, min_len: int = 50, id_col: str = "file_id", text_col: str = "content"
+    files: DataFrame,
+    min_len: int = 50,
+    id_col: str = "file_id",
+    text_col: str = "content",
+    max_blob_bytes: int = DEFAULT_MAX_BLOB_BYTES,
 ) -> DataFrame:
     """Maximal cross-document repeated substrings within each partition.
 
@@ -246,6 +479,15 @@ def repeated_substrings_in_partition(
     suffix pairs with LCP ≥ min_len that start in DIFFERENT documents.
     Output: (file_a, file_b, match_len, sample) — dedup decisions (which
     copy to keep) are the caller's policy.
+
+    ``max_blob_bytes`` is a HARD per-scan cap: Kasai's outer loop runs one
+    Python iteration per blob byte (~1-1.6 MB/s measured), so an unbounded
+    partition blob would take minutes of pure interpreter time. Oversized
+    partitions are split at doc boundaries (docs ordered by id for
+    layout-determinism); matches between docs that land in different chunks
+    of the SAME partition are not reported — size partitions (cluster
+    co-location / anchor groups) under the cap to avoid splits, and use
+    ``blob_split_report`` to see where splitting occurred.
     """
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -256,28 +498,14 @@ def repeated_substrings_in_partition(
             texts.extend(t.encode("utf-8") for t in pdf[text_col])
         if len(texts) < 2:
             return
-        blob = b"\x00".join(texts)
-        starts = np.zeros(len(texts), dtype=np.int64)
-        np.cumsum([len(t) + 1 for t in texts[:-1]], out=starts[1:])
-        doc_of = np.searchsorted(starts, np.arange(len(blob)), side="right") - 1
-        sa = suffix_array(blob)
-        lcp = lcp_array(blob, sa)
-        ends = starts + np.array([len(t) for t in texts], dtype=np.int64)
-
-        rows = []
-        for i in np.nonzero(lcp >= min_len)[0]:
-            p, q = int(sa[i - 1]), int(sa[i])
-            da, db = int(doc_of[p]), int(doc_of[q])
-            if da == db:
-                continue
-            # clamp the match to stay inside both documents (no separator)
-            m = min(int(lcp[i]), int(ends[da] - p), int(ends[db] - q))
-            if m < min_len:
-                continue
-            a_id, b_id = ids[da], ids[db]
-            if a_id > b_id:
-                a_id, b_id = b_id, a_id
-            rows.append((a_id, b_id, m, blob[p : p + min(m, 80)].decode("utf-8", "replace")))
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        ids = [ids[i] for i in order]
+        texts = [texts[i] for i in order]
+        rows: list[tuple] = []
+        lo = 0
+        for hi in blob_chunks([len(t) for t in texts], max_blob_bytes):
+            rows.extend(_scan_chunk(ids[lo:hi], texts[lo:hi], min_len))
+            lo = hi
         if rows:
             out = pd.DataFrame(rows, columns=["file_a", "file_b", "match_len", "sample"])
             # keep the longest match per doc pair
@@ -286,4 +514,33 @@ def repeated_substrings_in_partition(
 
     return files.select(id_col, text_col).mapInPandas(
         per_partition, schema="file_a long, file_b long, match_len long, sample string"
+    )
+
+
+def blob_split_report(
+    files: DataFrame,
+    id_col: str = "file_id",
+    text_col: str = "content",
+    max_blob_bytes: int = DEFAULT_MAX_BLOB_BYTES,
+) -> DataFrame:
+    """Per-partition (n_docs, total_bytes, n_chunks) under the blob cap —
+    the split observability for repeated_substrings_in_partition (symmetric
+    to the LSH/containment overflow reports: capped work is visible)."""
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sizes: list[int] = []
+        for pdf in batches:
+            sizes.extend(len(t.encode("utf-8")) for t in pdf[text_col])
+        if not sizes:
+            return
+        yield pd.DataFrame(
+            {
+                "n_docs": [len(sizes)],
+                "total_bytes": [int(sum(sizes))],
+                "n_chunks": [len(blob_chunks(sizes, max_blob_bytes))],
+            }
+        )
+
+    return files.select(id_col, text_col).mapInPandas(
+        per_partition, schema="n_docs long, total_bytes long, n_chunks long"
     )

@@ -216,3 +216,103 @@ class StageStore:
         if not force and self.is_done(stage):
             return self.load(stage)
         return self.save(stage, build(), partition_by=partition_by)
+
+
+# --------------------------------------------------------------------------
+# Iceberg backend (selected when a real Iceberg catalog is configured)
+# --------------------------------------------------------------------------
+
+def iceberg_catalogs(spark: SparkSession) -> list[str]:
+    """Names of configured Iceberg catalogs: every ``spark.sql.catalog.<n>``
+    conf whose implementation class mentions iceberg. Empty in this sandbox
+    (no jars) — the factory then falls back to the parquet StageStore."""
+    names = []
+    for k, v in spark.sparkContext.getConf().getAll():
+        parts = k.split(".")
+        if k.startswith("spark.sql.catalog.") and len(parts) == 4 and "iceberg" in v.lower():
+            names.append(parts[3])
+    return sorted(names)
+
+
+class IcebergStageStore:
+    """The StageStore contract over a REAL Iceberg catalog: commits are
+    native Iceberg snapshots (``writeTo(...).createOrReplace()``), time
+    travel reads ``VERSION AS OF``, expiration calls the
+    ``expire_snapshots`` procedure, and manifest-level pruning comes from
+    Iceberg itself. Orchestration (fingerprint keying, skip-if-done,
+    resume) is identical to the parquet emulation — the pipeline code
+    doesn't change, only ``make_stage_store``'s selection.
+
+    ``load_snapshot`` is per-stage here (Iceberg snapshot ids are
+    table-scoped), unlike the emulation's warehouse-global log."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str, cfg: DedupConfig):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        self.cfg = cfg
+        self.fingerprint = config_fingerprint(cfg)
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def table_name(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}_{self.fingerprint}"
+
+    def is_done(self, stage: str) -> bool:
+        return self.spark.catalog.tableExists(self.table_name(stage))
+
+    def save(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        writer = df.writeTo(self.table_name(stage))
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()  # one atomic Iceberg snapshot commit
+        return self.load(stage)
+
+    def load(self, stage: str) -> DataFrame:
+        return self.spark.read.table(self.table_name(stage))
+
+    def snapshots(self, stage: str) -> list[dict[str, Any]]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, committed_at, operation FROM {self.table_name(stage)}.snapshots"
+        ).collect()
+        return [r.asDict() for r in rows]
+
+    def load_snapshot(self, stage: str, snapshot_id: int) -> DataFrame:
+        return self.spark.sql(
+            f"SELECT * FROM {self.table_name(stage)} VERSION AS OF {snapshot_id}"
+        )
+
+    def expire_snapshots(self, stage: str, keep_last: int = 1) -> None:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots("
+            f"table => '{self.namespace}.{stage}_{self.fingerprint}', "
+            f"retain_last => {int(keep_last)})"
+        )
+
+    def run_stage(
+        self,
+        stage: str,
+        build: "callable[[], DataFrame]",
+        partition_by: list[str] | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        if not force and self.is_done(stage):
+            return self.load(stage)
+        return self.save(stage, build(), partition_by=partition_by)
+
+
+def make_stage_store(
+    spark: SparkSession,
+    warehouse: str,
+    cfg: DedupConfig,
+    iceberg_catalog: str | None = None,
+    namespace: str = "dedup",
+):
+    """Backend selection: a named (or auto-detected) Iceberg catalog gets the
+    native snapshot store; otherwise the parquet emulation. Both expose the
+    run_stage/is_done/save/load contract the pipeline orchestrates against."""
+    catalog = iceberg_catalog or next(iter(iceberg_catalogs(spark)), None)
+    if catalog:
+        return IcebergStageStore(spark, catalog, namespace, cfg)
+    return StageStore(spark, warehouse, cfg)

@@ -49,7 +49,13 @@ def build_zip(path: str) -> str:
     return path
 
 
-def worker(cores: int, input_path: str) -> None:
+def worker(
+    cores: int,
+    input_path: str,
+    fused: bool = False,
+    minhash_bits: int = 32,
+    with_global_repeats: bool = False,
+) -> None:
     from pyspark.sql import SparkSession
 
     spark = (
@@ -91,11 +97,15 @@ def worker(cores: int, input_path: str) -> None:
         segment_files,
     )
 
-    cfg = DedupConfig()
-    # No repartition, no persist: the measured pipelines read the parquet
-    # table directly (16MB splits give every core scan tasks) — exactly what
-    # a cluster job does with its checkpointed files table, and measurably
-    # faster than serving content out of a deserialized object cache.
+    from pyspark.sql import functions as F
+
+    from data_deduplication_service_spark.plans.pipeline import exact_representatives
+
+    cfg = DedupConfig(minhash_bits=minhash_bits)
+    # No repartition: the measured pipelines read the parquet table directly
+    # (16MB splits give every core scan tasks) — exactly what a cluster job
+    # does with its checkpointed files table, and measurably faster than
+    # serving content out of a deserialized object cache.
     files = spark.read.parquet(input_path)
     n_files = files.count()
 
@@ -104,21 +114,41 @@ def worker(cores: int, input_path: str) -> None:
 
     t = {}
     t0 = time.monotonic()
-    fs = segment_files(files, cfg)
-    mat(build_segments_table(fs, cfg))
-    t["segment_store"] = time.monotonic() - t0
+    if fused:
+        # ONE content pass serves BOTH stages: the fused Arrow kernel emits
+        # segment digests + minhash from the same string buffer, and the
+        # segment store + the whole near-dup stack derive from its persisted
+        # (content-free, ~30x smaller) output — the corpus bytes are
+        # streamed/decompressed once instead of twice. This is the DRAM-
+        # traffic cut the job-level scaling number is bounded by.
+        from data_deduplication_service_spark.functions.signatures import (
+            file_segments_from_fused,
+            fused_signature_segments,
+        )
 
-    # ONE job chain for the whole near-dup stack: intermediate count()
-    # barriers serialize the stages and measured pure scheduling overhead
-    # at 32 threads (load never passed 15/32 with per-substage barriers)
-    t1 = time.monotonic()
-    from data_deduplication_service_spark.plans.pipeline import exact_representatives
+        fused_df = fused_signature_segments(files, cfg).persist()
+        mat(build_segments_table(file_segments_from_fused(fused_df), cfg))
+        t["segment_store"] = time.monotonic() - t0
 
-    reps, exact_edges = exact_representatives(files)
-    # scale path never touches stored shingle sets (borderline verification
-    # re-derives them from content) — dropping them shrinks signature rows
-    # ~16x (2k int64 hashes vs 128-long minhash + scalars)
-    sig = signature_table(reps, cfg, keep_shingles=False, with_simhash=False).persist()
+        t1 = time.monotonic()
+        reps, exact_edges = exact_representatives(files)
+        sig = fused_df.select("file_id", "n_shingles", "minhash").join(
+            F.broadcast(reps.select("file_id")), "file_id", "left_semi"
+        )
+    else:
+        fs = segment_files(files, cfg)
+        mat(build_segments_table(fs, cfg))
+        t["segment_store"] = time.monotonic() - t0
+
+        # ONE job chain for the whole near-dup stack: intermediate count()
+        # barriers serialize the stages and measured pure scheduling overhead
+        # at 32 threads (load never passed 15/32 with per-substage barriers)
+        t1 = time.monotonic()
+        reps, exact_edges = exact_representatives(files)
+        # scale path never touches stored shingle sets (borderline
+        # verification re-derives them from content) — dropping them shrinks
+        # signature rows ~16x (2k int64 hashes vs minhash + scalars)
+        sig = signature_table(reps, cfg, keep_shingles=False, with_simhash=False).persist()
     cands = candidate_pairs(band_table(sig, cfg), cfg)
     near = verified_pairs(cands, sig, cfg, exact=True, files=reps)
     pairs = near.select("a", "b").unionByName(exact_edges.select("a", "b")).distinct().persist()
@@ -130,6 +160,19 @@ def worker(cores: int, input_path: str) -> None:
     n_comp = comp.count()
     t["connected_components"] = time.monotonic() - t2
 
+    n_repeats = -1
+    if with_global_repeats:
+        # the suffix tier on the measured path (capped exemplar config):
+        # winnowing anchors → bounded pair gen → per-pair SA verification
+        from data_deduplication_service_spark.operators.suffix import (
+            repeated_substrings_global,
+        )
+
+        t3 = time.monotonic()
+        gr = repeated_substrings_global(files, min_len=100, max_anchor_members=8)
+        n_repeats = gr.count()
+        t["global_repeats"] = time.monotonic() - t3
+
     total = time.monotonic() - t0
     print(
         "WORKER_RESULT "
@@ -137,8 +180,11 @@ def worker(cores: int, input_path: str) -> None:
             {
                 "cores": cores,
                 "n_files": n_files,
+                "fused": fused,
+                "minhash_bits": minhash_bits,
                 "n_pairs": n_pairs,
                 "n_component_rows": n_comp,
+                "n_global_repeat_pairs": n_repeats,
                 "stages_sec": {k: round(v, 2) for k, v in t.items()},
                 "total_sec": round(total, 2),
                 "files_per_sec": round(n_files / total, 1),
@@ -148,7 +194,15 @@ def worker(cores: int, input_path: str) -> None:
     spark.stop()
 
 
-def orchestrate(n_files: int, out_md: str, repeats: int = 3) -> None:
+def orchestrate(
+    n_files: int,
+    out_md: str,
+    repeats: int = 3,
+    fused: bool = False,
+    minhash_bits: int = 32,
+    with_global_repeats: bool = False,
+    legs: tuple[int, ...] = (8, 32),
+) -> None:
     from data_deduplication_service_spark.session import get_spark
     from data_deduplication_service_spark.sources import synthesize_corpus, with_file_identity
 
@@ -171,7 +225,7 @@ def orchestrate(n_files: int, out_md: str, repeats: int = 3) -> None:
     # across every run (the north-rule two-cluster-size invariant).
     results: dict[int, dict] = {}
     for rep in range(repeats):
-        for cores in (8, 32):
+        for cores in legs:
             # fixed 16g heap at both levels: measured 64g made the 32-thread
             # leg 3x slower in shuffle stages (G1 pause pathology), and 16g
             # showed no spill at either level
@@ -182,7 +236,10 @@ def orchestrate(n_files: int, out_md: str, repeats: int = 3) -> None:
                 "--py-files", zip_path,
                 os.path.abspath(__file__),
                 "--worker", "--cores", str(cores), "--input", input_path,
-            ]
+                "--minhash-bits", str(minhash_bits),
+            ] + (["--fused"] if fused else []) + (
+                ["--with-global-repeats"] if with_global_repeats else []
+            )
             proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
             line = [l for l in proc.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
             if not line:
@@ -194,20 +251,23 @@ def orchestrate(n_files: int, out_md: str, repeats: int = 3) -> None:
             if prev is not None and (
                 prev["n_pairs"] != r["n_pairs"]
                 or prev["n_component_rows"] != r["n_component_rows"]
+                or prev.get("n_global_repeat_pairs", -1) != r.get("n_global_repeat_pairs", -1)
             ):
                 raise RuntimeError(f"outputs differ across runs at {cores} cores: {prev} vs {r}")
             if prev is None or r["files_per_sec"] > prev["files_per_sec"]:
                 r["n_runs"] = repeats
                 results[cores] = {**r, "n_pairs": r["n_pairs"]}
 
-    r8, r32 = results[8], results[32]
-    eff = (r32["files_per_sec"] / r8["files_per_sec"]) / (32 / 8)
+    effs = {}
+    for n in results:
+        if n * 4 in results:
+            effs[f"{n}_to_{4 * n}"] = round(
+                (results[4 * n]["files_per_sec"] / results[n]["files_per_sec"]) / 4, 3
+            )
     summary = {
         "n_files": n_files,
-        "throughput_8_cores_files_per_sec": r8["files_per_sec"],
-        "throughput_32_cores_files_per_sec": r32["files_per_sec"],
-        "speedup_8_to_32": round(r32["files_per_sec"] / r8["files_per_sec"], 2),
-        "scaling_efficiency": round(eff, 3),
+        "throughput_files_per_sec": {c: results[c]["files_per_sec"] for c in sorted(results)},
+        "scaling_efficiency": effs,
         "results": results,
     }
     print(json.dumps(summary))
@@ -217,31 +277,37 @@ def orchestrate(n_files: int, out_md: str, repeats: int = 3) -> None:
 
 def write_md(path: str, s: dict) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    r8, r32 = s["results"][8], s["results"][32]
+    legs = sorted(s["results"])
+    r0 = s["results"][legs[0]]
+    pair_counts = {s["results"][c]["n_pairs"] for c in legs}
     lines = [
         "# BENCH/BASELINE — two-cluster-size scaling evidence",
         "",
         "North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N",
         "executors. No real cluster exists in this sandbox; per the driver's",
-        "instruction the same `spark-submit --py-files` job ran at two",
-        "parallelism levels (local[8] = N, local[32] = 4N) on the identical",
-        f"deterministic synthetic corpus ({s['n_files']:,} files, seed=42,",
-        "FIXTURES.md recipes).",
+        "instruction the same `spark-submit --py-files` job ran at multiple",
+        "parallelism levels (local[N] legs, best-of-repeats interleaved) on the",
+        f"identical deterministic synthetic corpus ({s['n_files']:,} files,",
+        "seed=42, FIXTURES.md recipes).",
         "",
-        "| cores | total sec | files/sec | " + " | ".join(r8["stages_sec"]) + " |",
-        "|---" * (3 + len(r8["stages_sec"])) + "|",
-        f"| 8 (N) | {r8['total_sec']} | {r8['files_per_sec']} | "
-        + " | ".join(str(round(v, 1)) for v in r8["stages_sec"].values())
-        + " |",
-        f"| 32 (4N) | {r32['total_sec']} | {r32['files_per_sec']} | "
-        + " | ".join(str(round(v, 1)) for v in r32["stages_sec"].values())
-        + " |",
-        "",
-        f"**Speedup 8→32 cores: {s['speedup_8_to_32']}× → scaling efficiency = "
-        f"{s['speedup_8_to_32']} / 4 = {s['scaling_efficiency']}**",
-        "",
-        f"Verified pairs found: {r32['n_pairs']} (identical at both levels: "
-        f"{r8['n_pairs'] == r32['n_pairs']}).",
+        "| cores | total sec | files/sec | " + " | ".join(r0["stages_sec"]) + " |",
+        "|---" * (3 + len(r0["stages_sec"])) + "|",
+    ]
+    for c in legs:
+        r = s["results"][c]
+        lines.append(
+            f"| {c} | {r['total_sec']} | {r['files_per_sec']} | "
+            + " | ".join(str(round(v, 1)) for v in r["stages_sec"].values())
+            + " |"
+        )
+    lines += [""]
+    for pair, eff in s["scaling_efficiency"].items():
+        n, m = pair.split("_to_")
+        lines.append(f"**Scaling efficiency {n}→{m} cores (N→4N): {eff}**")
+        lines.append("")
+    lines += [
+        f"Verified pairs found: {s['results'][legs[-1]]['n_pairs']} "
+        f"(identical at every level: {len(pair_counts) == 1}).",
         "",
         "Measured job: segment → salted segment store; signatures → LSH bands →",
         "candidates → exact-Jaccard verify; connected components. Pure compute",
@@ -263,12 +329,27 @@ def main() -> None:
     ap.add_argument("--input", type=str, default="")
     ap.add_argument("--n-files", type=int, default=400_000)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--fused", action="store_true",
+                    help="A/B variant: one-pass fused segment+signature scan "
+                         "(measured SLOWER on this box — the per-segment Python "
+                         "hashlib loop loses to the JVM sha2 scan; see "
+                         "BENCH/BASELINE.md)")
+    ap.add_argument("--minhash-bits", type=int, default=32, choices=(32, 64))
+    ap.add_argument("--with-global-repeats", action="store_true",
+                    help="also measure the winnowing-anchor suffix tier")
+    ap.add_argument("--legs", type=str, default="8,32",
+                    help="comma-separated core counts, e.g. 2,8,32")
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
     if args.worker:
-        worker(args.cores, args.input)
+        worker(args.cores, args.input, fused=args.fused,
+               minhash_bits=args.minhash_bits,
+               with_global_repeats=args.with_global_repeats)
     else:
-        orchestrate(args.n_files, args.out, repeats=args.repeats)
+        orchestrate(args.n_files, args.out, repeats=args.repeats,
+                    fused=args.fused, minhash_bits=args.minhash_bits,
+                    with_global_repeats=args.with_global_repeats,
+                    legs=tuple(int(x) for x in args.legs.split(",")))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,98 @@
+"""Iceberg-conditional backend: selection logic + DML parity.
+
+The sandbox ships no Iceberg jars, so the live-warehouse tests skip unless
+a catalog is configured (they run the identical contract when one is);
+selection, naming, and the DML text are testable everywhere.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.operators.lifecycle import delete_files_dml
+from data_deduplication_service_spark.plans.checkpoint import (
+    IcebergStageStore,
+    StageStore,
+    iceberg_catalogs,
+    make_stage_store,
+)
+
+
+def test_factory_falls_back_to_parquet_store_without_catalog(spark, tmp_path):
+    assert iceberg_catalogs(spark) == []  # sandbox has no Iceberg jars/conf
+    store = make_stage_store(spark, str(tmp_path / "wh"), DedupConfig())
+    assert isinstance(store, StageStore)
+    store.save("s", spark.range(3).withColumnRenamed("id", "x"))
+    assert store.load("s").count() == 3
+
+
+def test_delete_files_dml_shape():
+    stmts = delete_files_dml("cat.db.files", "cat.db.segments", "cat.db.file_segments")
+    assert len(stmts) == 4
+    assert stmts[0].strip().startswith("MERGE INTO cat.db.segments")
+    assert "segment_count - d._dec" in stmts[0]
+    assert stmts[1].startswith("DELETE FROM cat.db.file_segments")
+    assert stmts[2].startswith("DELETE FROM cat.db.files")
+    assert "segment_count <= 0" in stmts[3]  # zero-count GC (F4)
+
+
+@pytest.fixture(scope="module")
+def iceberg_store(spark):
+    cats = iceberg_catalogs(spark)
+    if not cats:
+        pytest.skip("no Iceberg catalog configured (sandbox ships no jars)")
+    return IcebergStageStore(spark, cats[0], "dedup_test", DedupConfig())
+
+
+def test_iceberg_store_contract(iceberg_store, spark):
+    """Same contract the parquet store passes: save→load roundtrip,
+    skip-if-done, native snapshot log, time travel."""
+    store = iceberg_store
+    df = spark.range(10).withColumnRenamed("id", "x")
+    store.save("s1", df)
+    assert store.is_done("s1")
+    assert store.load("s1").count() == 10
+    assert store.run_stage("s1", lambda: 1 / 0).count() == 10  # skip: no rebuild
+    snaps = store.snapshots("s1")
+    assert snaps
+    sid = snaps[-1]["snapshot_id"]
+    assert store.load_snapshot("s1", sid).count() == 10
+
+
+def test_iceberg_lifecycle_dml_matches_dataframe_path(iceberg_store, spark):
+    """delete_files_iceberg (MERGE/DELETE snapshots) must leave the same
+    tables as the immutable-DataFrame delete_files."""
+    from pyspark.sql import functions as F
+
+    from data_deduplication_service_spark.operators.lifecycle import (
+        DedupTables,
+        delete_files,
+        delete_files_iceberg,
+    )
+
+    store = iceberg_store
+    files = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "file_id long, path string"
+    )
+    fseg = spark.createDataFrame(
+        [(1, b"h1"), (1, b"h2"), (2, b"h1"), (3, b"h3")], "file_id long, segment_hash binary"
+    )
+    segs = fseg.groupBy("segment_hash").agg(F.count("*").alias("segment_count"))
+    for name, df in [("files", files), ("segments", segs), ("file_segments", fseg)]:
+        store.save(name, df)
+    victims = spark.createDataFrame([(1,)], "file_id long")
+    delete_files_iceberg(
+        spark,
+        store.table_name("files"),
+        store.table_name("segments"),
+        store.table_name("file_segments"),
+        victims,
+    )
+    want = delete_files(DedupTables(files, segs, fseg), victims)
+    assert sorted(r.file_id for r in store.load("files").collect()) == sorted(
+        r.file_id for r in want.files.collect()
+    )
+    got_segs = {bytes(r.segment_hash): r.segment_count for r in store.load("segments").collect()}
+    exp_segs = {bytes(r.segment_hash): r.segment_count for r in want.segments.collect()}
+    assert got_segs == exp_segs

@@ -237,3 +237,24 @@ def test_simhash_candidate_plan_is_gather_not_self_join(spark):
     n_joins = len(re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
     assert n_joins <= 1, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4, plan
+
+
+def test_recall_with_32bit_minhash(spark):
+    """The recall ≥0.99 gate at the production config with minhash_bits=32
+    (the scale path's halved signature width): positionwise equality gains
+    only a 2^-32 collision term, so recall and precision must hold."""
+    from tests.oracle import true_near_dup_pairs
+
+    cfg = DedupConfig(minhash_bits=32)
+    corpus = synthesize_corpus(spark, 600, seed=42)
+    files = with_file_identity(corpus).cache()
+    sig = signature_table(files, cfg).cache()
+    contents = {r.file_id: r.content for r in files.collect()}
+    truth = true_near_dup_pairs(contents, cfg.shingle_k, cfg.jaccard_threshold)
+    found = verified_pairs(candidate_pairs(band_table(sig, cfg), cfg), sig, cfg, exact=True)
+    got = {(r.a, r.b) for r in found.collect()}
+    exp = {(a, b) for a, b, _ in truth}
+    recall = len(got & exp) / len(exp)
+    assert recall >= 0.99, f"recall {recall:.4f} ({len(got & exp)}/{len(exp)})"
+    assert got <= exp  # exact verification admits no false pairs
+    sig.unpersist(); files.unpersist()

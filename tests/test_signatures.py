@@ -136,3 +136,136 @@ def test_keep_shingles_batch_split_on_offset_ceiling(spark, monkeypatch):
         for r in S.signature_table(files, cfg, keep_shingles=True).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("mode", ["word", "segment"])
+def test_generic_batch_path_bit_identical_to_per_doc(spark, mode):
+    """word/segment signature tables must match the per-doc reference
+    kernels bit for bit (the batch MinHash is shared with the char path)."""
+    cfg = DedupConfig(shingle_mode=mode)
+    a, b = S._minhash_params(cfg)
+    rows = [(i, f"alpha beta gamma delta token_{i} epsilon zeta " * (2 + i % 4)) for i in range(9)]
+    rows.append((99, ""))  # empty doc must not disturb batch boundaries
+    files = spark.createDataFrame(rows, "file_id long, content string").coalesce(1)
+    got = {r.file_id: r for r in S.signature_table(files, cfg).collect()}
+    for fid, content in rows:
+        sh = S.shingle_hashes(content, cfg)
+        mh = S.minhash_from_shingles(sh, a, b).astype(np.int64)
+        r = got[fid]
+        assert r.n_shingles == sh.size
+        assert r.minhash == mh.tolist()
+        assert sorted(r.shingles) == sorted(sh.astype(np.int64).tolist())
+        assert r.simhash == S.simhash_from_shingles(sh)
+
+
+def test_minhash_bits_32_is_high_half_of_64(spark):
+    """32-bit signatures must equal the 64-bit signatures' high halves —
+    same minima, truncated storage — in BOTH the char Arrow path and the
+    generic batch path."""
+    rows = [(i, f"document body number {i} with plenty of text " * 4) for i in range(8)]
+    files = spark.createDataFrame(rows, "file_id long, content string").coalesce(1)
+    for mode in ("char", "word"):
+        wide = {
+            r.file_id: r.minhash
+            for r in S.signature_table(files, DedupConfig(shingle_mode=mode)).collect()
+        }
+        narrow = {
+            r.file_id: r.minhash
+            for r in S.signature_table(
+                files, DedupConfig(shingle_mode=mode, minhash_bits=32)
+            ).collect()
+        }
+        for fid, w in wide.items():
+            w64 = np.array(w, dtype=np.int64).view(np.uint64)
+            exp = (w64 >> np.uint64(32)).astype(np.uint32).view(np.int32)
+            assert narrow[fid] == exp.tolist(), (mode, fid)
+
+
+def test_fused_scan_matches_segment_and_signature_stages(spark):
+    """fused_signature_segments must reproduce BOTH stages bit for bit:
+    segment digests == operators/segmentation.segment_files (1-based
+    positions, trailing partial block, empty content → no segments) and
+    minhash/n_shingles == signature_table."""
+    from data_deduplication_service_spark.functions.signatures import (
+        file_segments_from_fused,
+        fused_signature_segments,
+    )
+    from data_deduplication_service_spark.operators.segmentation import segment_files
+
+    cfg = DedupConfig()
+    rows = [
+        (1, "a" * 64 * 3),                      # exact multiple of segment_size
+        (2, "b" * 100),                         # trailing partial block
+        (3, "короткий юникод 🚀"),               # multi-byte, shorter than one segment
+        (4, "c" * 64 * 2 + "tail"),
+        (5, ""),                                # empty → zero segments
+    ]
+    files = spark.createDataFrame(rows, "file_id long, content string").coalesce(1)
+    fused = fused_signature_segments(files, cfg)
+
+    exp_segs = {
+        (r.file_id, r.segment_num): bytes(r.segment_hash)
+        for r in segment_files(files, cfg).collect()
+    }
+    got_segs = {
+        (r.file_id, r.segment_num): bytes(r.segment_hash)
+        for r in file_segments_from_fused(fused).collect()
+    }
+    assert got_segs == exp_segs
+
+    exp_sig = {
+        r.file_id: (r.n_shingles, r.minhash)
+        for r in S.signature_table(files, cfg, keep_shingles=False, with_simhash=False).collect()
+    }
+    got_sig = {r.file_id: (r.n_shingles, r.minhash) for r in fused.collect()}
+    assert got_sig == exp_sig
+
+
+def test_fused_scan_matches_stages_32bit_and_md5(spark):
+    """Fused path must track config: 32-bit minhash + a different digest."""
+    from data_deduplication_service_spark.functions.signatures import (
+        file_segments_from_fused,
+        fused_signature_segments,
+    )
+    from data_deduplication_service_spark.operators.segmentation import segment_files
+
+    cfg = DedupConfig(hash_name="md5", minhash_bits=32)
+    rows = [(i, f"body text {i} " * (5 + i)) for i in range(6)]
+    files = spark.createDataFrame(rows, "file_id long, content string").coalesce(2)
+    fused = fused_signature_segments(files, cfg)
+    exp_segs = {
+        (r.file_id, r.segment_num): bytes(r.segment_hash)
+        for r in segment_files(files, cfg).collect()
+    }
+    got_segs = {
+        (r.file_id, r.segment_num): bytes(r.segment_hash)
+        for r in file_segments_from_fused(fused).collect()
+    }
+    assert got_segs == exp_segs
+    exp_mh = {
+        r.file_id: r.minhash
+        for r in S.signature_table(files, cfg, keep_shingles=False, with_simhash=False).collect()
+    }
+    assert {r.file_id: r.minhash for r in fused.collect()} == exp_mh
+
+
+def test_positional_minhash_bit_identical_to_set_kernel():
+    """The no-sort scale kernel must produce the SAME minhash as the
+    unique-set kernel (duplicate shingles cannot change a min) across
+    normal, short (<k), repetitive, and empty docs."""
+    rng = np.random.default_rng(11)
+    cfg = DedupConfig()
+    a, b = S._minhash_params(cfg)
+    docs = [
+        bytes(rng.integers(32, 127, size=500, dtype=np.uint8)),
+        b"tiny",
+        b"",
+        b"abcabcabc" * 40,  # heavy duplication: unique set much smaller
+        bytes(rng.integers(97, 105, size=300, dtype=np.uint8)),  # tiny alphabet
+    ]
+    data = np.frombuffer(b"".join(docs), dtype=np.uint8)
+    offs = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in docs], out=offs[1:])
+    _sz, _u, _st, mh_set, _sim = S._char_batch_kernel(data, offs, cfg.shingle_k, a, b, False)
+    _cnt, mh_pos = S._char_batch_positional_minhash(data, offs, cfg.shingle_k, a, b)
+    assert np.array_equal(mh_set, mh_pos)
