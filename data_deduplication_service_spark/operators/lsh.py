@@ -156,10 +156,14 @@ def exact_jaccard_for_pairs(pairs: DataFrame, signatures: DataFrame) -> DataFram
     # (9s@8-cores → 35s@32-cores at 100k files); array_intersect keeps the
     # bytes in Tungsten rows end to end.
     inter = F.size(F.array_intersect("_sa", "_sb"))
+    # try_divide: two EMPTY docs band together (all-max minhash), so a
+    # 0-shingle candidate pair is reachable — ANSI mode would otherwise
+    # throw DIVIDE_BY_ZERO; null jaccard drops the pair at the threshold
+    # filter, same as the content path's nan
     return joined.select(
         "a",
         "b",
-        (inter / (F.size("_sa") + F.size("_sb") - inter)).cast("double").alias("jaccard"),
+        F.try_divide(inter, F.size("_sa") + F.size("_sb") - inter).cast("double").alias("jaccard"),
     )
 
 
@@ -210,13 +214,40 @@ def exact_jaccard_by_content(pairs: DataFrame, files: DataFrame, cfg: DedupConfi
             return got
 
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
-            out = np.empty(len(pdf), dtype=np.float64)
-            for i, (ca, cb) in enumerate(zip(pdf["_ca"], pdf["_cb"])):
-                sa, sb = sh(ca), sh(cb)
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                out[i] = inter / (sa.size + sb.size - inter)
+            out = np.empty(n, dtype=np.float64)
+            ca_arr = pdf["_ca"].to_numpy()
+            cb_arr = pdf["_cb"].to_numpy()
+            # group pairs by LEFT doc (a hot doc borders many pairs): one
+            # vectorized membership test per group over the concatenation of
+            # its right-side sets, instead of one Python intersect1d per pair
+            order = np.argsort(ca_arr, kind="stable")
+            i = 0
+            while i < n:
+                j = i
+                ca = ca_arr[order[i]]
+                while j < n and ca_arr[order[j]] == ca:
+                    j += 1
+                idxs = order[i:j]
+                i = j
+                sa = sh(ca)
+                rights = [sh(cb) for cb in cb_arr[idxs]]
+                sizes = np.fromiter((r.size for r in rights), dtype=np.int64,
+                                    count=len(rights))
+                bounds = np.zeros(sizes.size + 1, dtype=np.int64)
+                np.cumsum(sizes, out=bounds[1:])
+                cat = (np.concatenate(rights) if bounds[-1]
+                       else np.empty(0, dtype=sa.dtype))
+                hits = np.isin(cat, sa)  # each right set unique; cat isn't
+                inters = np.zeros(sizes.size, dtype=np.int64)
+                ne = np.nonzero(sizes)[0]  # reduceat: nonempty segments only
+                if ne.size:
+                    inters[ne] = np.add.reduceat(hits, bounds[ne])
+                union = sa.size + sizes - inters
+                with np.errstate(invalid="ignore"):
+                    out[idxs] = inters / union  # 0-shingle pair → nan (as before)
             yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "jaccard": out})
 
     return joined.mapInPandas(verify, schema="a long, b long, jaccard double")

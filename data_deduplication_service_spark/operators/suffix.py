@@ -446,7 +446,11 @@ def _scan_chunk(ids: list[int], texts: list[bytes], min_len: int) -> list[tuple]
     return rows
 
 
-DEFAULT_MAX_BLOB_BYTES = 32 * 1024 * 1024
+# sized from the measured Kasai ceiling (scripts/suffix_microbench.py,
+# ~1-1.6 MB/s LCP): 4MB caps the worst-case straggler scan task at ~3-4
+# minutes. Real co-located cluster blobs are KB-scale; the cap only guards
+# degenerate groups (and the split is observable via blob_split_report).
+DEFAULT_MAX_BLOB_BYTES = 4 * 1024 * 1024
 
 
 def blob_chunks(sizes: list[int], max_blob_bytes: int) -> list[int]:

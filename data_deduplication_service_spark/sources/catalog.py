@@ -10,7 +10,7 @@ layout (see register_dedup_tables) and parquet min/max stats.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from data_deduplication_service_spark.config import HASH_DIGEST_SIZES
 
@@ -83,3 +83,40 @@ def search_files(files: DataFrame, pattern: str) -> DataFrame:
     src/myPqxxModel.h:221-241) — rlike is sargable-ish only as a post-scan
     filter, but column pruning still keeps the scan narrow."""
     return files.filter(F.col("path").rlike(pattern))
+
+
+# --------------------------------------------------------------------------
+# C3: path space-codec (lib/dbCommon.cpp:171-186, 213)
+# --------------------------------------------------------------------------
+
+def to_spaced_path(col: Column) -> Column:
+    """Reference `toSpacedPath` (lib/dbCommon.cpp:178-186): '/'→' ', with a
+    single leading '/' stripped — the storage form that lets a Postgres
+    directory listing use ``LIKE 'dir %'`` (a space can't appear inside a
+    path component, so the first space after the prefix IS the separator)."""
+    spaced = F.replace(col, F.lit("/"), F.lit(" "))
+    return F.when(spaced.startswith(" "), spaced.substr(F.lit(2), F.length(spaced))).otherwise(
+        spaced
+    )
+
+
+def from_spaced_path(col: Column) -> Column:
+    """Reference `fromSpacedPath` (lib/dbCommon.cpp:171-176) / the display
+    expression ``'/'||replace(file_name,' ','/')`` (lib/dbCommon.cpp:213):
+    prepend '/' and turn spaces back into separators."""
+    return F.concat(F.lit("/"), F.replace(col, F.lit(" "), F.lit("/")))
+
+
+def entries_for_directory(files: DataFrame, dir_path: str, path_col: str = "path") -> DataFrame:
+    """Reference `getEntriesForDirectory` (lib/dbCommon.cpp:61-69): rows
+    under ``dir_path`` — ``file_name LIKE 'dir %' OR file_name = 'dir'`` in
+    the spaced domain, which is exactly the native ``path`` prefix filter
+    restricted to whole components (``dir/x`` matches, ``dirx`` doesn't).
+    The LIKE pattern is formatted from the Python string exactly as the
+    C++ does (vformat into the query) — including the same quirk that a
+    '%'/'_' inside dir_path acts as a wildcard."""
+    spaced_dir = dir_path.replace("/", " ")
+    if spaced_dir.startswith(" "):
+        spaced_dir = spaced_dir[1:]
+    spaced = to_spaced_path(F.col(path_col))
+    return files.filter(spaced.like(spaced_dir + " %") | (spaced == F.lit(spaced_dir)))

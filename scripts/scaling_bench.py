@@ -247,6 +247,15 @@ def orchestrate(
                 raise RuntimeError(f"worker at {cores} cores produced no result")
             r = json.loads(line[0][len("WORKER_RESULT "):])
             print(json.dumps({"rep": rep, **r}))
+            # raw-run provenance for scripts/merge_baseline.py (best-of-N
+            # across sessions): one JSON line per worker run
+            runs_log = os.path.join(
+                REPO, "BENCH",
+                f"runs_{time.strftime('%Y-%m-%d')}_{'_'.join(map(str, legs))}.jsonl",
+            )
+            os.makedirs(os.path.dirname(runs_log), exist_ok=True)
+            with open(runs_log, "a") as f:
+                f.write(json.dumps({"rep": rep, **r}) + "\n")
             prev = results.get(cores)
             if prev is not None and (
                 prev["n_pairs"] != r["n_pairs"]

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Measure the single-core byte/sec ceiling of the suffix-array + Kasai LCP
+scan (operators/suffix.py) — the basis of the per-scan blob cap.
+
+Kasai's outer loop is one Python iteration per blob byte; the two-tier match
+extension (8-byte probe, then 256-byte numpy memcmp strides) bounds the
+inner work, so throughput is interpreter-dominated and roughly constant per
+byte. This prints MB/s for a repetitive (code-like) and a mixed-text blob so
+the cap in repeated_substrings_in_partition can be sanity-checked against
+current hardware: cap_bytes / throughput = worst-case seconds per scan task.
+
+Usage: python scripts/suffix_microbench.py [--mb 4]
+(no Spark; safe to run anywhere — but not while a scaling campaign is
+measuring, per CLAUDE.md rule 1)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from data_deduplication_service_spark.operators.suffix import (
+    DEFAULT_MAX_BLOB_BYTES,
+    lcp_array,
+    suffix_array,
+)
+
+
+def make_blob(kind: str, n: int, seed: int = 7) -> bytes:
+    rng = np.random.default_rng(seed)
+    if kind == "repetitive":
+        # code-like: a small vocabulary of lines repeated with mutations
+        lines = [bytes(rng.integers(32, 127, size=60, dtype=np.uint8)) for _ in range(40)]
+        out = bytearray()
+        while len(out) < n:
+            out += lines[int(rng.integers(0, len(lines)))] + b"\n"
+        return bytes(out[:n])
+    return bytes(rng.integers(32, 127, size=n, dtype=np.uint8))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=float, default=4.0)
+    args = ap.parse_args()
+    n = int(args.mb * 1024 * 1024)
+    for kind in ("repetitive", "mixed"):
+        blob = make_blob(kind, n)
+        t0 = time.monotonic()
+        sa = suffix_array(blob)
+        t_sa = time.monotonic() - t0
+        t0 = time.monotonic()
+        lcp_array(blob, sa)
+        t_lcp = time.monotonic() - t0
+        print(
+            f"{kind:11s} {args.mb:5.1f} MB  suffix_array {n / t_sa / 1e6:6.2f} MB/s"
+            f"  lcp_array {n / t_lcp / 1e6:6.2f} MB/s"
+            f"  (scan of a {DEFAULT_MAX_BLOB_BYTES >> 20}MB cap blob ≈ "
+            f"{DEFAULT_MAX_BLOB_BYTES / (n / t_lcp):5.0f}s LCP)"
+        )
+
+
+if __name__ == "__main__":
+    main()

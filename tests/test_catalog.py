@@ -109,3 +109,44 @@ def test_directory_stubs_top_level_path_has_no_ancestors(spark):
     dirs = {r.path for r in listing.filter(F.col("commit") == "<dir>").collect()}
     assert dirs == {"src"}  # no "README" stub, no "" stub
     assert listing.count() == 3
+
+
+def test_path_space_codec_roundtrip_and_listing(spark):
+    """C3 (lib/dbCommon.cpp:171-186, 61-69, 213): '/'<->' ' codec roundtrip
+    plus the LIKE-based directory listing — whole-component prefix semantics
+    (src/mod matches under src, srcX does not)."""
+    from data_deduplication_service_spark.sources.catalog import (
+        entries_for_directory,
+        from_spaced_path,
+        to_spaced_path,
+    )
+
+    paths = ["src/mod.py", "src/sub/deep.py", "srcX/other.py", "README", "src"]
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    spaced = {
+        r.path: r.s for r in df.select("path", to_spaced_path(F.col("path")).alias("s")).collect()
+    }
+    assert spaced == {
+        "src/mod.py": "src mod.py",
+        "src/sub/deep.py": "src sub deep.py",
+        "srcX/other.py": "srcX other.py",
+        "README": "README",
+        "src": "src",
+    }
+    # display form: '/'||replace(file_name,' ','/') — the reference keeps
+    # paths rooted on display, matching fromSpacedPath's prepended '/'
+    back = {
+        r.s: r.b
+        for r in df.select(
+            to_spaced_path(F.col("path")).alias("s"),
+            from_spaced_path(to_spaced_path(F.col("path"))).alias("b"),
+        ).collect()
+    }
+    for p in paths:
+        assert back[spaced[p]] == "/" + p
+
+    got = {r.path for r in entries_for_directory(df, "src").collect()}
+    assert got == {"src/mod.py", "src/sub/deep.py", "src"}  # not srcX/other.py
+    # a leading '/' in the query path is stripped like toSpacedPath does
+    got_rooted = {r.path for r in entries_for_directory(df, "/src").collect()}
+    assert got_rooted == got

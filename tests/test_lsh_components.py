@@ -258,3 +258,40 @@ def test_recall_with_32bit_minhash(spark):
     assert recall >= 0.99, f"recall {recall:.4f} ({len(got & exp)}/{len(exp)})"
     assert got <= exp  # exact verification admits no false pairs
     sig.unpersist(); files.unpersist()
+
+
+def test_exact_jaccard_by_content_matches_stored_shingles(spark):
+    """The grouped-vectorized content verify (scale path: re-derive shingles
+    per FILE, one membership test per left-doc group) must produce the same
+    jaccard as the stored-shingle JVM array_intersect path — including a hot
+    left doc bordering many partners and pairs with an empty doc."""
+    from data_deduplication_service_spark.operators.lsh import exact_jaccard_by_content
+
+    cfg = DedupConfig()
+    rows = [(0, "the quick brown fox jumps over the lazy dog " * 8)]
+    rows += [
+        (i, "the quick brown fox jumps over the lazy dog " * 8 + f"suffix {i} " * i)
+        for i in range(1, 12)
+    ]
+    rows += [(20, "a completely different document body here " * 6), (21, "")]
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    sig = signature_table(files, cfg, keep_shingles=True).cache()
+    # hot left doc 0 against everyone, plus cross pairs and the empty doc
+    pair_rows = [(0, i) for i in range(1, 12)] + [(1, 2), (5, 20), (20, 21), (21, 21)]
+    pairs = spark.createDataFrame(pair_rows, "a long, b long")
+    want = {
+        (r.a, r.b): r.jaccard
+        for r in exact_jaccard_for_pairs(pairs, sig).collect()
+    }
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in exact_jaccard_by_content(pairs, files, cfg).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        g = got[k]
+        if v is None:
+            assert g is None or g != g  # 0-shingle pair: null/nan either way
+        else:
+            assert abs(g - v) < 1e-12, (k, g, v)
+    sig.unpersist()
