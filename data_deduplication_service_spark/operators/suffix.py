@@ -213,23 +213,37 @@ def containment_overflow_docs(
 # GLOBAL repeated-substring tier: winnowing anchors (cross-cluster coverage)
 # --------------------------------------------------------------------------
 
-def winnow_anchor_set(data: bytes, anchor_k: int, window: int) -> np.ndarray:
-    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): the min hash of
-    every `window` consecutive k-byte window hashes, deduplicated.
+def winnow_anchor_positions(data: bytes, anchor_k: int, window: int) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing fingerprints WITH positions (Schleimer et al., SIGMOD'03):
+    for every `window` consecutive k-byte window hashes, select the min;
+    return every selected (hash, byte_position), position-deduplicated.
 
     Guarantee: two documents sharing a verbatim substring of length ≥
-    window + anchor_k − 1 select at least one IDENTICAL fingerprint (the
-    shared region contains ≥ `window` consecutive window hashes, all equal
-    in both docs, so the min over some fully-contained winnow window is the
-    same value) — position-independent, layout-independent."""
+    window + anchor_k − 1 select at least one IDENTICAL fingerprint AT THE
+    SAME OFFSET inside the shared region (the region contains ≥ `window`
+    consecutive window hashes, identical in both docs, so some fully-
+    contained winnow window selects the same value at the same relative
+    position) — position-independent, layout-independent. Keeping the
+    positions is what lets verification EXTEND around a shared anchor
+    instead of suffix-sorting whole documents."""
     from data_deduplication_service_spark.functions.signatures import char_window_hashes
 
     h = char_window_hashes(data, anchor_k)
     if h.size == 0:
-        return h
+        return h, np.empty(0, dtype=np.int64)
     if h.size <= window:
-        return np.unique(h.min(keepdims=True))
-    return np.unique(np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1))
+        p = int(np.argmin(h))
+        return h[p : p + 1], np.array([p], dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    pos = np.unique(sw.argmin(axis=1) + np.arange(sw.shape[0]))
+    return h[pos], pos
+
+
+def winnow_anchor_set(data: bytes, anchor_k: int, window: int) -> np.ndarray:
+    """Deduplicated winnowing fingerprint VALUES (see winnow_anchor_positions
+    for the guarantee)."""
+    vals, _ = winnow_anchor_positions(data, anchor_k, window)
+    return np.unique(vals)
 
 
 def winnowed_anchor_table(
@@ -239,26 +253,38 @@ def winnowed_anchor_table(
     id_col: str = "file_id",
     text_col: str = "content",
 ) -> DataFrame:
-    """(file_id, anchor) — each doc's winnowing fingerprint set, exploded.
-    Anchor density ≈ 2/(window+1) of positions, so the table is ~6% of the
-    corpus byte count at the defaults — small enough to shuffle freely."""
+    """(file_id, anchor, positions) — one row per distinct fingerprint value
+    per doc, with every byte position where that value was selected.
+    Selected-position density ≈ 2/(window+1), so the table is a few percent
+    of the corpus byte count at the defaults — small enough to shuffle
+    freely; content itself never enters this shuffle."""
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids: list[int] = []
-            anchors: list[np.ndarray] = []
+            vals: list[int] = []
+            pos_lists: list[list[int]] = []
             for fid, text in zip(pdf[id_col], pdf[text_col]):
-                a = winnow_anchor_set(text.encode("utf-8"), anchor_k, window)
-                ids.extend([int(fid)] * a.size)
-                anchors.append(a.view(np.int64))
+                v, p = winnow_anchor_positions(text.encode("utf-8"), anchor_k, window)
+                if not v.size:
+                    continue
+                order = np.argsort(v, kind="stable")  # group equal values
+                v, p = v[order], p[order]
+                bounds = np.nonzero(np.diff(v))[0] + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [v.size]))
+                ids.extend([int(fid)] * starts.size)
+                vals.extend(v[starts].view(np.int64).tolist())
+                pos_lists.extend(p[s:e].tolist() for s, e in zip(starts, ends))
             if ids:
                 yield pd.DataFrame(
                     {"file_id": np.array(ids, dtype=np.int64),
-                     "anchor": np.concatenate(anchors)}
+                     "anchor": np.array(vals, dtype=np.int64),
+                     "positions": pos_lists}
                 )
 
     return files.select(id_col, text_col).mapInPandas(
-        per_batch, schema="file_id long, anchor long"
+        per_batch, schema="file_id long, anchor long, positions array<long>"
     )
 
 
@@ -299,6 +325,41 @@ def global_repeat_candidates(
     return buckets.select(F.explode(pair_expr).alias("p")).select("p.a", "p.b").distinct()
 
 
+def _global_repeat_evidence(anchors: DataFrame, max_anchor_members: int) -> DataFrame:
+    """(a, b, ev) — exemplar pairs with their shared-anchor POSITION
+    evidence: ev is the list of (pa, pb) position-list pairs, one entry per
+    shared anchor value, gathered with one groupBy. Verification only ever
+    extends around these positions — no suffix sorting."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor").orderBy("file_id")
+    top = (
+        anchors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_anchor_members)
+    )
+    buckets = (
+        top.groupBy("anchor")
+        .agg(F.sort_array(F.collect_list(F.struct("file_id", "positions"))).alias("_m"))
+        .filter(F.size("_m") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size("_m")),
+                lambda y: F.struct(
+                    x["file_id"].alias("a"),
+                    y["file_id"].alias("b"),
+                    x["positions"].alias("pa"),
+                    y["positions"].alias("pb"),
+                ),
+            ),
+        )
+    )
+    flat = buckets.select(F.explode(pair_expr).alias("p")).select("p.a", "p.b", "p.pa", "p.pb")
+    return flat.groupBy("a", "b").agg(F.collect_list(F.struct("pa", "pb")).alias("ev"))
+
+
 def global_repeat_overflow_anchors(
     anchors: DataFrame, max_anchor_members: int = 16
 ) -> DataFrame:
@@ -325,27 +386,36 @@ def repeated_substrings_global(
     repeated_substrings_by_cluster (the files are not near-dups) but is
     found here, because winnowing anchors key on the shared bytes alone.
 
-    Stage shape: anchor extraction (one narrow content pass) → capped
-    exemplar pair generation (one shuffle on anchor) → per-PAIR suffix-array
-    longest-common-substring verification on semi-join-pruned content (the
-    blob per scan is one doc pair, so the Kasai cost is bounded by the two
-    docs, never a partition). The winnow window is derived from min_len so
-    any common substring of length ≥ min_len is guaranteed a shared anchor:
-    window = min_len − anchor_k + 1.
+    Stage shape: anchor extraction (one narrow content pass, positions
+    kept) → capped exemplar pair generation with position evidence (one
+    shuffle on anchor + one on the pair) → EXTENSION verification on
+    semi-join-pruned content: each pair extends the match left/right around
+    its shared anchor positions with chunked numpy compares — O(match_len)
+    per true pair and O(anchor_k-ish) per spurious one, never a suffix
+    sort (the earlier per-pair SA verify was measured 2-3 orders slower on
+    a 400k-file corpus whose template structure yields millions of
+    candidate pairs).
+
+    Exactness: the winnow window is derived from min_len (window =
+    min_len − anchor_k + 1), so any maximal shared run of length ≥ min_len
+    selects at least one shared fingerprint at the same offset inside the
+    run in BOTH docs; extending around that occurrence recovers the full
+    run. Reported match_len therefore equals the suffix-array answer for
+    every qualifying pair (property-tested against _scan_chunk).
 
     Output: (file_a, file_b, match_len, sample) — same schema as the
     cluster tier; union them for full coverage.
     """
     window = max(1, min_len - anchor_k + 1)
     anchors = winnowed_anchor_table(files, anchor_k, window, id_col, text_col)
-    pairs = global_repeat_candidates(anchors, max_anchor_members)
+    evidence = _global_repeat_evidence(anchors, max_anchor_members)
 
     from data_deduplication_service_spark.cache import persist_scoped
 
-    pairs = persist_scoped(pairs)
+    evidence = persist_scoped(evidence)
     involved = (
-        pairs.select(F.col("a").alias("_id"))
-        .union(pairs.select(F.col("b").alias("_id")))
+        evidence.select(F.col("a").alias("_id"))
+        .union(evidence.select(F.col("b").alias("_id")))
         .distinct()
     )
     content = (
@@ -353,33 +423,77 @@ def repeated_substrings_global(
         .join(involved, "_id", "left_semi")
     )
     joined = (
-        pairs.join(content.select(F.col("_id").alias("a"), F.col("_t").alias("_ta")), "a")
+        evidence.join(content.select(F.col("_id").alias("a"), F.col("_t").alias("_ta")), "a")
         .join(content.select(F.col("_id").alias("b"), F.col("_t").alias("_tb")), "b")
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        enc_cache: dict = {}
+        buf_cache: dict = {}
 
-        def enc(t: str) -> bytes:
-            got = enc_cache.get(t)
+        def buf(t: str) -> np.ndarray:
+            got = buf_cache.get(t)
             if got is None:
-                if len(enc_cache) >= 4096:
-                    enc_cache.clear()
-                got = enc_cache[t] = t.encode("utf-8")
+                if len(buf_cache) >= 4096:
+                    buf_cache.clear()
+                got = buf_cache[t] = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
             return got
 
         for pdf in batches:
             rows: list[tuple] = []
-            for a, b, ta, tb in zip(pdf["a"], pdf["b"], pdf["_ta"], pdf["_tb"]):
-                found = _scan_chunk([int(a), int(b)], [enc(ta), enc(tb)], min_len)
-                if found:
-                    rows.append(max(found, key=lambda r: r[2]))
+            for a, b, ta, tb, ev in zip(pdf["a"], pdf["b"], pdf["_ta"], pdf["_tb"], pdf["ev"]):
+                A, B = buf(ta), buf(tb)
+                best, best_start = 0, 0
+                # runs already found per alignment delta: a position inside
+                # a known run would extend to the same run — skip (collapses
+                # tiled-repetition evidence to one extension per run)
+                tried: dict[int, list[tuple[int, int]]] = {}
+                for e in ev:
+                    for pa in e["pa"]:
+                        for pb in e["pb"]:
+                            pa, pb = int(pa), int(pb)
+                            d = pa - pb
+                            ivs = tried.setdefault(d, [])
+                            if any(s <= pa < t for s, t in ivs):
+                                continue
+                            n, start = _extend_run(A, B, pa, pb)
+                            ivs.append((start, start + n))
+                            if n > best:
+                                best, best_start = n, start
+                if best >= min_len:
+                    sample = A[best_start : best_start + min(best, 80)]
+                    rows.append((int(a), int(b), best,
+                                 sample.tobytes().decode("utf-8", "replace")))
             if rows:
                 yield pd.DataFrame(rows, columns=["file_a", "file_b", "match_len", "sample"])
 
     return joined.mapInPandas(
         verify, schema="file_a long, file_b long, match_len long, sample string"
     )
+
+
+def _extend_run(A: np.ndarray, B: np.ndarray, pa: int, pb: int, chunk: int = 8192) -> tuple[int, int]:
+    """Maximal common run of uint8 arrays A and B around aligned positions
+    (pa, pb): chunked vectorized compares left and right until the first
+    mismatch. Returns (run_len, run_start_in_A)."""
+    L = min(A.size - pa, B.size - pb)
+    right = 0
+    while right < L:
+        c = min(chunk, L - right)
+        neq = np.nonzero(A[pa + right : pa + right + c] != B[pb + right : pb + right + c])[0]
+        if neq.size:
+            right += int(neq[0])
+            break
+        right += c
+    M = min(pa, pb)
+    left = 0
+    while left < M:
+        c = min(chunk, M - left)
+        neq = np.nonzero(A[pa - left - c : pa - left] != B[pb - left - c : pb - left])[0]
+        if neq.size:
+            left += int(c - 1 - neq[-1])
+            break
+        left += c
+    return left + right, pa - left
 
 
 def repeated_substrings_by_cluster(
@@ -446,11 +560,12 @@ def _scan_chunk(ids: list[int], texts: list[bytes], min_len: int) -> list[tuple]
     return rows
 
 
-# sized from the measured Kasai ceiling (scripts/suffix_microbench.py,
-# ~1-1.6 MB/s LCP): 4MB caps the worst-case straggler scan task at ~3-4
-# minutes. Real co-located cluster blobs are KB-scale; the cap only guards
-# degenerate groups (and the split is observable via blob_split_report).
-DEFAULT_MAX_BLOB_BYTES = 4 * 1024 * 1024
+# sized from the measured ceilings (scripts/suffix_microbench.py: LCP
+# ~0.9 MB/s, suffix_array 0.4-1.0 MB/s on this box): 16MB caps the
+# worst-case straggler scan task at ~1 minute and its SA working set at
+# ~13x blob ≈ 200MB. Real co-located cluster blobs are KB-scale; the cap
+# only guards degenerate groups (split observable via blob_split_report).
+DEFAULT_MAX_BLOB_BYTES = 16 * 1024 * 1024
 
 
 def blob_chunks(sizes: list[int], max_blob_bytes: int) -> list[int]:

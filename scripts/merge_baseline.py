@@ -132,6 +132,28 @@ def main() -> None:
             lines.append(f"| {r['rep']} | {r['cores']} | {r['total_sec']} | {r['files_per_sec']} |")
         lines.append("")
 
+    gr = [r for r in runs if r.get("n_global_repeat_pairs", -1) >= 0]
+    if gr:
+        n_gr = {r["n_global_repeat_pairs"] for r in gr}
+        assert len(n_gr) == 1, f"global-repeat outputs differ: {n_gr}"
+        lines += [
+            "## Winnowing suffix tier on the measured scale path",
+            "",
+            f"`repeated_substrings_global` (min_len=100, max_anchor_members=8) run",
+            f"as an extra stage over the {gr[0]['n_files']:,}-file corpus — "
+            f"{n_gr.pop():,} cross-doc verbatim-repeat pairs, identical at every",
+            "parallelism level:",
+            "",
+            "| session | rep | cores | global_repeats sec | job total sec |",
+            "|---|---|---|---|---|",
+        ]
+        for r in gr:
+            lines.append(
+                f"| {r['session']} | {r['rep']} | {r['cores']} | "
+                f"{r['stages_sec'].get('global_repeats', '-')} | {r['total_sec']} |"
+            )
+        lines.append("")
+
     if fused:
         lines += [
             "## Fused one-pass scan A/B (rejected)",

@@ -265,3 +265,53 @@ def test_blob_cap_splits_oversized_partition_identically(spark):
     assert sum(r.n_chunks for r in report) > len(report)  # some partition split
     # pure chunking helper: a single oversized doc still forms its own chunk
     assert blob_chunks([10, 2000, 10], 100) == [1, 2, 3]
+
+
+def test_global_tier_extension_matches_suffix_array(spark):
+    """The extension-based verify must report exactly the per-pair
+    suffix-array answer — same pair set, same max match_len — on random
+    docs with planted shared blocks at random offsets (the winnow
+    guarantee: any maximal shared run >= min_len contains a shared selected
+    anchor at the same in-run offset, so extension recovers the full run)."""
+    import numpy as np
+
+    from data_deduplication_service_spark.operators.suffix import (
+        _scan_chunk,
+        repeated_substrings_global,
+    )
+
+    rng = np.random.default_rng(5)
+    min_len = 60
+    blocks = [
+        bytes(rng.integers(97, 123, size=int(rng.integers(min_len, 3 * min_len)),
+                           dtype=np.uint8))
+        for _ in range(4)
+    ]
+    raw: dict[int, bytes] = {}
+    for i in range(12):
+        body = bytearray(bytes(rng.integers(32, 127, size=400, dtype=np.uint8)))
+        for bi in rng.choice(4, size=int(rng.integers(0, 3)), replace=False):
+            p = int(rng.integers(0, len(body)))
+            body[p:p] = blocks[int(bi)]
+        raw[i] = bytes(body)
+
+    exp: dict[tuple[int, int], int] = {}
+    for i in raw:
+        for j in raw:
+            if i >= j:
+                continue
+            found = _scan_chunk([i, j], [raw[i], raw[j]], min_len)
+            if found:
+                exp[(i, j)] = max(r[2] for r in found)
+    assert exp, "fixture must plant at least one shared block"
+
+    files = spark.createDataFrame(
+        [(i, t.decode("ascii")) for i, t in raw.items()], "file_id long, content string"
+    )
+    got = {
+        (r.file_a, r.file_b): r.match_len
+        for r in repeated_substrings_global(
+            files, min_len=min_len, max_anchor_members=10**9
+        ).collect()
+    }
+    assert got == exp
