@@ -247,6 +247,27 @@ def q_prefix_filter_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spaced_path_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 path space-codec (lib/dbCommon.cpp:171-186, 61-69, 213): store
+    paths with '/'→' ', list a directory via ``LIKE 'dir %'``, display via
+    ``'/'||replace(name,' ','/')``. The spaced LIKE gives whole-COMPONENT
+    prefix semantics: 'src1/en' lists src1/en/* but not src10/en/* (a bare
+    startswith('src1') would match both)."""
+    from data_deduplication_service_spark.sources.catalog import (
+        entries_for_directory,
+        from_spaced_path,
+        to_spaced_path,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat_ws("/", "source", "lang", F.col("doc_id").cast("string")).alias("path"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+    return entries_for_directory(docs, "src1/en").select(
+        from_spaced_path(to_spaced_path(F.col("path"))).alias("display_path"), "doc_id"
+    )
+
+
 def q_delete_gc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete + decrement + GC (reference J2/F4, lib/dbManager.cpp:110-121):
     segment-count histogram after deleting all docs from source 'src0'."""
@@ -554,6 +575,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quality_scores": q_quality_scores,
         "lang_guess_confusion": q_lang_guess_confusion,
         "prefix_filter_listing": q_prefix_filter_listing,
+        "spaced_path_listing": q_spaced_path_listing,
         "delete_gc_histogram": q_delete_gc_histogram,
         "consistency_check": q_consistency_check,
         "substring_containment": q_substring_containment,
@@ -830,6 +852,18 @@ def oracle_sql() -> dict[str, str]:
         "prefix_filter_listing": """
             SELECT lang, count(*) AS n FROM documents
             WHERE source LIKE 'src1%' GROUP BY lang
+        """,
+        # C3 spaced-path codec: the same LIKE-on-spaced-names listing the
+        # reference runs (whole-component prefix: src1/en, NOT src10/en)
+        "spaced_path_listing": """
+            WITH p AS (
+                SELECT source || '/' || lang || '/' || doc_id AS path,
+                       CAST(doc_id AS BIGINT) AS doc_id
+                FROM documents
+            )
+            SELECT '/' || path AS display_path, doc_id FROM p
+            WHERE replace(path, '/', ' ') LIKE 'src1 en %'
+               OR replace(path, '/', ' ') = 'src1 en'
         """,
         "delete_gc_histogram": _SEGS_CTE
         + """
