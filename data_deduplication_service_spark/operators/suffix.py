@@ -128,44 +128,51 @@ def substring_containment_pairs(
     `min_len_bytes` skips degenerate tiny docs (BYTE-length gate — aligned
     with the SQL oracle's octet_length predicate, not shingle counts).
 
-    `max_shingle_doc_freq` is the hot-key cap for the candidate self-join:
-    a boilerplate shingle present in d docs contributes d² join rows, so
-    shingles above the doc-frequency cap are EXCLUDED from the join on both
-    sides, symmetric to lsh.candidate_pairs' bucket cap. Correctness: for a
-    true contained pair every inner shingle (hot or not) appears in outer,
-    so requiring only the non-hot subset to match keeps a SUPERSET of true
-    candidates (exact verification restores precision). The only recall
-    loss is docs whose shingles are ALL hot — reported, never silently
-    dropped (`containment_overflow_docs`).
+    Candidate generation keys each inner doc on its RAREST shingle (min
+    doc-frequency, ties by value): containment requires EVERY inner shingle
+    in outer, so in particular the rarest one — candidates are exactly the
+    posting list of one shingle per inner doc, a broadcast join of a
+    one-row-per-doc table against the exploded shingles instead of the
+    all-shingles self-join (which emitted Σ df² rows and could not finish
+    100k files; this plan measured minutes at 400k). Exact verification
+    restores precision, so the output is identical.
 
-    The cap defaults FINITE (512) because the uncapped join is quadratic in
-    the hottest shingle's doc frequency — a caller must opt out explicitly
-    with ``None`` (correctness tiers comparing against a brute-force
-    oracle), never fall into the quadratic path by omission.
+    `max_shingle_doc_freq` bounds the per-inner fanout: an inner doc whose
+    rarest shingle is hotter than the cap (i.e. EVERY shingle is hot —
+    pure-boilerplate content) is excluded and reported via
+    ``containment_overflow_docs``, never silently dropped. The cap defaults
+    FINITE because a corpus-wide template doc would otherwise fan out to
+    every host; ``None`` is the explicit opt-out (correctness tiers
+    comparing against a brute-force oracle).
     """
     sig = signatures.select("file_id", F.explode("shingles").alias("s"))
-    joinable = sig
-    if max_shingle_doc_freq is not None:
-        # shingle arrays are per-doc distinct (np.unique), so count(*) = doc freq
-        hot = (
-            sig.groupBy("s")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_shingle_doc_freq)
-            .select("s")
+    # shingle arrays are per-doc distinct (np.unique), so count(*) = doc freq
+    df_tbl = sig.groupBy("s").agg(F.count("*").alias("_df"))
+    # shuffle_hash hint: df_tbl has ~one row per DISTINCT shingle (GBs at
+    # corpus scale) but Catalyst's post-agg size estimate can fall under the
+    # broadcast threshold — a static broadcast of it then collects the whole
+    # table to the driver (observed: maxResultSize abort at 400k files)
+    rarest = (
+        sig.join(df_tbl.hint("shuffle_hash"), "s")
+        .groupBy("file_id")
+        .agg(
+            F.min_by("s", F.struct("_df", "s")).alias("s"),
+            F.min("_df").alias("_df_rare"),
         )
-        joinable = sig.join(hot, "s", "left_anti")
-    na = joinable.groupBy("file_id").agg(F.count("*").alias("_na"))
-    a = joinable.join(na, "file_id").select(
-        F.col("file_id").alias("inner"), F.col("_na").alias("_na"), "s"
     )
-    b = joinable.select(F.col("file_id").alias("outer"), "s")
-    shared = (
-        a.join(b, "s")
+    if max_shingle_doc_freq is not None:
+        rarest = rarest.filter(F.col("_df_rare") <= max_shingle_doc_freq)
+    # one row per inner doc vs the postings. The broadcast side MUST be
+    # pinned explicitly: the static planner's width-pruned estimate of the
+    # exploded postings can fall under the broadcast threshold and it then
+    # collects the multi-GB postings to the driver (observed OOM at 400k);
+    # `rarest` is one narrow row per doc — the side a broadcast is for.
+    cands = (
+        sig.select(F.col("file_id").alias("outer"), "s")
+        .join(F.broadcast(rarest.select(F.col("file_id").alias("inner"), "s")), "s")
         .filter(F.col("inner") != F.col("outer"))
-        .groupBy("inner", "outer", "_na")
-        .agg(F.count("*").alias("_shared"))
+        .select("inner", "outer")
     )
-    cands = shared.filter(F.col("_shared") == F.col("_na")).select("inner", "outer")
 
     content = files.select("file_id", "content")
     pairs = (
