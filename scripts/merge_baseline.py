@@ -29,11 +29,18 @@ def load_runs() -> list[dict]:
     runs = []
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH", "runs_*.jsonl"))):
         session = os.path.basename(path)[len("runs_"):-len(".jsonl")]
+        camp, prev_rep = 0, -1
         for line in open(path):
             r = json.loads(line)
             if "cores" not in r or "files_per_sec" not in r or "rep" not in r:
                 continue  # campaign summary line
-            r["session"] = session
+            # two campaigns may append to one per-day file: a rep counter
+            # reset marks the boundary (same-window pairing must never mix
+            # runs from different campaign invocations)
+            if r["rep"] < prev_rep:
+                camp += 1
+            prev_rep = r["rep"]
+            r["session"] = session if camp == 0 else f"{session}#c{camp + 1}"
             runs.append(r)
     return runs
 
