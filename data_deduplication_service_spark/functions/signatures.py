@@ -48,7 +48,16 @@ SIGNATURE_SCHEMA = (
 def signature_schema(cfg: DedupConfig) -> str:
     """Output schema of signature_table — minhash element width follows
     cfg.minhash_bits (array<int> at 32 halves every downstream signature
-    byte: the persisted table, the band slices, both estimate-join sides)."""
+    byte: the persisted table, the band slices, both estimate-join sides).
+
+    ``n_shingles`` SEMANTICS DEPEND ON THE SIGNATURE LAYOUT: with
+    keep_shingles=True (or with_simhash=True) it is the DISTINCT shingle
+    count (|set|); on the lean scale path (keep_shingles=False AND
+    with_simhash=False — also fused_signature_segments) the positional
+    kernel skips the per-doc unique and it is the positional WINDOW count
+    (≥ the distinct count). Consumers that need set cardinality (e.g.
+    size-ratio candidate pruning) must not read it off a lean-layout
+    persisted table — re-derive via the set kernel instead."""
     mh = "array<int>" if cfg.minhash_bits == 32 else "array<long>"
     return f"file_id long, n_shingles int, shingles array<long>, minhash {mh}, simhash long"
 
@@ -453,6 +462,9 @@ def signature_table(
     (semi-join pruning in lsh.exact_jaccard_for_pairs handles both layouts).
     ``with_simhash=False`` skips the simhash votes (manual column pruning —
     Catalyst can't prune inside a UDF; the LSH pipeline only reads minhash).
+    NOTE: on the lean layout (both flags off) ``n_shingles`` is the
+    positional window count, not the distinct-set size — see
+    signature_schema's docstring before consuming it downstream.
     """
     if cfg.shingle_mode == "char":
         return _fast_char_signature_table(files, cfg, keep_shingles, with_simhash)

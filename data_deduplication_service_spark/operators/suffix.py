@@ -10,13 +10,20 @@ Two operators (the north-star's "suffix-array-based exact substring dedup"):
     (vectorized pandas UDF). Candidate generation is the same
     semi-join-pruned shape as LSH verification, so it scales the same way.
 
-  * ``repeated_substrings_in_partition`` — per-partition: build a suffix
-    array over the concatenated partition text (prefix-doubling, fully
-    numpy-vectorized O(n log² n)) + Kasai LCP, and report maximal repeated
-    substrings ≥ min_len that span two different documents. This is the
-    classic training-data dedup primitive (Lee et al. 2022-style); global
-    coverage comes from re-partitioning by content clusters or running on
-    LSH-cluster members, which keeps each partition's corpus bounded.
+  * ``repeated_substrings_global`` / ``repeated_substrings_by_cluster`` —
+    the SCALE paths for the classic training-data dedup primitive (Lee et
+    al. 2022-style): winnowing anchors with positions (Schleimer et al.,
+    SIGMOD'03) → capped exemplar pair generation (globally, or bucketed
+    per cluster) → O(match_len) extension verification around shared
+    anchor positions. Never a suffix sort on the hot path.
+
+  * ``repeated_substrings_in_partition`` — the ORACLE tier: per-partition
+    suffix array over the concatenated text (prefix-doubling, fully
+    numpy-vectorized O(n log² n)) + Kasai LCP, reporting maximal repeated
+    substrings ≥ min_len spanning two documents. Kasai's outer loop is one
+    Python iteration per blob byte (~1-1.6 MB/s), so this tier exists to
+    property-test the anchor tiers (extension ≡ suffix-array parity,
+    tests/test_suffix.py), not to scan corpora.
 """
 
 from __future__ import annotations
@@ -118,6 +125,7 @@ def substring_containment_pairs(
     signatures: DataFrame,
     min_len_bytes: int = 12,
     max_shingle_doc_freq: int | None = 512,
+    broadcast_inner: bool | None = None,
 ) -> DataFrame:
     """(inner, outer) pairs where inner.content ⊆ outer.content verbatim.
 
@@ -126,7 +134,9 @@ def substring_containment_pairs(
     shingle width ≤ len(inner)). Verified exactly on candidates only.
 
     `min_len_bytes` skips degenerate tiny docs (BYTE-length gate — aligned
-    with the SQL oracle's octet_length predicate, not shingle counts).
+    with the SQL oracle's octet_length predicate, not shingle counts). The
+    gate is applied BEFORE candidate generation (a semi-join on the inner
+    side), so short docs never enter the broadcast or the posting probe.
 
     Candidate generation keys each inner doc on its RAREST shingle (min
     doc-frequency, ties by value): containment requires EVERY inner shingle
@@ -144,6 +154,19 @@ def substring_containment_pairs(
     FINITE because a corpus-wide template doc would otherwise fan out to
     every host; ``None`` is the explicit opt-out (correctness tiers
     comparing against a brute-force oracle).
+
+    `broadcast_inner` pins the join strategy for the one-row-per-inner-doc
+    table. Default (None): broadcast only when the doc-freq cap is finite.
+    NOTE the ceiling: the broadcast side is ~24 bytes per ELIGIBLE DOC (the
+    cap filters few docs), so above ~10^8 docs pass False to keep the
+    shuffle-hash plan regardless of the cap.
+
+    Verification groups candidate pairs BY OUTER DOC before joining outer
+    content, so each outer's bytes cross the shuffle once per outer doc —
+    not once per candidate pair (a popular host's content was previously
+    duplicated across all its pairs in the verify exchange). Inner content
+    attaches per pair (the small, contained side, fanout ≤ the doc-freq
+    cap).
     """
     sig = signatures.select("file_id", F.explode("shingles").alias("s"))
     # shingle arrays are per-doc distinct (np.unique), so count(*) = doc freq
@@ -162,38 +185,65 @@ def substring_containment_pairs(
     )
     if max_shingle_doc_freq is not None:
         rarest = rarest.filter(F.col("_df_rare") <= max_shingle_doc_freq)
-    # one row per inner doc vs the postings. The broadcast side MUST be
-    # pinned explicitly: the static planner's width-pruned estimate of the
-    # exploded postings can fall under the broadcast threshold and it then
-    # collects the multi-GB postings to the driver (observed OOM at 400k);
-    # `rarest` is one narrow row per doc — the side a broadcast is for.
+    # byte-length gate BEFORE candidate generation: shrinks the broadcast
+    # and the posting-probe fanout (short docs can't qualify anyway)
+    content = files.select("file_id", "content")
+    eligible = content.filter(F.octet_length("content") >= min_len_bytes).select("file_id")
+    rarest = rarest.join(eligible, "file_id", "left_semi")
+    # one row per inner doc vs the postings. When broadcasting, the side
+    # MUST be pinned explicitly: the static planner's width-pruned estimate
+    # of the exploded postings can fall under the broadcast threshold and it
+    # then collects the multi-GB postings to the driver (observed OOM at
+    # 400k); `rarest` is one narrow row per doc — the side a broadcast is
+    # for. Uncapped (oracle) configs fall back to shuffle_hash: with no
+    # doc-freq cap the driver must not gather a row per corpus doc.
+    inner_tbl = rarest.select(F.col("file_id").alias("inner"), "s")
+    if broadcast_inner is None:
+        broadcast_inner = max_shingle_doc_freq is not None
+    inner_side = F.broadcast(inner_tbl) if broadcast_inner else inner_tbl.hint("shuffle_hash")
     cands = (
         sig.select(F.col("file_id").alias("outer"), "s")
-        .join(F.broadcast(rarest.select(F.col("file_id").alias("inner"), "s")), "s")
+        .join(inner_side, "s")
         .filter(F.col("inner") != F.col("outer"))
         .select("inner", "outer")
     )
 
-    content = files.select("file_id", "content")
-    pairs = (
-        cands.join(content.select(F.col("file_id").alias("inner"), F.col("content").alias("_ci")), "inner")
+    # inner content attaches per pair (bounded by the doc-freq cap); pairs
+    # then group by outer so the outer's content joins ONCE per outer doc.
+    # The explode after the final join re-expands pairs inside the task
+    # pipeline — the duplication never crosses an exchange.
+    inner_content = content.select(
+        F.col("file_id").alias("inner"), F.col("content").alias("_ci")
+    ).filter(F.octet_length("_ci") >= min_len_bytes)
+    grouped = (
+        cands.join(inner_content, "inner")
+        .groupBy("outer")
+        .agg(F.collect_list(F.struct("inner", "_ci")).alias("_ic"))
         .join(content.select(F.col("file_id").alias("outer"), F.col("content").alias("_co")), "outer")
-        .filter(F.octet_length("_ci") >= min_len_bytes)
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            # vectorized pandas str containment over the candidate batch
-            mask = [ci in co for ci, co in zip(pdf["_ci"], pdf["_co"])]
-            out = pdf.loc[mask, ["inner", "outer"]].copy()
-            out["inner_len"] = (
-                pdf.loc[mask, "_ci"].map(lambda s: len(s.encode("utf-8"))).astype("int64")
-            )
-            yield out
+            outers: list[int] = []
+            inners: list[int] = []
+            lens: list[int] = []
+            for outer, co, ic in zip(pdf["outer"], pdf["_co"], pdf["_ic"]):
+                for e in ic:
+                    ci = e["_ci"]
+                    if ci in co:
+                        outers.append(int(outer))
+                        inners.append(int(e["inner"]))
+                        lens.append(len(ci.encode("utf-8")))
+            if outers:
+                yield pd.DataFrame(
+                    {"inner": np.array(inners, dtype=np.int64),
+                     "outer": np.array(outers, dtype=np.int64),
+                     "inner_len": np.array(lens, dtype=np.int64)}
+                )
 
-    return pairs.mapInPandas(verify, schema="inner long, outer long, inner_len long")
+    return grouped.mapInPandas(verify, schema="inner long, outer long, inner_len long")
 
 
 def containment_overflow_docs(
@@ -332,20 +382,29 @@ def global_repeat_candidates(
     return buckets.select(F.explode(pair_expr).alias("p")).select("p.a", "p.b").distinct()
 
 
-def _global_repeat_evidence(anchors: DataFrame, max_anchor_members: int) -> DataFrame:
+def _pair_evidence(
+    anchors: DataFrame,
+    max_anchor_members: int,
+    bucket_cols: tuple[str, ...] = ("anchor",),
+) -> DataFrame:
     """(a, b, ev) — exemplar pairs with their shared-anchor POSITION
     evidence: ev is the list of (pa, pb) position-list pairs, one entry per
     shared anchor value, gathered with one groupBy. Verification only ever
-    extends around these positions — no suffix sorting."""
+    extends around these positions — no suffix sorting.
+
+    ``bucket_cols`` is the exemplar-window / bucket key: ``("anchor",)``
+    for the global tier, ``("cluster_id", "anchor")`` for the
+    cluster-scoped tier (pairs then only form between members of the same
+    cluster, and the exemplar cap applies per (cluster, anchor))."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("anchor").orderBy("file_id")
+    w = Window.partitionBy(*bucket_cols).orderBy("file_id")
     top = (
         anchors.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_anchor_members)
     )
     buckets = (
-        top.groupBy("anchor")
+        top.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(F.struct("file_id", "positions"))).alias("_m"))
         .filter(F.size("_m") >= 2)
     )
@@ -413,10 +472,25 @@ def repeated_substrings_global(
     Output: (file_a, file_b, match_len, sample) — same schema as the
     cluster tier; union them for full coverage.
     """
+    anchor_k = min(anchor_k, min_len)  # winnow guarantee needs min_len ≥ k
     window = max(1, min_len - anchor_k + 1)
     anchors = winnowed_anchor_table(files, anchor_k, window, id_col, text_col)
-    evidence = _global_repeat_evidence(anchors, max_anchor_members)
+    evidence = _pair_evidence(anchors, max_anchor_members)
+    return _extension_verified_pairs(files, evidence, min_len, id_col, text_col)
 
+
+def _extension_verified_pairs(
+    files: DataFrame,
+    evidence: DataFrame,
+    min_len: int,
+    id_col: str = "file_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Shared verify stage for both repeat tiers: join each (a, b, ev)
+    exemplar pair with its two contents (semi-join pruned — only involved
+    docs ship), then EXTEND the match left/right around every shared anchor
+    position with chunked numpy compares. O(match_len) per true pair,
+    O(anchor_k-ish) per spurious one; never a suffix sort."""
     from data_deduplication_service_spark.cache import persist_scoped
 
     evidence = persist_scoped(evidence)
@@ -507,29 +581,40 @@ def repeated_substrings_by_cluster(
     files: DataFrame,
     clusters: DataFrame,
     min_len: int = 50,
+    anchor_k: int = 16,
+    max_anchor_members: int = 16,
     id_col: str = "file_id",
     text_col: str = "content",
-    max_blob_bytes: int | None = None,
 ) -> DataFrame:
-    """GLOBAL repeated-substring detection: co-locate each near-dup
-    cluster's members into one partition (hash repartition on cluster_id),
-    then run the per-partition suffix-array scan.
+    """CLUSTER-scoped verbatim-repeat detection: (file_a, file_b,
+    match_len, sample) pairs of docs in the SAME near-dup cluster sharing a
+    byte run ≥ min_len.
 
-    This is the scale path the per-partition op documents: long verbatim
-    repeats overwhelmingly live INSIDE near-dup clusters (that is what made
-    them near-dups), so partitioning by the LSH clustering bounds each
-    partition's blob by its co-hashed clusters rather than the corpus, and
-    the suffix array never sees unrelated content. Matches found are the
-    same (file_a, file_b, match_len, sample) rows regardless of the input's
-    physical layout."""
+    Same winnowing-anchor + extension-verify machinery as the global tier,
+    with pair generation bucketed per (cluster_id, anchor) so pairs only
+    form within a cluster and the exemplar cap applies per cluster — a
+    1000-member boilerplate cluster emits capped exemplar pairs, never
+    C(1000,2). Output is layout-independent by construction (anchors key on
+    shared bytes, not physical partitioning).
+
+    This replaced the co-locate-and-suffix-sort path (repartition by
+    cluster_id + per-partition SA/Kasai scan): the Kasai scan is one Python
+    interpreter iteration per blob byte (~1-1.6 MB/s measured) and its
+    adjacent-suffix-pair output silently depended on the blob split cap for
+    oversized clusters. The anchor route is memcmp-speed, needs no blob
+    cap, and reports ALL qualifying within-cluster pairs (the per-pair
+    suffix-array answer — property-tested; the SA scan survives as the
+    test oracle in repeated_substrings_in_partition)."""
+    anchor_k = min(anchor_k, min_len)  # winnow guarantee needs min_len ≥ k
+    window = max(1, min_len - anchor_k + 1)
     tagged = files.select(id_col, text_col).join(
         clusters.select(F.col("file_id").alias(id_col), "cluster_id"), id_col
     )
-    co_located = tagged.repartition("cluster_id")
-    kw = {} if max_blob_bytes is None else {"max_blob_bytes": max_blob_bytes}
-    return repeated_substrings_in_partition(
-        co_located, min_len=min_len, id_col=id_col, text_col=text_col, **kw
+    anchors = winnowed_anchor_table(tagged, anchor_k, window, id_col, text_col).join(
+        clusters.select("file_id", "cluster_id"), "file_id"
     )
+    evidence = _pair_evidence(anchors, max_anchor_members, bucket_cols=("cluster_id", "anchor"))
+    return _extension_verified_pairs(files, evidence, min_len, id_col, text_col)
 
 
 def _scan_chunk(ids: list[int], texts: list[bytes], min_len: int) -> list[tuple]:
@@ -606,14 +691,19 @@ def repeated_substrings_in_partition(
     Output: (file_a, file_b, match_len, sample) — dedup decisions (which
     copy to keep) are the caller's policy.
 
+    ORACLE TIER — the scale paths are the anchor-based
+    ``repeated_substrings_global`` / ``repeated_substrings_by_cluster``,
+    which this op's SA/Kasai answer property-tests.
+
     ``max_blob_bytes`` is a HARD per-scan cap: Kasai's outer loop runs one
     Python iteration per blob byte (~1-1.6 MB/s measured), so an unbounded
     partition blob would take minutes of pure interpreter time. Oversized
     partitions are split at doc boundaries (docs ordered by id for
     layout-determinism); matches between docs that land in different chunks
-    of the SAME partition are not reported — size partitions (cluster
-    co-location / anchor groups) under the cap to avoid splits, and use
-    ``blob_split_report`` to see where splitting occurred.
+    of the SAME partition are NOT reported — on oracle-sized inputs keep
+    partitions under the cap, and use ``blob_split_report`` (same
+    files/partitioning) to see where splitting occurred before trusting a
+    capped scan's output.
     """
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -225,11 +225,19 @@ class StageStore:
 def iceberg_catalogs(spark: SparkSession) -> list[str]:
     """Names of configured Iceberg catalogs: every ``spark.sql.catalog.<n>``
     conf whose implementation class mentions iceberg. Empty in this sandbox
-    (no jars) — the factory then falls back to the parquet StageStore."""
+    (no jars) — the factory then falls back to the parquet StageStore.
+
+    Both conf layers are scanned: the launch-time SparkConf AND the runtime
+    SQL conf (``SET`` output) — a catalog registered after session build
+    via ``spark.conf.set(...)`` would otherwise be invisible here and
+    make_stage_store would silently pick the parquet emulation."""
+    confs = dict(spark.sparkContext.getConf().getAll())
+    for row in spark.sql("SET").collect():  # runtime-modified SQL confs
+        confs[row.key] = row.value
     names = []
-    for k, v in spark.sparkContext.getConf().getAll():
+    for k, v in confs.items():
         parts = k.split(".")
-        if k.startswith("spark.sql.catalog.") and len(parts) == 4 and "iceberg" in v.lower():
+        if k.startswith("spark.sql.catalog.") and len(parts) == 4 and "iceberg" in str(v).lower():
             names.append(parts[3])
     return sorted(names)
 

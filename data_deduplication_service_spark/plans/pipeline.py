@@ -183,16 +183,24 @@ def run_pipeline(
 
 
 def pipeline_summary(result: PipelineResult) -> DataFrame:
-    """One-row rollup: corpus size, dedup coefficient, pair/cluster counts."""
-    coeff = dedup_coefficient(result.segments)
-    counts = (
-        result.files.agg(F.count("*").alias("n_files"), F.sum("size_in_bytes").alias("total_bytes"))
-        .crossJoin(result.dup_pairs.agg(F.count("*").alias("n_dup_pairs")))
-        .crossJoin(
-            result.clusters.agg(
-                F.countDistinct("cluster_id").alias("n_clusters"),
-                (F.count("*") - F.countDistinct("cluster_id")).alias("n_redundant_files"),
-            )
-        )
-    )
-    return counts.crossJoin(coeff)
+    """One-row rollup: corpus size, dedup coefficient, pair/cluster counts.
+
+    One multi-aggregate per source table (nothing is scanned twice), then
+    the four 1-row results stapled side-by-side — the same degenerate-join
+    shape as operators/exact.py:global_sizes; each crossJoin of 1-row DFs
+    plans as a broadcast nested loop over already-aggregated singles, so no
+    additional exchange is introduced beyond the four aggregations."""
+    from functools import reduce
+
+    parts = [
+        result.files.agg(
+            F.count("*").alias("n_files"), F.sum("size_in_bytes").alias("total_bytes")
+        ),
+        result.dup_pairs.agg(F.count("*").alias("n_dup_pairs")),
+        result.clusters.agg(
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            (F.count("*") - F.countDistinct("cluster_id")).alias("n_redundant_files"),
+        ),
+        dedup_coefficient(result.segments),
+    ]
+    return reduce(DataFrame.crossJoin, parts)

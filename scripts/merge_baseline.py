@@ -34,13 +34,19 @@ def load_runs() -> list[dict]:
             r = json.loads(line)
             if "cores" not in r or "files_per_sec" not in r or "rep" not in r:
                 continue  # campaign summary line
-            # two campaigns may append to one per-day file: a rep counter
-            # reset marks the boundary (same-window pairing must never mix
-            # runs from different campaign invocations)
-            if r["rep"] < prev_rep:
-                camp += 1
-            prev_rep = r["rep"]
-            r["session"] = session if camp == 0 else f"{session}#c{camp + 1}"
+            # two campaigns may append to one per-day file and same-window
+            # pairing must never mix runs from different invocations. New
+            # records carry an explicit campaign id (orchestrate start
+            # time); legacy records fall back to rep-counter-reset
+            # inference (which mis-groups consecutive --repeats=1
+            # campaigns — the reason the explicit id exists).
+            if "campaign" in r:
+                r["session"] = f"{session}#{r['campaign']}"
+            else:
+                if r["rep"] < prev_rep:
+                    camp += 1
+                prev_rep = r["rep"]
+                r["session"] = session if camp == 0 else f"{session}#c{camp + 1}"
             runs.append(r)
     return runs
 

@@ -223,6 +223,10 @@ def orchestrate(
     # identical standalone re-run measured 85.4s), so one sample per leg
     # measures tenancy noise, not the code. Outputs must be identical
     # across every run (the north-rule two-cluster-size invariant).
+    # Explicit campaign id: merge_baseline groups same-window pairs by it
+    # (inferring campaign boundaries from rep-counter resets mis-grouped
+    # consecutive --repeats=1 campaigns appended to one per-day file).
+    campaign = time.strftime("%Y%m%dT%H%M%S")
     results: dict[int, dict] = {}
     for rep in range(repeats):
         for cores in legs:
@@ -246,6 +250,7 @@ def orchestrate(
                 sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
                 raise RuntimeError(f"worker at {cores} cores produced no result")
             r = json.loads(line[0][len("WORKER_RESULT "):])
+            r["campaign"] = campaign
             print(json.dumps({"rep": rep, **r}))
             # raw-run provenance for scripts/merge_baseline.py (best-of-N
             # across sessions): one JSON line per worker run

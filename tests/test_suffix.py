@@ -141,8 +141,10 @@ def test_winnow_guarantee_shared_anchor():
 def test_global_tier_finds_cross_cluster_repeat_cluster_tier_misses(spark):
     """The canonical case (reference fixtures: shared blocks across
     otherwise-unrelated files): two non-near-dup docs share one 120-byte
-    block. The cluster-scoped tier provably misses it (different clusters);
-    the global winnowing tier must find it — under any physical layout."""
+    block. The cluster-scoped tier provably misses it (different clusters —
+    since the anchor rewrite the blind spot is CLUSTER MEMBERSHIP, not
+    physical co-location, so no partition gymnastics are needed to exhibit
+    it); the global winnowing tier must find it — under any layout."""
     from data_deduplication_service_spark.operators.suffix import (
         repeated_substrings_by_cluster,
         repeated_substrings_global,
@@ -160,32 +162,14 @@ def test_global_tier_finds_cross_cluster_repeat_cluster_tier_misses(spark):
     ]
     files = spark.createDataFrame(rows, "file_id long, content string")
 
-    # the cluster tier's blind spot is per shuffle PARTITION (hash
-    # co-location on cluster_id). At test scale AQE coalesces the tiny
-    # shuffle into ONE partition, accidentally co-locating every cluster —
-    # disable it here and pick a cluster id for doc 2 that provably lands in
-    # a different partition than doc 1's cluster, the layout a large corpus
-    # always has.
-    from pyspark.sql import functions as F
-
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        def partitions_of(c1: int, c2: int) -> set:
-            df = spark.createDataFrame([(c1,), (c2,)], "cluster_id long").repartition("cluster_id")
-            return {r.p for r in df.select(F.spark_partition_id().alias("p")).collect()}
-
-        cid2 = next(c for c in range(2, 64) if len(partitions_of(1, c)) == 2)
-        clusters = spark.createDataFrame(
-            [(1, 1), (2, cid2), (3, 1)], "file_id long, cluster_id long"
-        )
-        missed = {
-            (r.file_a, r.file_b)
-            for r in repeated_substrings_by_cluster(files, clusters, min_len=100).collect()
-        }
-        assert (1, 2) not in missed  # structural blind spot, by design
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 1)], "file_id long, cluster_id long"
+    )
+    missed = {
+        (r.file_a, r.file_b)
+        for r in repeated_substrings_by_cluster(files, clusters, min_len=100).collect()
+    }
+    assert (1, 2) not in missed  # structural blind spot, by design
 
     for nparts in (1, 3):
         got = {
@@ -312,6 +296,66 @@ def test_global_tier_extension_matches_suffix_array(spark):
         (r.file_a, r.file_b): r.match_len
         for r in repeated_substrings_global(
             files, min_len=min_len, max_anchor_members=10**9
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_cluster_tier_matches_per_pair_suffix_array(spark):
+    """The anchor-based cluster tier must equal the per-pair suffix-array
+    answer restricted to SAME-CLUSTER pairs — same pair set, same max
+    match_len — on random docs with planted shared blocks (the same
+    fixture recipe as the global parity test, plus a cluster assignment
+    that splits the corpus so both found-within and missed-across cases
+    occur)."""
+    import numpy as np
+
+    from data_deduplication_service_spark.operators.suffix import (
+        _scan_chunk,
+        repeated_substrings_by_cluster,
+    )
+
+    rng = np.random.default_rng(11)
+    min_len = 60
+    blocks = [
+        bytes(rng.integers(97, 123, size=int(rng.integers(min_len, 3 * min_len)),
+                           dtype=np.uint8))
+        for _ in range(4)
+    ]
+    raw: dict[int, bytes] = {}
+    for i in range(12):
+        body = bytearray(bytes(rng.integers(32, 127, size=400, dtype=np.uint8)))
+        for bi in rng.choice(4, size=int(rng.integers(0, 3)), replace=False):
+            p = int(rng.integers(0, len(body)))
+            body[p:p] = blocks[int(bi)]
+        raw[i] = bytes(body)
+
+    cluster_of = {i: i % 3 for i in raw}  # 3 clusters of 4 docs
+    exp: dict[tuple[int, int], int] = {}
+    cross_cluster_matches = 0
+    for i in raw:
+        for j in raw:
+            if i >= j:
+                continue
+            found = _scan_chunk([i, j], [raw[i], raw[j]], min_len)
+            if found:
+                if cluster_of[i] == cluster_of[j]:
+                    exp[(i, j)] = max(r[2] for r in found)
+                else:
+                    cross_cluster_matches += 1
+    assert exp, "fixture must plant at least one same-cluster shared block"
+    assert cross_cluster_matches, "fixture must also plant cross-cluster blocks"
+
+    files = spark.createDataFrame(
+        [(i, t.decode("ascii")) for i, t in raw.items()], "file_id long, content string"
+    )
+    clusters = spark.createDataFrame(
+        [(i, c) for i, c in cluster_of.items()], "file_id long, cluster_id long"
+    )
+    got = {
+        (r.file_a, r.file_b): r.match_len
+        for r in repeated_substrings_by_cluster(
+            files, clusters, min_len=min_len, max_anchor_members=10**9
         ).collect()
     }
     assert got == exp
