@@ -416,6 +416,35 @@ def q_global_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("file_a", "file_b").distinct()
 
 
+def q_cluster_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-scoped repeated-substring pairs (operators/suffix.py:
+    repeated_substrings_by_cluster): doc pairs in the SAME near-dup
+    cluster sharing a verbatim byte block ≥ 100 bytes, via per-cluster
+    winnowing anchors + extension verify.
+
+    Oracle-complete config: clusters from the recall-1.0 pipeline (same
+    derivation as near_dup_clusters, whose oracle is the recursive
+    min-reachable-id CTE), max_anchor_members=10^9 (no exemplar
+    truncation) — so the output is EXACTLY {same-cluster pairs sharing a
+    100-byte gram}, which DuckDB computes as the global_repeats gram join
+    restricted to equal recursive-CC labels."""
+    from data_deduplication_service_spark.operators.components import (
+        clusters_with_singletons,
+        connected_components,
+    )
+    from data_deduplication_service_spark.operators.suffix import (
+        repeated_substrings_by_cluster,
+    )
+
+    files = _doc_files(spark, sf_dir)
+    pairs = _exact_lsh_pairs(spark, sf_dir)
+    clusters = clusters_with_singletons(connected_components(pairs.select("a", "b")), files)
+    out = repeated_substrings_by_cluster(
+        files, clusters, min_len=100, max_anchor_members=10**9
+    )
+    return out.select("file_a", "file_b").distinct()
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions (30-min inactivity gap):
     per-session event counts and bounds — covers lag/cumsum window shapes."""
@@ -580,6 +609,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "consistency_check": q_consistency_check,
         "substring_containment": q_substring_containment,
         "global_repeats": q_global_repeats,
+        "cluster_repeats": q_cluster_repeats,
         "event_sessions": q_event_sessions,
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_topk": q_revenue_topk,
@@ -905,6 +935,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS file_a, b.doc_id AS file_b
             FROM lg a JOIN lg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        # same-cluster pairs sharing a ≥100-byte verbatim run: the
+        # global_repeats gram join restricted to equal connected-component
+        # labels (clusters = the near_dup_clusters oracle's recursive CTE)
+        "cluster_repeats": _gh_cte()
+        + _PAIRS_FROM_GH
+        + f"""
+            , edges AS (
+                SELECT a AS u, b AS v FROM pr
+                UNION
+                SELECT b AS u, a AS v FROM pr
+            ),
+            reach AS (
+                SELECT doc_id AS u, doc_id AS v FROM documents
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+            lg AS (
+              SELECT DISTINCT doc_id,
+                     substring({_HX}, 2*(t.i-1)+1, 2*100) AS gram
+              FROM documents,
+                   unnest(generate_series(1, octet_length(encode(text)) - 100 + 1)) AS t(i)
+              WHERE octet_length(encode(text)) >= 100
+            )
+            SELECT x.doc_id AS file_a, y.doc_id AS file_b
+            FROM lg x
+            JOIN lg y ON x.gram = y.gram AND x.doc_id < y.doc_id
+            JOIN cl ca ON ca.doc_id = x.doc_id
+            JOIN cl cb ON cb.doc_id = y.doc_id
+            WHERE ca.cluster_id = cb.cluster_id
             GROUP BY 1, 2
         """,
         "event_sessions": """
