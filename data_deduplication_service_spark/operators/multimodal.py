@@ -2,10 +2,13 @@
 
 Image/audio/video are treated as `binary` columns with a metadata struct —
 the Spark-side plumbing (schema, batch shape, partition sizing, UDF
-signatures) is real and tested; the actual codec calls are STUBBED behind
-`NotImplementedError` / a deterministic fake because no media libraries
-exist in this container. Swapping `_decode_image_stub` for PIL/libvips is
-a one-function change; nothing in the plan shape moves.
+signatures) is real and tested. TWO codec paths are REAL and pure-numpy
+(no media libraries needed): binary PPM (P6) images and RIFF/WAVE PCM16
+audio — `decode_payload` dispatches on the payload's magic bytes, so a
+media table can mix real and opaque payloads. Formats that genuinely need
+external libs (PNG/JPEG/h264/...) remain STUBBED behind a deterministic
+fake; swapping `_decode_image_stub` for PIL/libvips is a one-function
+change and nothing in the plan shape moves.
 """
 
 from __future__ import annotations
@@ -49,6 +52,105 @@ def synthesize_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# real pure-numpy codecs: PPM (P6) images, RIFF/WAVE PCM16 audio
+# --------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB array → binary PPM (P6) bytes. Fixture/test
+    helper and the encode half of the roundtrip-exactness pytest."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_ppm expects a uint8 (h, w, 3) array")
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 (h, w, 3) RGB array, pure numpy.
+
+    Full P6 grammar: magic, then width/height/maxval as whitespace-
+    separated ASCII decimals with '#' comments allowed between tokens, one
+    whitespace byte, then h*w*3 raw samples (maxval ≤ 255 → 1 byte each)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (1-byte samples only)")
+    pos += 1  # exactly one whitespace byte separates header and raster
+    raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono sample array → RIFF/WAVE (PCM16) bytes. Fixture/test
+    helper and the encode half of the roundtrip-exactness pytest."""
+    import struct
+
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav_pcm16 expects an int16 1-d array")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → (int16 sample array, sample_rate), pure numpy.
+
+    Walks the RIFF chunk list properly (chunks may appear in any order and
+    carry odd-length padding), requires audio_format=1 (PCM) and 16-bit
+    samples; multi-channel data is returned interleaved as stored."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, audio_fmt, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, _ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (audio_format={audio_fmt}, bits={bits})")
+    if data is None:
+        raise ValueError("WAV payload has no data chunk")
+    return np.frombuffer(data, dtype="<i2"), int(rate)
+
+
+def decode_payload(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch → float array in [0, 1] for the feature stage.
+
+    Real codecs: P6 PPM (pixels / 255) and RIFF/WAVE PCM16 (samples mapped
+    (x/32768 + 1)/2). Anything else falls back to the deterministic stub —
+    the honest boundary: formats needing external libs stay stubbed."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload).astype(np.float32) / 255.0
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, _rate = decode_wav_pcm16(payload)
+        return (samples.astype(np.float32) / 32768.0 + 1.0) / 2.0
+    return _decode_image_stub(payload, {})
+
+
 def _decode_image_stub(payload: bytes, meta: dict) -> np.ndarray:
     """STUB — replace with PIL.Image.open(io.BytesIO(payload)) in production.
 
@@ -73,7 +175,9 @@ def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame
     The batch shape is what matters at scale: payloads stream through Arrow
     in bounded record batches (spark.sql.execution.arrow.maxRecordsPerBatch
     governs memory), features come out columnar — identical plumbing to a
-    real CNN/fbank featurizer.
+    real CNN/fbank featurizer. Decode dispatches per payload: PPM/WAV
+    payloads go through the real numpy codecs, everything else through the
+    deterministic stub (see decode_payload).
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,7 +185,7 @@ def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                img = _decode_image_stub(bytes(payload), {})
+                img = decode_payload(bytes(payload))
                 hist, _ = np.histogram(img, bins=edges)
                 total = max(hist.sum(), 1)
                 feats.append((hist / total).astype(np.float32).tolist())

@@ -1,0 +1,156 @@
+"""Incremental MinHash near-dup tier for Structured Streaming.
+
+The batch near-dup stack (signatures → LSH bands → capped candidates →
+exact verify, operators/lsh.py) applied incrementally via foreachBatch
+against a persisted SIGNATURE STORE: each micro-batch signs its documents,
+probes ONLY the LSH buckets its new documents touch, verifies the
+resulting (new × seen) candidate pairs exactly, emits them, and appends
+its signatures to the store. Content never enters the store or any
+shuffle — signatures only (the same invariant as the batch scale path).
+
+Semantics vs the batch pipeline: the union of per-batch emitted pairs
+equals batch ``verified_pairs(candidate_pairs(band_table(all docs)))``
+over the same corpus (pytest-pinned), with one deliberate divergence:
+the hot-bucket cap applies to bucket sizes AS OF the probing batch, so a
+bucket that only later outgrows ``cfg.max_bucket_size`` contributes pairs
+the batch run would cap — incremental processing sees prefixes, never
+the future. ``min_band_collisions`` is exact (both members' band sets are
+fully present whenever a pair is probed).
+
+State is bounded two ways: compose the input with
+``dedup_stream.streaming_exact_dedup`` so re-submitted content never
+re-signs, and set ``retention_batches`` to evict store rows older than N
+micro-batches (the foreachBatch analog of a watermark horizon — at
+10^12-file scale the store is a time-partitioned table and eviction is
+partition drop).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.functions.signatures import signature_table
+from data_deduplication_service_spark.operators.lsh import (
+    band_table,
+    candidate_pairs,
+    verified_pairs,
+)
+
+
+def incremental_candidate_pairs(
+    bands_new: DataFrame, bands_all: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Distinct (a < b) candidate pairs with AT LEAST ONE side in the new
+    batch: the new bands' (band_id, band_hash) keys select the touched
+    buckets out of the full band table (a left-semi prune — buckets no new
+    doc landed in cannot produce a new pair), then the SAME capped,
+    collision-count-prefiltered pair generation as the batch path runs on
+    that subset, and pairs between two already-seen docs are dropped.
+
+    Correctness of reusing candidate_pairs on the subset: a touched bucket
+    keeps ALL its members (semi-join on keys, not rows), so bucket sizes —
+    and therefore the cap — are exact; and every bucket shared by a
+    pair-with-a-new-member contains that new member, so per-pair band
+    collision counts are complete."""
+    touched = bands_new.select("band_id", "band_hash").distinct()
+    touched_bands = bands_all.join(touched, ["band_id", "band_hash"], "left_semi")
+    cands = candidate_pairs(touched_bands, cfg)
+    new_ids = bands_new.select("file_id").distinct()
+    with_new_a = cands.join(new_ids.withColumnRenamed("file_id", "a"), "a", "left_semi")
+    with_new_b = cands.join(new_ids.withColumnRenamed("file_id", "b"), "b", "left_semi")
+    return with_new_a.unionByName(with_new_b).distinct()
+
+
+def _store_exists(path: str) -> bool:
+    return bool(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def near_dup_batch_processor(
+    cfg: DedupConfig,
+    store_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    retention_batches: int | None = None,
+):
+    """foreachBatch closure implementing the incremental near-dup tier.
+
+    Per micro-batch: sign → probe touched buckets against (store ∪ batch)
+    → exact-verify → append (a, b, jaccard, batch_id) to ``pairs_dir`` →
+    append this batch's signatures (with batch_id) to ``store_dir``.
+    Signatures are stored WITH shingle sets so exact verification needs no
+    content re-read; at extreme scale store the lean layout instead and
+    re-derive shingles for the candidate sliver (both layouts are handled
+    by verified_pairs, same as batch)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        docs = batch_df.select(
+            F.col(id_col).alias("file_id"), F.col(content_col).alias("content")
+        )
+        sig_new = signature_table(docs, cfg).persist()
+        try:
+            if _store_exists(store_dir):
+                stored = spark.read.parquet(store_dir)
+                if retention_batches is not None:
+                    stored = stored.filter(
+                        F.col("batch_id") >= F.lit(int(batch_id) - retention_batches)
+                    )
+                sig_all = sig_new.unionByName(stored.drop("batch_id"))
+            else:
+                sig_all = sig_new
+            sig_all = sig_all.persist()
+            cands = incremental_candidate_pairs(
+                band_table(sig_new, cfg), band_table(sig_all, cfg), cfg
+            )
+            pairs = verified_pairs(cands, sig_all, cfg, exact=True)
+            (
+                pairs.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("append")
+                .parquet(pairs_dir)
+            )
+            sig_new.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+                "append"
+            ).parquet(store_dir)
+            # appended files invalidate any cached listing of the store path
+            spark.catalog.refreshByPath(store_dir)
+            sig_all.unpersist()
+        finally:
+            sig_new.unpersist()
+            # scoped caches from the verify path die with the batch
+            from data_deduplication_service_spark.cache import release_scoped
+
+            release_scoped()
+
+    return process
+
+
+def start_near_dup_stream(
+    docs_stream: DataFrame,
+    cfg: DedupConfig,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    retention_batches: int | None = None,
+    available_now: bool = True,
+):
+    """Wire the processor into writeStream (exactly-once via the streaming
+    checkpoint: a replayed micro-batch rewrites the same batch_id rows).
+    Returns the started StreamingQuery."""
+    proc = near_dup_batch_processor(
+        cfg, store_dir, pairs_dir, id_col, content_col, retention_batches
+    )
+    writer = docs_stream.writeStream.foreachBatch(proc).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -41,6 +45,72 @@ def test_media_exact_dedup_and_stub_gate(spark):
     assert all(r.n_members == 2 for r in clusters)
     with pytest.raises(NotImplementedError):
         decode_unavailable(b"", {})
+
+
+def test_ppm_wav_roundtrip_exact():
+    """The real codecs must be byte/sample-exact on encode→decode."""
+    import numpy as np
+
+    from data_deduplication_service_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header with a comment line (P6 grammar) must parse identically
+    with_comment = b"P6\n# fixture comment\n23 17\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+
+    samples = rng.integers(-32768, 32768, size=441, dtype=np.int16)
+    dec, rate = decode_wav_pcm16(encode_wav_pcm16(samples, sample_rate=22050))
+    assert rate == 22050
+    assert np.array_equal(dec, samples)
+
+
+def test_real_codec_features_through_pipeline(spark):
+    """A media table mixing REAL PPM/WAV payloads with opaque ones must run
+    end-to-end through extract_media_features, with the real payloads'
+    features equal to the exactly-predicted normalized histograms."""
+    import numpy as np
+
+    from data_deduplication_service_spark.operators.multimodal import (
+        encode_ppm,
+        encode_wav_pcm16,
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    samples = rng.integers(-32768, 32768, size=500, dtype=np.int16)
+    dim = 16
+    edges = np.linspace(0.0, 1.0, dim + 1)
+
+    def expected(arr01: np.ndarray) -> list:
+        hist, _ = np.histogram(arr01, bins=edges)
+        return (hist / max(hist.sum(), 1)).astype(np.float32).tolist()
+
+    exp_img = expected(img.astype(np.float32) / 255.0)
+    exp_wav = expected((samples.astype(np.float32) / 32768.0 + 1.0) / 2.0)
+
+    meta = (1, 1, 16000, 1, "x")
+    real = spark.createDataFrame(
+        [
+            (1000, "image", bytearray(encode_ppm(img)), meta),
+            (1001, "audio", bytearray(encode_wav_pcm16(samples)), meta),
+        ],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int, codec:string>",
+    )
+    media = synthesize_media_table(spark, n=6).unionByName(real)
+    got = {r.media_id: r.feature for r in extract_media_features(media, feature_dim=dim).collect()}
+    assert len(got) == 8
+    assert got[1000] == pytest.approx(exp_img)
+    assert got[1001] == pytest.approx(exp_wav)
 
 
 def test_streaming_exact_dedup(spark, tmp_path):
@@ -85,6 +155,120 @@ def test_windowed_event_stats_matches_batch(spark, tmp_path):
     exp = {(r.h, r.event_type): (r.n, r.v) for r in batch.collect()}
     assert got == exp
     q.stop()
+
+
+def _near_dup_fixture_files(tmp_path):
+    """3 parquet files (= 3 micro-batches under maxFilesPerTrigger=1):
+    a cross-batch NEAR dup (edited copy, not byte-identical), a
+    within-batch near-dup pair, and unique noise."""
+    base_a = "the quick brown fox jumps over the lazy dog while mixing hash buckets " * 6
+    var_a = base_a.replace("lazy dog", "sleepy dog", 1)  # near, not exact
+    base_y = "completely different body about stream processing and window state " * 6
+    var_y = base_y.replace("window state", "window stores", 1)
+    batches = [
+        [(1, base_a), (2, "unique noise one " * 30)],
+        [(3, base_y), (4, var_y), (5, "unique noise two " * 30)],
+        [(6, var_a), (7, "unique noise three " * 30)],
+    ]
+    src = str(tmp_path / "neardup_src")
+    os.makedirs(src)
+    return src, batches
+
+
+def test_streaming_near_dup_matches_batch_pipeline(spark, tmp_path):
+    """A streamed near-dup (NOT exact dup) of a doc from an earlier batch
+    must be flagged, and the union of per-batch pair emissions must equal
+    the batch pipeline's verified pairs over the same corpus."""
+    from data_deduplication_service_spark.config import DedupConfig
+    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.operators.lsh import (
+        band_table,
+        candidate_pairs,
+        verified_pairs,
+    )
+    from data_deduplication_service_spark.streaming.neardup_stream import (
+        start_near_dup_stream,
+    )
+
+    src, batches = _near_dup_fixture_files(tmp_path)
+    # flatten into one dir of standalone files — the file source streams a
+    # DIRECTORY, and maxFilesPerTrigger=1 makes each file its own batch
+    flat = str(tmp_path / "flat_src")
+    os.makedirs(flat)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, content string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+        part = glob.glob(f"{src}/b{i}/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    cfg = DedupConfig()
+    store = str(tmp_path / "sig_store")
+    pairs_dir = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, content string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(flat)
+    )
+    q = start_near_dup_stream(stream, cfg, store, pairs_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r.a, r.b): round(r.jaccard, 6)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    # batch pipeline over the identical corpus
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, content string"
+    ).select(F.col("doc_id").alias("file_id"), "content")
+    sig = signature_table(all_docs, cfg)
+    exp = {
+        (r.a, r.b): round(r.jaccard, 6)
+        for r in verified_pairs(candidate_pairs(band_table(sig, cfg), cfg), sig, cfg).collect()
+    }
+    assert got == exp
+    assert (1, 6) in got and got[(1, 6)] < 1.0  # cross-batch NEAR dup, not exact
+    assert (3, 4) in got  # within-batch pair
+    # signature store holds every seen doc, content never stored
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == 7
+    assert "content" not in store_df.columns
+
+
+def test_streaming_near_dup_retention_bounds_state(spark, tmp_path):
+    """retention_batches=0 evicts all prior signatures: within-batch pairs
+    still surface, the cross-batch near-dup provably cannot."""
+    from data_deduplication_service_spark.config import DedupConfig
+    from data_deduplication_service_spark.streaming.neardup_stream import (
+        start_near_dup_stream,
+    )
+
+    src, batches = _near_dup_fixture_files(tmp_path)
+    flat = str(tmp_path / "flat_src_r")
+    os.makedirs(flat)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, content string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/r{i}")
+        part = glob.glob(f"{src}/r{i}/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    cfg = DedupConfig()
+    pairs_dir = str(tmp_path / "pairs_r")
+    stream = (
+        spark.readStream.schema("doc_id long, content string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(flat)
+    )
+    q = start_near_dup_stream(
+        stream, cfg, str(tmp_path / "store_r"), pairs_dir, str(tmp_path / "ckpt_r"),
+        retention_batches=0,
+    )
+    q.awaitTermination(120)
+    got = {(r.a, r.b) for r in spark.read.parquet(pairs_dir).collect()}
+    assert (3, 4) in got        # within-batch pair survives eviction
+    assert (1, 6) not in got    # cross-batch pair evicted with the store
 
 
 def test_stateful_seen_hashes_counts_repeats(spark, tmp_path):
