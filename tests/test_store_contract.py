@@ -1,0 +1,98 @@
+"""Backend-conformance suite: the SAME contract bodies run against the
+parquet StageStore and (when a catalog with jars exists) the native
+IcebergStageStore, via the same factory the pipeline uses — so the two
+backends cannot drift apart unnoticed. In this sandbox the Iceberg half
+skips (no jars); on a cluster with a configured catalog it runs verbatim.
+
+The one deliberate API asymmetry is adapted, not hidden: Iceberg snapshot
+ids are table-scoped, so its load_snapshot takes (stage, id) while the
+parquet emulation's log is warehouse-global (id alone) — see
+plans/checkpoint.py docstrings.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.plans.checkpoint import (
+    IcebergStageStore,
+    StageStore,
+    iceberg_catalogs,
+    make_stage_store,
+)
+
+BACKENDS = ["parquet", "iceberg"]
+
+
+def _make(backend: str, spark, tmp_path, cfg: DedupConfig):
+    if backend == "parquet":
+        store = make_stage_store(spark, str(tmp_path / "wh"), cfg)
+        assert isinstance(store, StageStore)  # sandbox: factory picks parquet
+        return store
+    cats = iceberg_catalogs(spark)
+    if not cats:
+        pytest.skip("no Iceberg catalog configured (sandbox ships no jars)")
+    store = make_stage_store(spark, str(tmp_path / "wh"), cfg, iceberg_catalog=cats[0])
+    assert isinstance(store, IcebergStageStore)
+    return store
+
+
+def _load_snapshot(store, stage: str, snapshot_id: int):
+    if isinstance(store, IcebergStageStore):
+        return store.load_snapshot(stage, snapshot_id)
+    return store.load_snapshot(snapshot_id)
+
+
+@pytest.fixture(params=BACKENDS)
+def any_store(request, spark, tmp_path):
+    return _make(request.param, spark, tmp_path, DedupConfig())
+
+
+def test_contract_save_load_roundtrip(any_store, spark):
+    df = spark.range(7).withColumnRenamed("id", "x")
+    assert not any_store.is_done("rt")
+    out = any_store.save("rt", df)
+    assert any_store.is_done("rt")
+    assert out.count() == 7
+    got = any_store.load("rt")
+    assert got.schema.simpleString() == df.schema.simpleString()
+    assert sorted(r.x for r in got.collect()) == list(range(7))
+
+
+def test_contract_run_stage_skips_then_forces(any_store, spark):
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(3).withColumnRenamed("id", "x")
+
+    assert any_store.run_stage("skp", build).count() == 3
+    assert calls["n"] == 1
+    # committed → the build must NOT rerun
+    assert any_store.run_stage("skp", lambda: 1 / 0).count() == 3
+    # force=True must rerun it
+    assert any_store.run_stage("skp", build, force=True).count() == 3
+    assert calls["n"] == 2
+
+
+def test_contract_snapshots_and_time_travel(any_store, spark):
+    any_store.save("tt", spark.range(2).withColumnRenamed("id", "x"))
+    first = any_store.snapshots("tt")[-1]["snapshot_id"]
+    any_store.save("tt", spark.range(5).withColumnRenamed("id", "x"))
+    assert any_store.load("tt").count() == 5  # current = newest commit
+    snaps = any_store.snapshots("tt")
+    assert len(snaps) >= 2
+    assert _load_snapshot(any_store, "tt", first).count() == 2  # time travel
+
+
+def test_contract_fingerprint_isolation(any_store, spark, tmp_path, request):
+    """A config change must get fresh stage state (fingerprint keying) while
+    the old fingerprint's commit stays loadable."""
+    backend = request.node.callspec.params["any_store"]
+    any_store.save("fp", spark.range(4).withColumnRenamed("id", "x"))
+    other = _make(backend, spark, tmp_path, DedupConfig(segment_size=128))
+    assert other.fingerprint != any_store.fingerprint
+    assert not other.is_done("fp")
+    assert any_store.is_done("fp")
+    assert any_store.load("fp").count() == 4
