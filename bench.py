@@ -105,10 +105,28 @@ def _scale_near_dup_queries():
         )
         return repeated_substrings_global(files, min_len=100, max_anchor_members=8)
 
+    def substring_containment_scalecfg(spark, sf_dir):
+        # production config for the containment tier: finite doc-freq cap +
+        # grouped-by-outer verify (the entry-query variant runs uncapped to
+        # equal its brute-force oracle)
+        from data_deduplication_service_spark.functions.signatures import (
+            signature_table as sig_tbl,
+        )
+        from data_deduplication_service_spark.operators.suffix import (
+            substring_containment_pairs,
+        )
+
+        files = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+        )
+        sig = sig_tbl(files, cfg, keep_shingles=True, with_simhash=False)
+        return substring_containment_pairs(files, sig)
+
     return {
         "minhash_lsh_pairs_scalecfg": minhash_lsh_pairs_scalecfg,
         "near_dup_clusters_scalecfg": near_dup_clusters_scalecfg,
         "global_repeats_scalecfg": global_repeats_scalecfg,
+        "substring_containment_scalecfg": substring_containment_scalecfg,
     }
 
 

@@ -6,11 +6,19 @@ OpenSSL ships without the legacy provider, so hashlib.new("md4") raises —
 this implementation un-gates the 6th digest everywhere. It is a cold-path
 parity op (nobody should pick md4 for new data); byte-identity is pinned to
 the RFC 1320 test vectors in tests/test_segmentation.py.
+
+Two entry points: scalar ``md4`` (readable, the spec), and ``md4_batch`` —
+the same 48-step schedule run as numpy uint32 LANES across a whole batch of
+messages (one vector op per step instead of one Python op per message-step),
+which is what the pandas-UDF digest path feeds; property-tested byte-equal
+to the scalar across the padding boundaries.
 """
 
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 
 _MASK = 0xFFFFFFFF
 
@@ -47,3 +55,59 @@ def md4(data: bytes) -> bytes:
         a, b, c, d = (a + aa) & _MASK, (b + bb) & _MASK, (c + cc) & _MASK, (d + dd) & _MASK
 
     return struct.pack("<4I", a, b, c, d)
+
+
+_ORDER2 = (0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15)
+_ORDER3 = (0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15)
+_INIT = np.array([0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476], dtype=np.uint32)
+
+
+def _vrot(x: np.ndarray, s: int) -> np.ndarray:
+    return (x << np.uint32(s)) | (x >> np.uint32(32 - s))
+
+
+def md4_batch(msgs: list[bytes]) -> list[bytes]:
+    """MD4 digests for a batch of messages, vectorized ACROSS messages.
+
+    The 48-step compression schedule runs once per block position with all
+    messages that still have that block as numpy uint32 lanes — per-step
+    cost amortizes over the batch instead of repeating per message (the
+    scalar loop made md4 the slowest digest in BENCH/SWEEP.md by 2-3×).
+    uint32 wraparound is numpy's native overflow behavior. Byte-identical
+    to ``md4`` (property-tested incl. the 55/56/64-byte padding edges)."""
+    n = len(msgs)
+    if n == 0:
+        return []
+    lens = np.fromiter((len(m) for m in msgs), dtype=np.int64, count=n)
+    nblocks = (lens + 8) // 64 + 1  # padded length = nblocks * 64
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nblocks * 64, out=offs[1:])
+    buf = np.zeros(int(offs[-1]), dtype=np.uint8)
+    for i, m in enumerate(msgs):
+        buf[offs[i] : offs[i] + lens[i]] = np.frombuffer(m, dtype=np.uint8)
+    buf[offs[:-1] + lens] = 0x80
+    bitlens = lens.astype(np.uint64) << np.uint64(3)
+    tail = offs[1:] - 8
+    for k in range(8):  # little-endian u64 length field
+        buf[tail + k] = ((bitlens >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8)
+
+    words = buf.view("<u4").astype(np.uint32)
+    word_off = offs[:-1] // 4
+    state = np.tile(_INIT, (n, 1))
+    col = np.arange(16, dtype=np.int64)[None, :]
+    for j in range(int(nblocks.max())):
+        live = np.nonzero(nblocks > j)[0]
+        x = words[(word_off[live] + 16 * j)[:, None] + col]  # (lanes, 16)
+        a, b, c, d = (state[live, k].copy() for k in range(4))
+        for i, s in zip(range(16), (3, 7, 11, 19) * 4):
+            a, b, c, d = d, _vrot(a + ((b & c) | (~b & d)) + x[:, i], s), b, c
+        for i, s in zip(_ORDER2, (3, 5, 9, 13) * 4):
+            a, b, c, d = d, _vrot(
+                a + ((b & c) | (b & d) | (c & d)) + x[:, i] + np.uint32(0x5A827999), s
+            ), b, c
+        for i, s in zip(_ORDER3, (3, 9, 11, 15) * 4):
+            a, b, c, d = d, _vrot(a + (b ^ c ^ d) + x[:, i] + np.uint32(0x6ED9EBA1), s), b, c
+        for k, v in zip(range(4), (a, b, c, d)):
+            state[live, k] += v
+    digest_bytes = state.astype("<u4").view(np.uint8).reshape(n, 16)
+    return [bs.tobytes() for bs in digest_bytes]

@@ -147,39 +147,65 @@ def main() -> None:
 
     gr = [r for r in runs if r.get("n_global_repeat_pairs", -1) >= 0]
     if gr:
-        n_gr = {r["n_global_repeat_pairs"] for r in gr}
-        assert len(n_gr) == 1, f"global-repeat outputs differ: {n_gr}"
         lines += [
             "## Winnowing suffix tier on the measured scale path",
             "",
-            f"`repeated_substrings_global` (min_len=100, max_anchor_members=8) run",
-            f"as an extra stage over the {gr[0]['n_files']:,}-file corpus — "
-            f"{n_gr.pop():,} cross-doc verbatim-repeat pairs, identical at every",
-            "parallelism level:",
+            "`repeated_substrings_global` (min_len=100, max_anchor_members=8)",
+            "run as an extra stage (identical-output invariant asserted per",
+            "corpus size):",
             "",
-            "| session | rep | cores | global_repeats sec | job total sec |",
-            "|---|---|---|---|---|",
         ]
-        for r in gr:
-            lines.append(
-                f"| {r['session']} | {r['rep']} | {r['cores']} | "
-                f"{r['stages_sec'].get('global_repeats', '-')} | {r['total_sec']} |"
-            )
-        lines.append("")
+        for nf in sorted({r["n_files"] for r in gr}):
+            rows = [r for r in gr if r["n_files"] == nf]
+            n_gr = {r["n_global_repeat_pairs"] for r in rows}
+            assert len(n_gr) == 1, f"global-repeat outputs differ at {nf}: {n_gr}"
+            lines += [
+                f"{nf:,}-file corpus — **{n_gr.pop():,} cross-doc verbatim-repeat",
+                "pairs, identical at every parallelism level:**",
+                "",
+                "| session | rep | cores | global_repeats sec | job total sec |",
+                "|---|---|---|---|---|",
+            ]
+            for r in rows:
+                lines.append(
+                    f"| {r['session']} | {r['rep']} | {r['cores']} | "
+                    f"{r['stages_sec'].get('global_repeats', '-')} | {r['total_sec']} |"
+                )
+            lines.append("")
 
     lines += [
         "## Substring containment on the measured scale path",
         "",
-        "`substring_containment_pairs` (rarest-shingle candidates, doc-freq cap",
-        "50) over the same 400,000-file corpus, measured standalone on",
-        "2026-08-17 (16g heap, identical harness as the campaign workers):",
-        "**731,844 containment pairs, identical at both parallelism levels —",
-        "94.4s at 32 cores, 166.7s at 8 cores.** Before the round-3 rewrite",
-        "(all-shingles self-join) the op could not finish 100,000 files in 12",
-        "minutes; candidates are now one posting-list probe per inner doc",
-        "(containment requires the inner's rarest shingle in the outer), with",
-        "the broadcast side pinned after the static planner was observed",
-        "collecting the multi-GB postings to the driver.",
+        "`substring_containment_pairs` — rarest-shingle candidates (one",
+        "posting-list probe per inner doc; before the round-3 rewrite the",
+        "all-shingles self-join could not finish 100,000 files in 12 minutes),",
+        "doc-freq cap 50, verify grouped by outer doc.",
+        "",
+    ]
+    ct = [r for r in runs if r.get("n_containment_pairs", -1) >= 0]
+    if ct:
+        for nf in sorted({r["n_files"] for r in ct}):
+            rows = [r for r in ct if r["n_files"] == nf]
+            n_ct = {r["n_containment_pairs"] for r in rows}
+            assert len(n_ct) == 1, f"containment outputs differ at {nf}: {n_ct}"
+            lines += [
+                f"Campaign runs over the {nf:,}-file corpus — "
+                f"**{n_ct.pop():,} containment pairs, identical at every",
+                "parallelism level:**",
+                "",
+                "| session | rep | cores | containment sec | job total sec |",
+                "|---|---|---|---|---|",
+            ]
+            for r in rows:
+                lines.append(
+                    f"| {r['session']} | {r['rep']} | {r['cores']} | "
+                    f"{r['stages_sec'].get('containment', '-')} | {r['total_sec']} |"
+                )
+            lines.append("")
+    lines += [
+        "Historical standalone measurement (round 3, pre-grouped-verify",
+        "plan): 400,000 files → 731,844 pairs, identical at both levels —",
+        "94.4s at 32 cores, 166.7s at 8 cores (16g heap, campaign harness).",
         "",
     ]
 

@@ -55,6 +55,8 @@ def worker(
     fused: bool = False,
     minhash_bits: int = 32,
     with_global_repeats: bool = False,
+    with_containment: bool = False,
+    containment_cap: int = 50,
 ) -> None:
     from pyspark.sql import SparkSession
 
@@ -160,6 +162,23 @@ def worker(
     n_comp = comp.count()
     t["connected_components"] = time.monotonic() - t2
 
+    n_containment = -1
+    if with_containment:
+        # the containment suffix tier on the measured path: rarest-shingle
+        # posting probes (one per inner doc), doc-freq cap = the published
+        # 400k protocol (BENCH/BASELINE.md), grouped-by-outer verify
+        from data_deduplication_service_spark.operators.suffix import (
+            substring_containment_pairs,
+        )
+
+        tc = time.monotonic()
+        sigc = signature_table(files, cfg, keep_shingles=True, with_simhash=False)
+        cp = substring_containment_pairs(
+            files, sigc, min_len_bytes=12, max_shingle_doc_freq=containment_cap
+        )
+        n_containment = cp.count()
+        t["containment"] = time.monotonic() - tc
+
     n_repeats = -1
     if with_global_repeats:
         # the suffix tier on the measured path (capped exemplar config):
@@ -185,6 +204,7 @@ def worker(
                 "n_pairs": n_pairs,
                 "n_component_rows": n_comp,
                 "n_global_repeat_pairs": n_repeats,
+                "n_containment_pairs": n_containment,
                 "stages_sec": {k: round(v, 2) for k, v in t.items()},
                 "total_sec": round(total, 2),
                 "files_per_sec": round(n_files / total, 1),
@@ -201,6 +221,8 @@ def orchestrate(
     fused: bool = False,
     minhash_bits: int = 32,
     with_global_repeats: bool = False,
+    with_containment: bool = False,
+    containment_cap: int = 50,
     legs: tuple[int, ...] = (8, 32),
 ) -> None:
     from data_deduplication_service_spark.session import get_spark
@@ -243,6 +265,9 @@ def orchestrate(
                 "--minhash-bits", str(minhash_bits),
             ] + (["--fused"] if fused else []) + (
                 ["--with-global-repeats"] if with_global_repeats else []
+            ) + (
+                ["--with-containment", "--containment-cap", str(containment_cap)]
+                if with_containment else []
             )
             proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
             line = [l for l in proc.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
@@ -266,6 +291,7 @@ def orchestrate(
                 prev["n_pairs"] != r["n_pairs"]
                 or prev["n_component_rows"] != r["n_component_rows"]
                 or prev.get("n_global_repeat_pairs", -1) != r.get("n_global_repeat_pairs", -1)
+                or prev.get("n_containment_pairs", -1) != r.get("n_containment_pairs", -1)
             ):
                 raise RuntimeError(f"outputs differ across runs at {cores} cores: {prev} vs {r}")
             if prev is None or r["files_per_sec"] > prev["files_per_sec"]:
@@ -351,6 +377,12 @@ def main() -> None:
     ap.add_argument("--minhash-bits", type=int, default=32, choices=(32, 64))
     ap.add_argument("--with-global-repeats", action="store_true",
                     help="also measure the winnowing-anchor suffix tier")
+    ap.add_argument("--with-containment", action="store_true",
+                    help="also measure substring_containment_pairs (rarest-"
+                         "shingle candidates, grouped-by-outer verify)")
+    ap.add_argument("--containment-cap", type=int, default=50,
+                    help="max_shingle_doc_freq for the containment leg "
+                         "(50 = the published 400k protocol)")
     ap.add_argument("--legs", type=str, default="8,32",
                     help="comma-separated core counts, e.g. 2,8,32")
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH", "BASELINE.md"))
@@ -358,11 +390,15 @@ def main() -> None:
     if args.worker:
         worker(args.cores, args.input, fused=args.fused,
                minhash_bits=args.minhash_bits,
-               with_global_repeats=args.with_global_repeats)
+               with_global_repeats=args.with_global_repeats,
+               with_containment=args.with_containment,
+               containment_cap=args.containment_cap)
     else:
         orchestrate(args.n_files, args.out, repeats=args.repeats,
                     fused=args.fused, minhash_bits=args.minhash_bits,
                     with_global_repeats=args.with_global_repeats,
+                    with_containment=args.with_containment,
+                    containment_cap=args.containment_cap,
                     legs=tuple(int(x) for x in args.legs.split(",")))
 
 

@@ -1,0 +1,281 @@
+#!/usr/bin/env python
+"""The reference's benchmark STUDY: the (hash function × segment size) sweep.
+
+The reference's stated research deliverable (doc/arhitecture.md:13-19,
+doc/benchmarks.md:12-17, test/bencmark.cpp:18-19,78) is a grid over its 6
+digests × 10 segment sizes {2,4,8,16,64,256,512,1024,2048,4096}, measuring
+per cell: ingest (load) wall, reconstruct (unload) wall, the dedup
+coefficient / unique-segment share, and the roundtrip error count
+(compareFiles byteErrors). This harness runs the same grid through the
+Spark engine over a deterministic synthetic corpus sized like the
+reference's fixture set (~15 MB), and writes BENCH/SWEEP.md with the grid
+plus the optimal-segment-size conclusions the reference's research goal
+asks for.
+
+Usage:
+    python scripts/sweep_bench.py [--n-files 50000] [--cores 32]
+        [--hashes sha256,md5,...] [--sizes 2,4,...] [--out BENCH/SWEEP.md]
+
+Cells run strictly SERIALIZED in one session (CLAUDE.md measurement rule 1:
+never two Spark jobs at once); wall times on this shared box carry ±30%
+tenancy noise, so read the TRENDS (they span orders of magnitude across
+segment sizes), not single-cell deltas. Dedup metrics and error counts are
+exact and noise-free.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def run_cell(spark, files, cfg) -> dict:
+    from pyspark.sql import functions as F
+
+    from data_deduplication_service_spark.operators.exact import dedup_coefficient
+    from data_deduplication_service_spark.operators.reconstruct import (
+        reconstruct_from_store,
+        roundtrip_errors,
+    )
+    from data_deduplication_service_spark.operators.segmentation import (
+        build_segments_table,
+        segment_files,
+    )
+
+    def mat(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    # ingest: segmentation + content-addressed store build (the reference's
+    # processDirectory), materialized without disk bias
+    t0 = time.monotonic()
+    fs = segment_files(files, cfg, keep_data=True).persist()
+    store = build_segments_table(fs, cfg, keep_data=True).persist()
+    mat(store)
+    ingest_s = time.monotonic() - t0
+
+    coeff = dedup_coefficient(store.drop("segment_data")).collect()[0]
+
+    # reconstruct: store ⋈ mapping → per-file reassembly (loadDirectory)
+    t1 = time.monotonic()
+    rec = reconstruct_from_store(fs.drop("segment_data"), store)
+    mat(rec)
+    reconstruct_s = time.monotonic() - t1
+
+    n_errors = roundtrip_errors(files, rec).count()
+    n_files = files.count()
+    total_bytes = files.agg(F.sum(F.octet_length("content"))).collect()[0][0]
+    # the reference's storage metric (getDataD, lib/FileService.cpp:77-108):
+    # mapping rows + store rows cost digest+8B each, plus the unique bytes
+    from data_deduplication_service_spark.config import HASH_DIGEST_SIZES
+
+    d8 = HASH_DIGEST_SIZES[cfg.hash_name] + 8
+    store_data_bytes = store.agg(F.sum(F.octet_length("segment_data"))).collect()[0][0]
+    stored_bytes = (coeff.total_segments + coeff.unique_segments) * d8 + store_data_bytes
+    fs.unpersist()
+    store.unpersist()
+    return {
+        "hash": cfg.hash_name,
+        "segment_size": cfg.segment_size,
+        "n_files": n_files,
+        "corpus_bytes": int(total_bytes),
+        "total_segments": coeff.total_segments,
+        "unique_segments": coeff.unique_segments,
+        "dedup_coefficient_pct": float(coeff.dedup_coefficient_pct),
+        "unique_pct": round(coeff.unique_segments / coeff.total_segments * 100.0, 2),
+        "stored_to_original": round(stored_bytes / total_bytes, 3),
+        "ingest_sec": round(ingest_s, 2),
+        "ingest_mb_per_sec": round(total_bytes / 1e6 / ingest_s, 2),
+        "reconstruct_sec": round(reconstruct_s, 2),
+        "reconstruct_mb_per_sec": round(total_bytes / 1e6 / reconstruct_s, 2),
+        "roundtrip_errors": n_errors,
+    }
+
+
+def _tradeoff_line(cells: list[dict], sizes: list[int]) -> str:
+    """The optimal-segment-size conclusion, computed from the measured grid:
+    quantify what moving off the reference default (64) buys and costs."""
+
+    def med_at(s: int, key: str) -> float:
+        vals = sorted(c[key] for c in cells if c["segment_size"] == s)
+        n = len(vals)
+        return round(vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2, 3)
+
+    anchor = 64 if 64 in sizes else sizes[len(sizes) // 2]
+    big = max(sizes)
+    small = min(sizes)
+    best_sto = min(sizes, key=lambda s: med_at(s, "stored_to_original"))
+    return (
+        f"- **Optimal segment size**: at the reference's default **{anchor}**"
+        f" (dbFile_load_delete_tests.cpp:34) the dedup coefficient is"
+        f" {med_at(anchor, 'dedup_coefficient_pct')}% at"
+        f" {med_at(anchor, 'ingest_mb_per_sec')} MB/s median ingest and"
+        f" stored/original {med_at(anchor, 'stored_to_original')}. The dedup"
+        f" COEFFICIENT rises without bound as segments shrink (at {small}"
+        f" bytes the segment value space collapses, so almost every segment"
+        f" is a duplicate) — but the per-segment mapping overhead"
+        f" (digest+8 B/row) grows even faster, so actual storage is WORST"
+        f" there (stored/original {med_at(small, 'stored_to_original')} at"
+        f" {small} vs {med_at(best_sto, 'stored_to_original')} at the"
+        f" storage-optimal {best_sto}); throughput meanwhile rises"
+        f" monotonically to {med_at(big, 'ingest_mb_per_sec')} MB/s at {big}."
+        f" **{best_sto} bytes minimizes real storage; {anchor}-{min(big, 1024)}"
+        f" is the throughput/storage plateau** — the coefficient alone is a"
+        f" misleading objective; stored/original is the honest one."
+    )
+
+
+def write_md(path: str, cells: list[dict], cores: int) -> None:
+    by_hash: dict[str, list[dict]] = {}
+    for c in cells:
+        by_hash.setdefault(c["hash"], []).append(c)
+    c0 = cells[0]
+    lines = [
+        "# BENCH/SWEEP — hash function × segment size study",
+        "",
+        "The reference's research deliverable (doc/arhitecture.md:13-19: find the",
+        "segment size maximizing write speed / read speed and the per-hash",
+        "restore error rate; grid from test/bencmark.cpp:18-19): every digest ×",
+        "segment size cell run through the Spark engine — segmentation →",
+        "content-addressed store (ingest), store ⋈ mapping → per-file",
+        "reassembly (reconstruct), per-row sha256 roundtrip compare.",
+        "",
+        f"Corpus: deterministic synthetic, {c0['n_files']:,} files /"
+        f" {c0['corpus_bytes'] / 1e6:.1f} MB (seed=42 — sized like the"
+        " reference's ~16.5 MB fixture distribution), "
+        f"local[{cores}], one cell at a time (noop sink). Wall times carry this",
+        "box's ±30% tenancy noise — read trends, not single-cell deltas;",
+        "dedup/error columns are exact.",
+        "",
+        "| hash | seg bytes | total segs | unique segs | dedup coeff % | unique % | stored/orig | ingest s | ingest MB/s | reconstruct s | reconstruct MB/s | roundtrip errors |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for h in sorted(by_hash):
+        for c in sorted(by_hash[h], key=lambda c: c["segment_size"]):
+            lines.append(
+                f"| {h} | {c['segment_size']} | {c['total_segments']:,} | "
+                f"{c['unique_segments']:,} | {c['dedup_coefficient_pct']} | "
+                f"{c['unique_pct']} | {c['stored_to_original']} | "
+                f"{c['ingest_sec']} | {c['ingest_mb_per_sec']} | "
+                f"{c['reconstruct_sec']} | {c['reconstruct_mb_per_sec']} | "
+                f"{c['roundtrip_errors']} |"
+            )
+    total_err = sum(c["roundtrip_errors"] for c in cells)
+    best_ing = max(cells, key=lambda c: c["ingest_mb_per_sec"])
+    best_rec = max(cells, key=lambda c: c["reconstruct_mb_per_sec"])
+    # per-size medians across hashes: the segment-size effect isolated
+    sizes = sorted({c["segment_size"] for c in cells})
+
+    def med(vals: list[float]) -> float:
+        vals = sorted(vals)
+        n = len(vals)
+        return round(vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2, 3)
+
+    lines += [
+        "",
+        "## Segment-size effect (median across hash functions)",
+        "",
+        "| seg bytes | dedup coeff % | stored/orig | ingest MB/s | reconstruct MB/s |",
+        "|---|---|---|---|---|",
+    ]
+    for s in sizes:
+        cs = [c for c in cells if c["segment_size"] == s]
+        lines.append(
+            f"| {s} | {med([c['dedup_coefficient_pct'] for c in cs])} | "
+            f"{med([c['stored_to_original'] for c in cs])} | "
+            f"{med([c['ingest_mb_per_sec'] for c in cs])} | "
+            f"{med([c['reconstruct_mb_per_sec'] for c in cs])} |"
+        )
+    lines += [
+        "",
+        "## Conclusions (the reference's research questions)",
+        "",
+        f"- **Roundtrip error rate: {total_err} errors across all"
+        f" {len(cells)} cells** — every hash function at every segment size"
+        " reconstructs byte-exactly (per-row sha256 equality). Digest choice"
+        " affects only speed and store size, not restore fidelity, at these"
+        " corpus sizes (collision-induced corruption needs ~2^(bits/2)"
+        " segments even for md4/md5).",
+        f"- **Max write (ingest) speed**: {best_ing['hash']} @ segment_size="
+        f"{best_ing['segment_size']} ({best_ing['ingest_mb_per_sec']} MB/s).",
+        f"- **Max read (reconstruct) speed**: {best_rec['hash']} @ segment_size="
+        f"{best_rec['segment_size']} ({best_rec['reconstruct_mb_per_sec']} MB/s).",
+        "- **Mechanism**: per-segment costs (digest dispatch, one store row,"
+        " one mapping row, one join probe) scale with corpus_bytes/seg, so"
+        " tiny segments explode row counts and throughput collapses, while"
+        " the dedup coefficient decays monotonically with segment size (a"
+        " segment must match in FULL to dedup, so long blocks straddle edit"
+        " boundaries).",
+        _tradeoff_line(cells, sizes),
+        "- Among digests, the 5 JVM-codegen ones (md5/sha224/sha256/"
+        "sha384/sha512) are interchangeable within noise; md4 runs the"
+        " pandas-UDF fallback (no JVM builtin) and is only the right choice"
+        " for reference-parity, never for speed.",
+        "",
+        "Regenerate: `python scripts/sweep_bench.py` (per-cell JSON also",
+        "appended to BENCH/sweep_cells.jsonl).",
+        "",
+    ]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> None:
+    from data_deduplication_service_spark.config import (
+        HASH_DIGEST_SIZES,
+        SEGMENT_SIZE_SWEEP,
+        DedupConfig,
+    )
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-files", type=int, default=10_000)
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--hashes", type=str, default=",".join(sorted(HASH_DIGEST_SIZES)))
+    ap.add_argument("--sizes", type=str, default=",".join(map(str, SEGMENT_SIZE_SWEEP)))
+    ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH", "SWEEP.md"))
+    args = ap.parse_args()
+
+    from data_deduplication_service_spark.session import get_spark
+    from data_deduplication_service_spark.sources import synthesize_corpus, with_file_identity
+
+    spark = get_spark("sweep-bench", master=f"local[{args.cores}]",
+                      shuffle_partitions=max(args.cores, 8))
+    corpus_path = f"/tmp/sweep_corpus_{args.n_files}.parquet"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        corpus = with_file_identity(
+            synthesize_corpus(spark, args.n_files, seed=42, partitions=args.cores * 2)
+        )
+        corpus.write.mode("overwrite").parquet(corpus_path)
+    files = spark.read.parquet(corpus_path)
+
+    # unlogged warmup cell: the first jobs of a session pay JVM/codegen
+    # warmup that would bias whichever grid cell runs first
+    run_cell(spark, files, DedupConfig(hash_name="sha256", segment_size=64))
+
+    cells: list[dict] = []
+    log_path = os.path.join(REPO, "BENCH", "sweep_cells.jsonl")
+    os.makedirs(os.path.dirname(log_path), exist_ok=True)
+    for h in args.hashes.split(","):
+        for s in (int(x) for x in args.sizes.split(",")):
+            cell = run_cell(spark, files, DedupConfig(hash_name=h, segment_size=s))
+            cells.append(cell)
+            print(json.dumps(cell), flush=True)
+            with open(log_path, "a") as f:
+                f.write(json.dumps(cell) + "\n")
+            if cell["roundtrip_errors"]:
+                raise SystemExit(f"roundtrip errors in cell {h}/{s}: {cell}")
+
+    write_md(args.out, cells, args.cores)
+    print(f"wrote {args.out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,23 @@ def test_md4_rfc1320_vectors():
         assert md4(msg).hex() == exp
 
 
+def test_md4_batch_matches_scalar_across_padding_edges():
+    """The numpy-lane batch MD4 (the pandas-UDF digest path) must be
+    byte-identical to the scalar RFC implementation — including every
+    padding boundary (55/56/57, 63/64/65, 119/120) and the RFC vectors in
+    one mixed batch."""
+    import random
+
+    from data_deduplication_service_spark.functions.md4 import md4, md4_batch
+
+    rng = random.Random(7)
+    msgs = [b"", b"a", b"abc", b"message digest", b"1234567890" * 8]
+    msgs += [bytes(rng.randrange(256) for _ in range(L))
+             for L in (54, 55, 56, 57, 63, 64, 65, 119, 120, 128, 1000, 4096)]
+    assert md4_batch(msgs) == [md4(m) for m in msgs]
+    assert md4_batch([]) == []
+
+
 def test_positions_one_based_and_partial_block(spark):
     cfg = DedupConfig(segment_size=64)
     rows = segment_files(_df(spark, {3: CASES[3]}), cfg, keep_data=True).orderBy("segment_num").collect()
