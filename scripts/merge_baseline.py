@@ -53,11 +53,23 @@ def load_runs() -> list[dict]:
 
 def main() -> None:
     runs = load_runs()
-    lean = [r for r in runs if not r.get("fused") and r.get("n_files") == 1_600_000]
+
+    def is_base_job(r: dict) -> bool:
+        """The headline throughput/efficiency series must compare the SAME
+        measured job: runs that added suffix-tier stages (--with-containment
+        / --with-global-repeats) are a different job and report only in
+        their own sections below."""
+        return (r.get("n_global_repeat_pairs", -1) < 0
+                and r.get("n_containment_pairs", -1) < 0)
+
+    lean = [r for r in runs
+            if not r.get("fused") and r.get("n_files") == 1_600_000 and is_base_job(r)]
     fused = [r for r in runs if r.get("fused") and r.get("n_files") == 1_600_000]
     # output invariant holds per corpus size (400k campaigns have their own
-    # counts); at 1.6M it must hold across lean AND fused layouts too
-    counts = {(r["n_pairs"], r["n_component_rows"]) for r in lean + fused}
+    # counts); at 1.6M it must hold across lean, fused AND suffix-extended
+    # job layouts too
+    counts = {(r["n_pairs"], r["n_component_rows"])
+              for r in runs if r.get("n_files") == 1_600_000}
     assert len(counts) == 1, f"north-rule invariant violated: outputs differ {counts}"
     (n_pairs, n_comp) = counts.pop()
     for nf in {r.get("n_files") for r in runs} - {1_600_000}:
@@ -145,6 +157,23 @@ def main() -> None:
             lines.append(f"| {r['rep']} | {r['cores']} | {r['total_sec']} | {r['files_per_sec']} |")
         lines.append("")
 
+    def stage_eff_line(rows: list[dict], stage: str) -> str | None:
+        """Best per-leg STAGE time → N→4N efficiency for a suffix tier
+        (job-total ratios would smear in the unrelated base stages)."""
+        best_t: dict[int, float] = {}
+        for r in rows:
+            t = r["stages_sec"].get(stage)
+            c = r["cores"]
+            if t is not None and (c not in best_t or t < best_t[c]):
+                best_t[c] = t
+        for n in sorted(best_t):
+            if 4 * n in best_t:
+                eff = best_t[n] / best_t[4 * n] / 4
+                return (f"Best {stage} stage time: {best_t[n]}s @ {n} cores vs "
+                        f"{best_t[4 * n]}s @ {4 * n} cores — stage scaling "
+                        f"efficiency {n}→{4 * n}: **{eff:.2f}**.")
+        return None
+
     gr = [r for r in runs if r.get("n_global_repeat_pairs", -1) >= 0]
     if gr:
         lines += [
@@ -172,6 +201,9 @@ def main() -> None:
                     f"{r['stages_sec'].get('global_repeats', '-')} | {r['total_sec']} |"
                 )
             lines.append("")
+            eff = stage_eff_line(rows, "global_repeats")
+            if eff:
+                lines += [eff, ""]
 
     lines += [
         "## Substring containment on the measured scale path",
@@ -202,6 +234,9 @@ def main() -> None:
                     f"{r['stages_sec'].get('containment', '-')} | {r['total_sec']} |"
                 )
             lines.append("")
+            eff = stage_eff_line(rows, "containment")
+            if eff:
+                lines += [eff, ""]
     lines += [
         "Historical standalone measurement (round 3, pre-grouped-verify",
         "plan): 400,000 files → 731,844 pairs, identical at both levels —",

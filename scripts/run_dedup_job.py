@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Production entrypoint: the full dedup pipeline as a spark-submit job.
+
+    spark-submit --py-files dedup.zip scripts/run_dedup_job.py \
+        --input  /data/corpus.parquet        # or an Iceberg/catalog table \
+        --warehouse /data/dedup_warehouse \
+        --clusters-out /data/clusters.parquet \
+        [--segment-size 64] [--hash sha256] [--minhash-bits 32]
+        [--threshold 0.7] [--force] [--no-exact-verify]
+        [--iceberg-catalog my_catalog]
+
+Input contract (north rule): a table with columns
+(repo, path, commit, lang, content). The job derives deterministic file
+identity (file_id = xxhash64(repo, path, commit), content_sha256), runs
+corpus → segment store → signatures → LSH → verified pairs → connected
+components → clusters, checkpointing every stage into the warehouse
+(parquet StageStore, or native Iceberg snapshots when --iceberg-catalog /
+a configured catalog is present) so a killed job resumes from its last
+committed stage with identical output. Prints the one-row pipeline
+summary as JSON on stdout.
+
+Local smoke (no cluster): add `--master local[8]`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # direct `python scripts/...` invocation
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="parquet path, or catalog table name with --table")
+    ap.add_argument("--table", action="store_true",
+                    help="treat --input as a catalog/Iceberg table name")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--clusters-out", default=None,
+                    help="optional parquet path for (file_id, cluster_id)")
+    ap.add_argument("--pairs-out", default=None,
+                    help="optional parquet path for (a, b, jaccard) dup pairs")
+    ap.add_argument("--segment-size", type=int, default=64)
+    ap.add_argument("--hash", dest="hash_name", default="sha256")
+    ap.add_argument("--minhash-bits", type=int, default=32, choices=(32, 64))
+    ap.add_argument("--threshold", type=float, default=0.7)
+    ap.add_argument("--force", action="store_true",
+                    help="rebuild every stage even if checkpointed")
+    ap.add_argument("--no-exact-verify", action="store_true",
+                    help="accept MinHash-estimate pairs (skip content verify)")
+    ap.add_argument("--no-lineage", action="store_true")
+    ap.add_argument("--iceberg-catalog", default=None)
+    ap.add_argument("--master", default=None,
+                    help="only for local smoke runs; spark-submit sets this on a cluster")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("dedup-pipeline")
+    if args.master:
+        builder = builder.master(args.master)
+    # cluster-friendly defaults; anything set via spark-submit --conf wins
+    # because getOrCreate() never overrides explicit submit-time conf
+    spark = (
+        builder.config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+
+    from data_deduplication_service_spark.config import DedupConfig
+    from data_deduplication_service_spark.plans.pipeline import (
+        pipeline_summary,
+        run_pipeline,
+    )
+    from data_deduplication_service_spark.sources import with_file_identity
+
+    cfg = DedupConfig(
+        segment_size=args.segment_size,
+        hash_name=args.hash_name,
+        minhash_bits=args.minhash_bits,
+        jaccard_threshold=args.threshold,
+    )
+    raw = spark.read.table(args.input) if args.table else spark.read.parquet(args.input)
+    corpus = with_file_identity(raw)
+
+    # StageStore vs IcebergStageStore selection happens inside run_pipeline's
+    # store via make_stage_store when an iceberg catalog is configured; the
+    # explicit flag just pins it (and fails loudly if the catalog is absent)
+    if args.iceberg_catalog:
+        from data_deduplication_service_spark.plans.checkpoint import iceberg_catalogs
+
+        if args.iceberg_catalog not in iceberg_catalogs(spark):
+            raise SystemExit(
+                f"--iceberg-catalog {args.iceberg_catalog!r} is not a configured "
+                f"Iceberg catalog (found: {iceberg_catalogs(spark)})"
+            )
+
+    result = run_pipeline(
+        spark,
+        corpus,
+        cfg,
+        args.warehouse,
+        exact_verify=not args.no_exact_verify,
+        force=args.force,
+        collect_lineage=not args.no_lineage,
+    )
+    if args.clusters_out:
+        result.clusters.write.mode("overwrite").parquet(args.clusters_out)
+    if args.pairs_out:
+        result.dup_pairs.write.mode("overwrite").parquet(args.pairs_out)
+
+    summary = pipeline_summary(result).collect()[0].asDict()
+    summary["stage_seconds"] = result.stage_seconds
+    print(json.dumps(summary, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
