@@ -186,9 +186,15 @@ def substring_containment_pairs(
     if max_shingle_doc_freq is not None:
         rarest = rarest.filter(F.col("_df_rare") <= max_shingle_doc_freq)
     # byte-length gate BEFORE candidate generation: shrinks the broadcast
-    # and the posting-probe fanout (short docs can't qualify anyway)
+    # and the posting-probe fanout (short docs can't qualify anyway). Use
+    # the files table's size_in_bytes column when present — computing
+    # octet_length(content) here would add a full content-column scan
+    # whose only output is the length
     content = files.select("file_id", "content")
-    eligible = content.filter(F.octet_length("content") >= min_len_bytes).select("file_id")
+    if "size_in_bytes" in files.columns:
+        eligible = files.filter(F.col("size_in_bytes") >= min_len_bytes).select("file_id")
+    else:
+        eligible = content.filter(F.octet_length("content") >= min_len_bytes).select("file_id")
     rarest = rarest.join(eligible, "file_id", "left_semi")
     # one row per inner doc vs the postings. When broadcasting, the side
     # MUST be pinned explicitly: the static planner's width-pruned estimate
@@ -607,11 +613,13 @@ def repeated_substrings_by_cluster(
     test oracle in repeated_substrings_in_partition)."""
     anchor_k = min(anchor_k, min_len)  # winnow guarantee needs min_len ≥ k
     window = max(1, min_len - anchor_k + 1)
-    tagged = files.select(id_col, text_col).join(
-        clusters.select(F.col("file_id").alias(id_col), "cluster_id"), id_col
-    )
-    anchors = winnowed_anchor_table(tagged, anchor_k, window, id_col, text_col).join(
-        clusters.select("file_id", "cluster_id"), "file_id"
+    # anchor FIRST (one narrow content pass, zero shuffles), then attach
+    # cluster ids to the anchor table — a few % of corpus bytes. Joining
+    # clusters onto files before anchoring would shuffle every content
+    # byte on file_id, breaking the content-never-crosses-a-shuffle
+    # invariant. The inner join drops un-clustered files, same semantics.
+    anchors = winnowed_anchor_table(files, anchor_k, window, id_col, text_col).join(
+        clusters.select(F.col("file_id"), "cluster_id"), "file_id"
     )
     evidence = _pair_evidence(anchors, max_anchor_members, bucket_cols=("cluster_id", "anchor"))
     return _extension_verified_pairs(files, evidence, min_len, id_col, text_col)
