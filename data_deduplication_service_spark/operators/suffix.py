@@ -168,7 +168,15 @@ def substring_containment_pairs(
     attaches per pair (the small, contained side, fanout ≤ the doc-freq
     cap).
     """
-    sig = signatures.select("file_id", F.explode("shingles").alias("s"))
+    # the shingle sets feed THREE join branches (doc-freq table, rarest
+    # probe, postings) and Spark recomputes shared subtrees per branch —
+    # without this persist the whole signature UDF scan runs three times.
+    # Cache the compact per-doc arrays (not the exploded postings, which
+    # are ~8-16× larger); each branch re-explodes from the cached arrays.
+    from data_deduplication_service_spark.cache import persist_scoped
+
+    base = persist_scoped(signatures.select("file_id", "shingles"))
+    sig = base.select("file_id", F.explode("shingles").alias("s"))
     # shingle arrays are per-doc distinct (np.unique), so count(*) = doc freq
     df_tbl = sig.groupBy("s").agg(F.count("*").alias("_df"))
     # shuffle_hash hint: df_tbl has ~one row per DISTINCT shingle (GBs at
