@@ -441,14 +441,40 @@ def _pair_evidence(
 
 
 def global_repeat_overflow_anchors(
-    anchors: DataFrame, max_anchor_members: int = 16
+    anchors: DataFrame,
+    max_anchor_members: int = 16,
+    bucket_cols: tuple[str, ...] = ("anchor",),
 ) -> DataFrame:
     """Anchors whose membership was exemplar-truncated — the observability
-    report for the global tier's cap (symmetric to the LSH bucket report)."""
+    report for the repeat tiers' cap (symmetric to the LSH bucket report).
+    ``bucket_cols`` matches the tier's exemplar window: ``("anchor",)`` for
+    the global tier, ``("cluster_id", "anchor")`` for the cluster tier."""
     return (
-        anchors.groupBy("anchor")
+        anchors.groupBy(*bucket_cols)
         .agg(F.count("*").alias("n_members"))
         .filter(F.col("n_members") > max_anchor_members)
+    )
+
+
+def cluster_repeat_overflow_anchors(
+    files: DataFrame,
+    clusters: DataFrame,
+    min_len: int = 50,
+    anchor_k: int = 16,
+    max_anchor_members: int = 16,
+    id_col: str = "file_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """(cluster_id, anchor, n_members) rows the CLUSTER tier's exemplar cap
+    truncated — same anchor construction as repeated_substrings_by_cluster,
+    so every cap on that path has its matching overflow report."""
+    anchor_k = min(anchor_k, min_len)
+    window = max(1, min_len - anchor_k + 1)
+    anchors = winnowed_anchor_table(files, anchor_k, window, id_col, text_col).join(
+        clusters.select("file_id", "cluster_id"), "file_id"
+    )
+    return global_repeat_overflow_anchors(
+        anchors, max_anchor_members, bucket_cols=("cluster_id", "anchor")
     )
 
 

@@ -301,6 +301,41 @@ def test_global_tier_extension_matches_suffix_array(spark):
     assert got == exp
 
 
+def test_cluster_tier_exemplar_cap_and_overflow_report(spark):
+    """A block shared by every member of a BIG cluster must stay
+    discoverable between that cluster's exemplars under the per-(cluster,
+    anchor) cap, and the truncation must be visible in the cluster-scoped
+    overflow report (every cap has a matching report)."""
+    from data_deduplication_service_spark.operators.suffix import (
+        cluster_repeat_overflow_anchors,
+        repeated_substrings_by_cluster,
+    )
+
+    block = "boilerplate block shared by the whole cluster, verbatim, repeatedly! " * 2
+    rows = [(i, f"unique head {i} " * 10 + block + f" unique tail {i} " * 10)
+            for i in range(20)]
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    clusters = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "file_id long, cluster_id long"  # 2 clusters of 10
+    )
+    got = {
+        (r.file_a, r.file_b)
+        for r in repeated_substrings_by_cluster(
+            files, clusters, min_len=100, max_anchor_members=3
+        ).collect()
+    }
+    # interior-block anchors are shared by all 10 members of each cluster:
+    # exemplars = the 3 smallest ids per cluster, every pair among them found
+    assert {(0, 2), (0, 4), (2, 4)} <= got          # cluster 0 exemplars
+    assert {(1, 3), (1, 5), (3, 5)} <= got          # cluster 1 exemplars
+    assert all((a - b) % 2 == 0 for a, b in got)    # never across clusters
+    report = cluster_repeat_overflow_anchors(
+        files, clusters, min_len=100, max_anchor_members=3
+    ).collect()
+    assert report and {r.cluster_id for r in report} == {0, 1}
+    assert all(r.n_members > 3 for r in report)
+
+
 def test_cluster_tier_matches_per_pair_suffix_array(spark):
     """The anchor-based cluster tier must equal the per-pair suffix-array
     answer restricted to SAME-CLUSTER pairs — same pair set, same max
