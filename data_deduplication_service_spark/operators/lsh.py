@@ -190,7 +190,12 @@ def exact_jaccard_by_content(pairs: DataFrame, files: DataFrame, cfg: DedupConfi
         .union(pairs.select(F.col("b").alias("file_id")))
         .distinct()
     )
-    content = files.select("file_id", "content").join(involved, "file_id", "left_semi")
+    # the pruned sliver feeds BOTH sides of the pair join; without the
+    # persist each branch recomputes the semi-join = two full scans of the
+    # corpus content column (shared subtrees are recomputed per branch)
+    content = persist_scoped(
+        files.select("file_id", "content").join(involved, "file_id", "left_semi")
+    )
     joined = (
         pairs.join(content.select(F.col("file_id").alias("a"), F.col("content").alias("_ca")), "a")
         .join(content.select(F.col("file_id").alias("b"), F.col("content").alias("_cb")), "b")

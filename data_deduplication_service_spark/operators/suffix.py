@@ -539,7 +539,9 @@ def _extension_verified_pairs(
         .union(evidence.select(F.col("b").alias("_id")))
         .distinct()
     )
-    content = (
+    # pruned sliver feeds both pair sides — persist or the semi-join (a
+    # full corpus content scan) recomputes per branch
+    content = persist_scoped(
         files.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .join(involved, "_id", "left_semi")
     )
