@@ -67,6 +67,15 @@ def _doc_segments(spark: SparkSession, sf_dir: str, keep_data: bool = False) -> 
     return segment_files(_doc_files(spark, sf_dir), CFG, keep_data=keep_data)
 
 
+# Three gate queries (minhash_lsh_pairs, near_dup_clusters, cluster_repeats)
+# derive from the SAME verified pair set; recomputing the LSH pipeline per
+# query tripled the dominant cost of the correctness gate at larger sf
+# tiers. The cache is keyed by sf_dir and holds the small (a, b, jaccard)
+# RESULT persisted OUTSIDE the scoped-cache registry, so the per-query
+# release_scoped() in _released() doesn't evict it between gate queries.
+_PAIR_CACHE: dict[str, DataFrame] = {}
+
+
 def _exact_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash→LSH(r=1)→exact-verify pairs ≡ brute-force exact-Jaccard ≥ t."""
     from data_deduplication_service_spark.functions.signatures import signature_table
@@ -76,14 +85,19 @@ def _exact_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_jaccard_for_pairs,
     )
 
+    cached = _PAIR_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     files = _doc_files(spark, sf_dir)
     sig = signature_table(files, LSH1, keep_shingles=True)
     cands = candidate_pairs(band_table(sig, LSH1), LSH1)
     # no estimate pre-filter here: candidates go straight to exact Jaccard so
     # the result is exactly {pairs : J(a,b) ≥ t}, matching the oracle
-    return exact_jaccard_for_pairs(cands, sig).filter(
+    pairs = exact_jaccard_for_pairs(cands, sig).filter(
         F.col("jaccard") >= LSH1.jaccard_threshold
     )
+    _PAIR_CACHE[sf_dir] = pairs = pairs.persist()
+    return pairs
 
 
 # --------------------------------------------------------------------------

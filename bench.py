@@ -134,6 +134,31 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# Quiet-window 32-core reference time for the calibration kernel on this box
+# (measured round 5; see CLAUDE.md measurement rules). Box tenancy shifts
+# whole sessions by up to ~1.4-2.2×, which the raw sf0.1 numbers cannot
+# distinguish from plan changes — the fixed JVM kernel below measures the
+# box, so value_normalized ≈ value × (ref / calibration) factors tenancy
+# out. Only comparable across runs at the SAME core count.
+CAL_REF_SEC = 1.9
+
+
+def calibration(spark) -> float:
+    """Best-of-3 fixed JVM kernel: range → xxhash64 → bit_xor aggregate.
+    Pure whole-stage-codegen compute, no disk, no Python — its time moves
+    with box tenancy and core count, never with this repo's plans."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        spark.range(0, 2_000_000_000, 1, 64).select(
+            F.bit_xor(F.xxhash64("id")).alias("x")
+        ).collect()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -146,6 +171,8 @@ def main() -> None:
     qs = entry_mod.queries()
     qs.update(_scale_near_dup_queries())
     timings: dict[str, float] = {}
+
+    cal = calibration(spark)  # box-tenancy probe, excluded from the total
 
     for name in BENCH_QUERIES + list(_scale_near_dup_queries()):
         t0 = time.monotonic()
@@ -181,6 +208,11 @@ def main() -> None:
                 "n_files": n_files,
                 "files_per_sec": round(n_files / pipeline_sec, 1),
                 "cores": cpus,
+                # tenancy normalization (see calibration()): compare
+                # value_normalized across rounds, not raw value
+                "calibration_sec": cal,
+                "calibration_ref_sec": CAL_REF_SEC,
+                "value_normalized": round(total * CAL_REF_SEC / cal, 3),
             }
         )
     )

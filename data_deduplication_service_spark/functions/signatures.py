@@ -45,21 +45,33 @@ SIGNATURE_SCHEMA = (
 )
 
 
-def signature_schema(cfg: DedupConfig) -> str:
+def signature_schema(cfg: DedupConfig, lean: bool = False) -> str:
     """Output schema of signature_table — minhash element width follows
     cfg.minhash_bits (array<int> at 32 halves every downstream signature
     byte: the persisted table, the band slices, both estimate-join sides).
 
-    ``n_shingles`` SEMANTICS DEPEND ON THE SIGNATURE LAYOUT: with
-    keep_shingles=True (or with_simhash=True) it is the DISTINCT shingle
-    count (|set|); on the lean scale path (keep_shingles=False AND
-    with_simhash=False — also fused_signature_segments) the positional
-    kernel skips the per-doc unique and it is the positional WINDOW count
-    (≥ the distinct count). Consumers that need set cardinality (e.g.
-    size-ratio candidate pruning) must not read it off a lean-layout
-    persisted table — re-derive via the set kernel instead."""
+    THE COUNT COLUMN IS NAMED BY ITS SEMANTICS: with keep_shingles=True
+    (or with_simhash=True) it is ``n_shingles``, the DISTINCT shingle count
+    (|set|); on the lean scale path (keep_shingles=False AND
+    with_simhash=False — also fused_signature_segments) the kernels skip
+    the per-doc unique and the column is ``n_windows``, the positional
+    WINDOW count (≥ the distinct count). The distinct name makes the
+    persisted-table footgun impossible: a consumer that needs set
+    cardinality fails to resolve ``n_shingles`` on a lean table instead of
+    silently reading window counts. Pre-round-5 lean checkpoints stored
+    window counts under ``n_shingles`` — rename on read via
+    ``lean_signature_compat``."""
     mh = "array<int>" if cfg.minhash_bits == 32 else "array<long>"
-    return f"file_id long, n_shingles int, shingles array<long>, minhash {mh}, simhash long"
+    cnt = "n_windows" if lean else "n_shingles"
+    return f"file_id long, {cnt} int, shingles array<long>, minhash {mh}, simhash long"
+
+
+def lean_signature_compat(df: DataFrame) -> DataFrame:
+    """Compat read path for lean signature tables persisted before round 5,
+    which stored the positional window count under ``n_shingles``."""
+    if "n_windows" not in df.columns and "n_shingles" in df.columns:
+        df = df.withColumnRenamed("n_shingles", "n_windows")
+    return df
 
 
 def _store_minhash(mh_u64: np.ndarray, bits: int) -> np.ndarray:
@@ -112,8 +124,9 @@ def char_shingle_hashes(data: bytes, k: int) -> np.ndarray:
     return np.unique(char_window_hashes(data, k))
 
 
-def segment_shingle_hashes(data: bytes, segment_size: int) -> np.ndarray:
-    """Unique hashes of NON-overlapping segment windows (reference identity)."""
+def segment_window_hashes(data: bytes, segment_size: int) -> np.ndarray:
+    """POSITIONAL hashes of NON-overlapping segment windows, in document
+    order (lean-path variant — duplicates cannot change an elementwise min)."""
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     n = arr.size
     if n == 0:
@@ -128,11 +141,17 @@ def segment_shingle_hashes(data: bytes, segment_size: int) -> np.ndarray:
         tail = arr[full:]
         with np.errstate(over="ignore"):
             out.append(np.atleast_1d(tail @ _poly_powers(tail.size)))
-    return np.unique(np.concatenate(out))
+    return np.concatenate(out)
 
 
-def word_shingle_hashes(text: str, k: int) -> np.ndarray:
-    """k-window polynomial combine over FNV-1a token hashes.
+def segment_shingle_hashes(data: bytes, segment_size: int) -> np.ndarray:
+    """Unique hashes of NON-overlapping segment windows (reference identity)."""
+    return np.unique(segment_window_hashes(data, segment_size))
+
+
+def word_window_hashes(text: str, k: int) -> np.ndarray:
+    """POSITIONAL k-window polynomial combine over FNV-1a token hashes, in
+    document order (lean-path variant — see word_shingle_hashes).
 
     FNV is sequential per token but independent ACROSS tokens, so the hash
     runs as a loop over byte POSITIONS (≤ longest token, ~10-20 steps) with
@@ -158,7 +177,12 @@ def word_shingle_hashes(text: str, k: int) -> np.ndarray:
         windows = np.lib.stride_tricks.sliding_window_view(wh, k)
         powers = _poly_powers(k)
     with np.errstate(over="ignore"):
-        return np.unique(windows @ powers)
+        return windows @ powers
+
+
+def word_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Unique k-window polynomial combines over FNV-1a token hashes."""
+    return np.unique(word_window_hashes(text, k))
 
 
 def shingle_hashes(content: str, cfg: DedupConfig) -> np.ndarray:
@@ -167,6 +191,18 @@ def shingle_hashes(content: str, cfg: DedupConfig) -> np.ndarray:
     if cfg.shingle_mode == "segment":
         return segment_shingle_hashes(content.encode("utf-8"), cfg.segment_size)
     return word_shingle_hashes(content, cfg.shingle_k)
+
+
+def window_hashes(content: str, cfg: DedupConfig) -> np.ndarray:
+    """POSITIONAL (non-uniqued) window hashes — the lean-path counterpart of
+    shingle_hashes. Duplicate values cannot change an elementwise min, so
+    MinHash over these equals MinHash over the unique set, without the
+    per-doc O(n log n) sort; their COUNT is the ``n_windows`` column."""
+    if cfg.shingle_mode == "char":
+        return char_window_hashes(content.encode("utf-8"), cfg.shingle_k)
+    if cfg.shingle_mode == "segment":
+        return segment_window_hashes(content.encode("utf-8"), cfg.segment_size)
+    return word_window_hashes(content, cfg.shingle_k)
 
 
 def minhash_from_shingles(
@@ -388,7 +424,7 @@ def _fast_char_signature_table(
             base = int(offs[0])
             if lean:
                 # scale path: positional kernel — identical minhash, no
-                # per-doc sort; n_shingles is the WINDOW count here (distinct
+                # per-doc sort; the count column is n_windows here (distinct
                 # counts require the set kernel — keep_shingles=True)
                 sizes, mh = _char_batch_positional_minhash(
                     data[base : int(offs[-1])], offs - base, k, a, b
@@ -424,7 +460,13 @@ def _fast_char_signature_table(
                         minhash,
                         pa.array(sim[lo:hi]),
                     ],
-                    names=["file_id", "n_shingles", "shingles", "minhash", "simhash"],
+                    names=[
+                        "file_id",
+                        "n_windows" if lean else "n_shingles",
+                        "shingles",
+                        "minhash",
+                        "simhash",
+                    ],
                 )
 
             if not keep_shingles or int(starts[-1]) <= _I32_SAFE:
@@ -441,7 +483,9 @@ def _fast_char_signature_table(
                     yield emit(lo, hi)
                     lo = hi
 
-    return files.select("file_id", "content").mapInArrow(compute, schema=signature_schema(cfg))
+    return files.select("file_id", "content").mapInArrow(
+        compute, schema=signature_schema(cfg, lean)
+    )
 
 
 def signature_table(
@@ -462,10 +506,12 @@ def signature_table(
     (semi-join pruning in lsh.exact_jaccard_for_pairs handles both layouts).
     ``with_simhash=False`` skips the simhash votes (manual column pruning —
     Catalyst can't prune inside a UDF; the LSH pipeline only reads minhash).
-    NOTE: on the lean layout (both flags off) ``n_shingles`` is the
-    positional window count, not the distinct-set size — see
-    signature_schema's docstring before consuming it downstream.
+    NOTE: on the lean layout (both flags off) the count column is
+    ``n_windows`` — the positional window count, not the distinct-set size
+    (see signature_schema's docstring); every shingle mode skips the
+    per-doc unique on that path, so the semantics are mode-uniform.
     """
+    lean = not keep_shingles and not with_simhash
     if cfg.shingle_mode == "char":
         return _fast_char_signature_table(files, cfg, keep_shingles, with_simhash)
     a, b = _minhash_params(cfg)
@@ -475,7 +521,10 @@ def signature_table(
         for pdf in batches:
             if not len(pdf):
                 continue
-            uniqs = [shingle_hashes(c, cfg) for c in pdf["content"]]
+            # lean path: positional window arrays — identical minhash
+            # (duplicates can't change a min), no per-doc sort
+            extract = window_hashes if lean else shingle_hashes
+            uniqs = [extract(c, cfg) for c in pdf["content"]]
             sizes = np.fromiter((x.size for x in uniqs), dtype=np.int64, count=len(uniqs))
             starts = np.zeros(sizes.size + 1, dtype=np.int64)
             np.cumsum(sizes, out=starts[1:])
@@ -484,7 +533,7 @@ def signature_table(
             yield pd.DataFrame(
                 {
                     "file_id": pdf["file_id"].astype("int64"),
-                    "n_shingles": sizes.astype(np.int32),
+                    "n_windows" if lean else "n_shingles": sizes.astype(np.int32),
                     "shingles": [s.astype(np.int64).tolist() if keep_shingles else None
                                  for s in uniqs],
                     "minhash": list(np.ascontiguousarray(mh.T)),
@@ -493,7 +542,9 @@ def signature_table(
                 }
             )
 
-    return files.select("file_id", "content").mapInPandas(compute, schema=signature_schema(cfg))
+    return files.select("file_id", "content").mapInPandas(
+        compute, schema=signature_schema(cfg, lean)
+    )
 
 
 def hamming64(x: Column, y: Column) -> Column:
@@ -523,7 +574,7 @@ def _segment_hasher(hash_name: str):
 
 
 def fused_signature_segments(files: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """ONE pass over content → (file_id, n_shingles, minhash, seg_hashes).
+    """ONE pass over content → (file_id, n_windows, minhash, seg_hashes).
 
     The scale pipeline's two content consumers — the exact-dedup segment
     store (non-overlapping segment_size digests, reference semantics per
@@ -536,7 +587,7 @@ def fused_signature_segments(files: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     seg_hashes[i] is exactly segment_files' digest for segment_num=i+1
     (1-based, trailing partial block hashed at true length, empty content →
-    zero segments, matching reject_empty's filter); minhash/n_shingles are
+    zero segments, matching reject_empty's filter); minhash/n_windows are
     bit-identical to signature_table(keep_shingles=False, with_simhash=False)
     — both equalities are pinned by tests.
     """
@@ -548,7 +599,7 @@ def fused_signature_segments(files: DataFrame, cfg: DedupConfig) -> DataFrame:
     seg = cfg.segment_size
     digest = _segment_hasher(cfg.hash_name)
     mh_type = "array<int>" if bits == 32 else "array<long>"
-    schema = f"file_id long, n_shingles int, minhash {mh_type}, seg_hashes array<binary>"
+    schema = f"file_id long, n_windows int, minhash {mh_type}, seg_hashes array<binary>"
 
     def compute(batches):
         for batch in batches:
@@ -562,7 +613,7 @@ def fused_signature_segments(files: DataFrame, cfg: DedupConfig) -> DataFrame:
             data = data[base : int(offs[-1])]
             offs = offs - base
             # positional kernel: bit-identical minhash, no per-doc sort
-            # (n_shingles is the window count on this lean path)
+            # (the count column is n_windows on this lean path)
             sizes, mh = _char_batch_positional_minhash(data, offs, k, a, b)
             mh_store = _store_minhash(mh, bits)
 
@@ -589,7 +640,7 @@ def fused_signature_segments(files: DataFrame, cfg: DedupConfig) -> DataFrame:
             )
             yield pa.RecordBatch.from_arrays(
                 [fid, pa.array(sizes.astype(np.int32)), minhash, seg_list],
-                names=["file_id", "n_shingles", "minhash", "seg_hashes"],
+                names=["file_id", "n_windows", "minhash", "seg_hashes"],
             )
 
     return files.select("file_id", "content").mapInArrow(compute, schema=schema)

@@ -126,6 +126,8 @@ def substring_containment_pairs(
     min_len_bytes: int = 12,
     max_shingle_doc_freq: int | None = 512,
     broadcast_inner: bool | None = None,
+    max_group_rows: int = 128,
+    max_group_bytes: int = 32 * 1024 * 1024,
 ) -> DataFrame:
     """(inner, outer) pairs where inner.content ⊆ outer.content verbatim.
 
@@ -162,11 +164,22 @@ def substring_containment_pairs(
     shuffle-hash plan regardless of the cap.
 
     Verification groups candidate pairs BY OUTER DOC before joining outer
-    content, so each outer's bytes cross the shuffle once per outer doc —
+    content, so each outer's bytes cross the shuffle once per outer CHUNK —
     not once per candidate pair (a popular host's content was previously
     duplicated across all its pairs in the verify exchange). Inner content
     attaches per pair (the small, contained side, fanout ≤ the doc-freq
     cap).
+
+    The per-outer gather is CHUNKED (``max_group_rows`` inner docs /
+    ``max_group_bytes`` inner bytes per collected row): the doc-freq cap
+    bounds each inner's fanout but NOT an outer's in-degree, so a template
+    host containing thousands of small inner docs would otherwise collect
+    Σ(inner bytes) into one Tungsten row (the single-row-grows-with-corpus
+    shape that OOMs an executor). Chunk ids come from a running count/byte
+    sum inside the per-outer window, so every collected row holds at most
+    ``max_group_rows`` entries and ~``max_group_bytes`` of inner content;
+    the outer's content joins once per chunk — O(ceil(in_degree/K)) copies,
+    still ≪ O(pairs), and exactly 1 for the common small-in-degree outer.
     """
     # the shingle sets feed THREE join branches (doc-freq table, rarest
     # probe, postings) and Spark recomputes shared subtrees per branch —
@@ -223,17 +236,13 @@ def substring_containment_pairs(
     )
 
     # inner content attaches per pair (bounded by the doc-freq cap); pairs
-    # then group by outer so the outer's content joins ONCE per outer doc.
-    # The explode after the final join re-expands pairs inside the task
-    # pipeline — the duplication never crosses an exchange.
+    # then group by (outer, chunk) so the outer's content joins once per
+    # CHUNK — see the docstring's bounded-gather note.
     inner_content = content.select(
         F.col("file_id").alias("inner"), F.col("content").alias("_ci")
     ).filter(F.octet_length("_ci") >= min_len_bytes)
-    grouped = (
-        cands.join(inner_content, "inner")
-        .groupBy("outer")
-        .agg(F.collect_list(F.struct("inner", "_ci")).alias("_ic"))
-        .join(content.select(F.col("file_id").alias("outer"), F.col("content").alias("_co")), "outer")
+    grouped = _chunked_verify_input(
+        cands, content, inner_content, max_group_rows, max_group_bytes
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -258,6 +267,58 @@ def substring_containment_pairs(
                 )
 
     return grouped.mapInPandas(verify, schema="inner long, outer long, inner_len long")
+
+
+def _chunked_verify_input(
+    cands: DataFrame,
+    content: DataFrame,
+    inner_content: DataFrame,
+    max_group_rows: int,
+    max_group_bytes: int,
+) -> DataFrame:
+    """(outer, _ic, _co) verify input rows with a BOUNDED payload per row.
+
+    Chunk ids derive from a per-outer window: a running row count caps
+    entries at ``max_group_rows`` and a running byte sum caps inner bytes
+    at ~``max_group_bytes`` (a chunk may exceed it by at most one doc —
+    the running sum EXCLUDES the current row, so the bound never splits a
+    single oversized doc into an empty chunk). Both counters are
+    non-decreasing in the window order, so grouping by their floor-div pair
+    yields contiguous, order-stable chunks.
+
+    Plan shape: the window partitions by ``outer`` and the groupBy keys on
+    (outer, chunk) — HashPartitioning(outer) already satisfies the groupBy's
+    clustered distribution, so the chunking adds a sort within the existing
+    exchange, not a second shuffle. Module-level so the bounded-row-width
+    pytest can assert on the grouped frame directly."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("outer").orderBy("inner")
+    ic = (
+        cands.join(inner_content, "inner")
+        .withColumn("_ilen", F.octet_length("_ci").cast("long"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_prev_bytes",
+            F.sum("_ilen").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("_ilen"),
+        )
+        .withColumn(
+            "_chunk",
+            F.struct(
+                F.floor((F.col("_rn") - 1) / max_group_rows).alias("c_rows"),
+                F.floor(F.col("_prev_bytes") / max_group_bytes).alias("c_bytes"),
+            ),
+        )
+    )
+    return (
+        ic.groupBy("outer", "_chunk")
+        .agg(F.collect_list(F.struct("inner", "_ci")).alias("_ic"))
+        .join(
+            content.select(F.col("file_id").alias("outer"), F.col("content").alias("_co")),
+            "outer",
+        )
+        .drop("_chunk")
+    )
 
 
 def containment_overflow_docs(

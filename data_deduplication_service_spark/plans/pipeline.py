@@ -135,9 +135,15 @@ def run_pipeline(
     # size) would only bloat the checkpoint and every downstream exchange.
     # with_simhash=False: nothing downstream of the pipeline reads simhash —
     # manual column pruning (Catalyst can't prune inside the UDF).
-    signatures = timed(
-        "signatures",
-        lambda: signature_table(reps, cfg, keep_shingles=False, with_simhash=False),
+    # lean_signature_compat: pre-round-5 checkpoints stored the lean
+    # window count under n_shingles — rename on (resume-)load
+    from data_deduplication_service_spark.functions.signatures import lean_signature_compat
+
+    signatures = lean_signature_compat(
+        timed(
+            "signatures",
+            lambda: signature_table(reps, cfg, keep_shingles=False, with_simhash=False),
+        )
     )
     bands = timed("bands", lambda: band_table(signatures, cfg))
 

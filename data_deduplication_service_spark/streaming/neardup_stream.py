@@ -4,8 +4,9 @@ The batch near-dup stack (signatures → LSH bands → capped candidates →
 exact verify, operators/lsh.py) applied incrementally via foreachBatch
 against a persisted SIGNATURE STORE: each micro-batch signs its documents,
 probes ONLY the LSH buckets its new documents touch, verifies the
-resulting (new × seen) candidate pairs exactly, emits them, and appends
-its signatures to the store. Content never enters the store or any
+resulting (new × seen) candidate pairs exactly, emits them, and writes
+its signatures into the store's batch_id partition (dynamic partition
+overwrite — replay-idempotent). Content never enters the store or any
 shuffle — signatures only (the same invariant as the batch scale path).
 
 Semantics vs the batch pipeline: the union of per-batch emitted pairs
@@ -66,7 +67,8 @@ def incremental_candidate_pairs(
 
 
 def _store_exists(path: str) -> bool:
-    return bool(glob.glob(os.path.join(path, "*.parquet")))
+    # batch_id-partitioned layout: data files live under batch_id=N/ subdirs
+    return bool(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 
 
 def near_dup_batch_processor(
@@ -80,8 +82,16 @@ def near_dup_batch_processor(
     """foreachBatch closure implementing the incremental near-dup tier.
 
     Per micro-batch: sign → probe touched buckets against (store ∪ batch)
-    → exact-verify → append (a, b, jaccard, batch_id) to ``pairs_dir`` →
-    append this batch's signatures (with batch_id) to ``store_dir``.
+    → exact-verify → write (a, b, jaccard) to ``pairs_dir`` and this
+    batch's signatures to ``store_dir``, both PARTITIONED BY batch_id and
+    written with dynamic partition overwrite, so a failure-replayed
+    micro-batch REPLACES its own batch_id partition instead of appending a
+    second copy (idempotent replay — blind append was at-least-once: a
+    crash between the two writes duplicated pairs downstream and, worse,
+    duplicated store signatures, silently inflating later batches' bucket
+    sizes against the cap). The store read additionally keeps only
+    STRICTLY-EARLIER batch partitions, so a replay whose previous attempt
+    already committed the store partition still probes the same prefix.
     Signatures are stored WITH shingle sets so exact verification needs no
     content re-read; at extreme scale store the lean layout instead and
     re-derive shingles for the candidate sliver (both layouts are handled
@@ -97,7 +107,13 @@ def near_dup_batch_processor(
         sig_new = signature_table(docs, cfg).persist()
         try:
             if _store_exists(store_dir):
-                stored = spark.read.parquet(store_dir)
+                # strictly-earlier partitions only: a replayed batch whose
+                # crashed attempt already committed its store partition must
+                # not probe its own (or any later) signatures — partition
+                # pruning makes both filters metadata-only
+                stored = spark.read.parquet(store_dir).filter(
+                    F.col("batch_id") < F.lit(int(batch_id))
+                )
                 if retention_batches is not None:
                     stored = stored.filter(
                         F.col("batch_id") >= F.lit(int(batch_id) - retention_batches)
@@ -110,16 +126,26 @@ def near_dup_batch_processor(
                 band_table(sig_new, cfg), band_table(sig_all, cfg), cfg
             )
             pairs = verified_pairs(cands, sig_all, cfg, exact=True)
+            # dynamic partition overwrite: only the batch_id partitions
+            # present in the written data are replaced — replay rewrites
+            # its own partition, never touching earlier batches
             (
                 pairs.withColumn("batch_id", F.lit(int(batch_id)))
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(pairs_dir)
             )
-            sig_new.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-                "append"
-            ).parquet(store_dir)
-            # appended files invalidate any cached listing of the store path
+            (
+                sig_new.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(store_dir)
+            )
+            # overwritten partitions invalidate any cached file listings
             spark.catalog.refreshByPath(store_dir)
+            spark.catalog.refreshByPath(pairs_dir)
             sig_all.unpersist()
         finally:
             sig_new.unpersist()
@@ -142,9 +168,12 @@ def start_near_dup_stream(
     retention_batches: int | None = None,
     available_now: bool = True,
 ):
-    """Wire the processor into writeStream (exactly-once via the streaming
-    checkpoint: a replayed micro-batch rewrites the same batch_id rows).
-    Returns the started StreamingQuery."""
+    """Wire the processor into writeStream. Effectively-once output: the
+    streaming checkpoint dedupes batch DELIVERY, and the processor's
+    dynamic-partition-overwrite writes make a replayed micro-batch REPLACE
+    its own batch_id partitions (idempotent replay pinned by pytest), so
+    committed partitions converge to exactly one copy per batch. Returns
+    the started StreamingQuery."""
     proc = near_dup_batch_processor(
         cfg, store_dir, pairs_dir, id_col, content_col, retention_batches
     )

@@ -57,10 +57,11 @@ def main() -> None:
     def is_base_job(r: dict) -> bool:
         """The headline throughput/efficiency series must compare the SAME
         measured job: runs that added suffix-tier stages (--with-containment
-        / --with-global-repeats) are a different job and report only in
-        their own sections below."""
+        / --with-global-repeats / --with-cluster-repeats) are a different
+        job and report only in their own sections below."""
         return (r.get("n_global_repeat_pairs", -1) < 0
-                and r.get("n_containment_pairs", -1) < 0)
+                and r.get("n_containment_pairs", -1) < 0
+                and r.get("n_cluster_repeat_pairs", -1) < 0)
 
     lean = [r for r in runs
             if not r.get("fused") and r.get("n_files") == 1_600_000 and is_base_job(r)]
@@ -202,6 +203,38 @@ def main() -> None:
                 )
             lines.append("")
             eff = stage_eff_line(rows, "global_repeats")
+            if eff:
+                lines += [eff, ""]
+
+    cr = [r for r in runs if r.get("n_cluster_repeat_pairs", -1) >= 0]
+    if cr:
+        lines += [
+            "## Cluster-scoped repeat tier on the measured scale path",
+            "",
+            "`repeated_substrings_by_cluster` (min_len=100, max_anchor_members=8",
+            "per (cluster, anchor)) run as an extra stage over the pipeline's own",
+            "connected components — the round-4 anchor-route rewrite, measured",
+            "(identical-output invariant asserted per corpus size):",
+            "",
+        ]
+        for nf in sorted({r["n_files"] for r in cr}):
+            rows = [r for r in cr if r["n_files"] == nf]
+            n_cr = {r["n_cluster_repeat_pairs"] for r in rows}
+            assert len(n_cr) == 1, f"cluster-repeat outputs differ at {nf}: {n_cr}"
+            lines += [
+                f"{nf:,}-file corpus — **{n_cr.pop():,} same-cluster verbatim-repeat",
+                "pairs, identical at every parallelism level:**",
+                "",
+                "| session | rep | cores | cluster_repeats sec | job total sec |",
+                "|---|---|---|---|---|",
+            ]
+            for r in rows:
+                lines.append(
+                    f"| {r['session']} | {r['rep']} | {r['cores']} | "
+                    f"{r['stages_sec'].get('cluster_repeats', '-')} | {r['total_sec']} |"
+                )
+            lines.append("")
+            eff = stage_eff_line(rows, "cluster_repeats")
             if eff:
                 lines += [eff, ""]
 

@@ -56,6 +56,7 @@ def worker(
     minhash_bits: int = 32,
     with_global_repeats: bool = False,
     with_containment: bool = False,
+    with_cluster_repeats: bool = False,
     containment_cap: int = 50,
 ) -> None:
     from pyspark.sql import SparkSession
@@ -134,7 +135,7 @@ def worker(
 
         t1 = time.monotonic()
         reps, exact_edges = exact_representatives(files)
-        sig = fused_df.select("file_id", "n_shingles", "minhash").join(
+        sig = fused_df.select("file_id", "n_windows", "minhash").join(
             F.broadcast(reps.select("file_id")), "file_id", "left_semi"
         )
     else:
@@ -159,8 +160,31 @@ def worker(
 
     t2 = time.monotonic()
     comp = connected_components(pairs.select("a", "b"), max_iterations=cfg.cc_max_iterations)
+    if with_cluster_repeats:
+        comp = comp.persist()  # feeds both the count and the cluster tier
     n_comp = comp.count()
     t["connected_components"] = time.monotonic() - t2
+
+    n_cluster_repeats = -1
+    if with_cluster_repeats:
+        # the CLUSTER repeat tier on the measured path: clusters from the
+        # just-computed components (the production derivation), winnowing
+        # anchors bucketed per (cluster_id, anchor), capped exemplars,
+        # extension verify — same machinery as the measured global tier
+        from data_deduplication_service_spark.operators.components import (
+            clusters_with_singletons,
+        )
+        from data_deduplication_service_spark.operators.suffix import (
+            repeated_substrings_by_cluster,
+        )
+
+        tcr = time.monotonic()
+        clusters = clusters_with_singletons(comp, files)
+        cr = repeated_substrings_by_cluster(
+            files, clusters, min_len=100, max_anchor_members=8
+        )
+        n_cluster_repeats = cr.count()
+        t["cluster_repeats"] = time.monotonic() - tcr
 
     n_containment = -1
     if with_containment:
@@ -205,6 +229,7 @@ def worker(
                 "n_component_rows": n_comp,
                 "n_global_repeat_pairs": n_repeats,
                 "n_containment_pairs": n_containment,
+                "n_cluster_repeat_pairs": n_cluster_repeats,
                 "stages_sec": {k: round(v, 2) for k, v in t.items()},
                 "total_sec": round(total, 2),
                 "files_per_sec": round(n_files / total, 1),
@@ -222,6 +247,7 @@ def orchestrate(
     minhash_bits: int = 32,
     with_global_repeats: bool = False,
     with_containment: bool = False,
+    with_cluster_repeats: bool = False,
     containment_cap: int = 50,
     legs: tuple[int, ...] = (8, 32),
 ) -> None:
@@ -266,6 +292,8 @@ def orchestrate(
             ] + (["--fused"] if fused else []) + (
                 ["--with-global-repeats"] if with_global_repeats else []
             ) + (
+                ["--with-cluster-repeats"] if with_cluster_repeats else []
+            ) + (
                 ["--with-containment", "--containment-cap", str(containment_cap)]
                 if with_containment else []
             )
@@ -292,6 +320,7 @@ def orchestrate(
                 or prev["n_component_rows"] != r["n_component_rows"]
                 or prev.get("n_global_repeat_pairs", -1) != r.get("n_global_repeat_pairs", -1)
                 or prev.get("n_containment_pairs", -1) != r.get("n_containment_pairs", -1)
+                or prev.get("n_cluster_repeat_pairs", -1) != r.get("n_cluster_repeat_pairs", -1)
             ):
                 raise RuntimeError(f"outputs differ across runs at {cores} cores: {prev} vs {r}")
             if prev is None or r["files_per_sec"] > prev["files_per_sec"]:
@@ -380,6 +409,9 @@ def main() -> None:
     ap.add_argument("--with-containment", action="store_true",
                     help="also measure substring_containment_pairs (rarest-"
                          "shingle candidates, grouped-by-outer verify)")
+    ap.add_argument("--with-cluster-repeats", action="store_true",
+                    help="also measure repeated_substrings_by_cluster over "
+                         "the pipeline's own components (anchor route)")
     ap.add_argument("--containment-cap", type=int, default=50,
                     help="max_shingle_doc_freq for the containment leg "
                          "(50 = the published 400k protocol)")
@@ -392,12 +424,14 @@ def main() -> None:
                minhash_bits=args.minhash_bits,
                with_global_repeats=args.with_global_repeats,
                with_containment=args.with_containment,
+               with_cluster_repeats=args.with_cluster_repeats,
                containment_cap=args.containment_cap)
     else:
         orchestrate(args.n_files, args.out, repeats=args.repeats,
                     fused=args.fused, minhash_bits=args.minhash_bits,
                     with_global_repeats=args.with_global_repeats,
                     with_containment=args.with_containment,
+                    with_cluster_repeats=args.with_cluster_repeats,
                     containment_cap=args.containment_cap,
                     legs=tuple(int(x) for x in args.legs.split(",")))
 

@@ -271,6 +271,55 @@ def test_streaming_near_dup_retention_bounds_state(spark, tmp_path):
     assert (1, 6) not in got    # cross-batch pair evicted with the store
 
 
+def test_streaming_near_dup_replay_is_idempotent(spark, tmp_path):
+    """A failure-replayed micro-batch must REPLACE its own batch_id
+    partition, not append a second copy: invoking the processor twice with
+    the same batch_id leaves both the pairs output and the signature store
+    byte-identical (blind append was at-least-once — duplicate store rows
+    then inflated later batches' bucket sizes against the cap)."""
+    from data_deduplication_service_spark.config import DedupConfig
+    from data_deduplication_service_spark.streaming.neardup_stream import (
+        near_dup_batch_processor,
+    )
+
+    _src, batches = _near_dup_fixture_files(tmp_path)
+    cfg = DedupConfig()
+    store = str(tmp_path / "sig_store_replay")
+    pairs_dir = str(tmp_path / "pairs_replay")
+    proc = near_dup_batch_processor(cfg, store, pairs_dir)
+
+    dfs = [
+        spark.createDataFrame(rows, "doc_id long, content string") for rows in batches
+    ]
+    proc(dfs[0], 0)
+    proc(dfs[1], 1)
+
+    def snapshot():
+        pairs = {
+            (r.a, r.b, round(r.jaccard, 6), r.batch_id)
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+        sigs = {
+            (r.file_id, tuple(r.minhash), r.batch_id)
+            for r in spark.read.parquet(store).collect()
+        }
+        return pairs, sigs
+
+    before = snapshot()
+    # replay batch 1 (crash-after-commit scenario: both outputs already
+    # hold its partitions) — outputs must not change, row counts included
+    proc(dfs[1], 1)
+    assert snapshot() == before
+    # and the per-batch partitions hold exactly one copy of each signature
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == store_df.select("file_id").distinct().count()
+    # replaying after a later batch committed must also leave batch 2 alone
+    proc(dfs[2], 2)
+    after2 = snapshot()
+    proc(dfs[1], 1)
+    assert snapshot() == after2
+
+
 def test_stateful_seen_hashes_counts_repeats(spark, tmp_path):
     """applyInPandasWithState: per-key new-vs-repeat accounting across batches."""
     import os

@@ -114,3 +114,55 @@ def test_save_recovers_from_crash_orphan_snapshot_dir(spark, warehouse):
     store.save("s2", spark.range(7).withColumnRenamed("id", "y"))
     assert store.load("s2").count() == 7
     assert store.is_done("s2")
+
+
+def test_run_dedup_job_entrypoint_kill_resume(spark, tmp_path):
+    """The spark-submit entrypoint (scripts/run_dedup_job.py) end-to-end on
+    a tiny corpus: a mid-job kill after an early stage commits must resume
+    on re-invocation WITHOUT recomputing committed stages (their CURRENT
+    pointers stay byte-identical), and the finished job must print the
+    one-row summary and write the clusters output."""
+    import glob as g
+    import json
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    corpus_path = str(tmp_path / "corpus.parquet")
+    synthesize_corpus(spark, 400, seed=7).write.parquet(corpus_path)
+    wh = str(tmp_path / "wh")
+    clusters_out = str(tmp_path / "clusters.parquet")
+    cmd = [
+        sys.executable, os.path.join(repo, "scripts", "run_dedup_job.py"),
+        "--input", corpus_path, "--warehouse", wh,
+        "--master", "local[2]", "--no-lineage",
+        "--clusters-out", clusters_out,
+    ]
+    # run 1: kill as soon as the file_segments stage commits (mid-job)
+    p = subprocess.Popen(cmd, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    deadline = time.time() + 300
+    while time.time() < deadline and p.poll() is None:
+        if g.glob(os.path.join(wh, "file_segments__*.CURRENT")):
+            break
+        time.sleep(0.2)
+    p.kill()
+    p.wait(60)
+    committed = sorted(g.glob(os.path.join(wh, "*.CURRENT")))
+    assert committed, "no stage committed before the kill window closed"
+    pointers_before = {f: open(f).read() for f in committed}
+
+    # run 2: must resume (skip committed stages) and complete
+    out = subprocess.run(cmd, cwd=repo, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    summary = json.loads(
+        [l for l in out.stdout.splitlines() if l.strip().startswith("{")][-1]
+    )
+    assert summary["n_files"] == 400
+    assert summary["n_clusters"] <= 400
+    # committed stages were loaded, not recomputed: pointers unchanged
+    for f, v in pointers_before.items():
+        assert open(f).read() == v, f"stage pointer rewritten on resume: {f}"
+    got = spark.read.parquet(clusters_out)
+    assert got.count() == 400
+    assert got.select("file_id").distinct().count() == 400

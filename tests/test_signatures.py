@@ -138,6 +138,42 @@ def test_keep_shingles_batch_split_on_offset_ceiling(spark, monkeypatch):
     assert got == want
 
 
+@pytest.mark.parametrize("mode", ["char", "word", "segment"])
+def test_lean_layout_exposes_n_windows_not_n_shingles(spark, mode):
+    """The lean scale layout (keep_shingles=False, with_simhash=False) names
+    its count column n_windows — the POSITIONAL window count, uniform across
+    every shingle mode — while set layouts keep n_shingles; minhash must be
+    bit-identical between the two layouts (dups can't change a min), and
+    the compat shim renames pre-round-5 lean tables on read."""
+    from data_deduplication_service_spark.functions.signatures import (
+        lean_signature_compat,
+        window_hashes,
+    )
+
+    cfg = DedupConfig(shingle_mode=mode)
+    rows = [(i, f"alpha beta gamma token_{i % 3} delta " * (2 + i % 3)) for i in range(8)]
+    rows.append((99, ""))
+    files = spark.createDataFrame(rows, "file_id long, content string").coalesce(1)
+
+    lean = S.signature_table(files, cfg, keep_shingles=False, with_simhash=False)
+    assert "n_windows" in lean.columns and "n_shingles" not in lean.columns
+    fat = S.signature_table(files, cfg)
+    assert "n_shingles" in fat.columns and "n_windows" not in fat.columns
+
+    got = {r.file_id: r for r in lean.collect()}
+    exp_mh = {r.file_id: r.minhash for r in fat.collect()}
+    for fid, content in rows:
+        assert got[fid].n_windows == window_hashes(content, cfg).size, (mode, fid)
+        assert got[fid].minhash == exp_mh[fid], (mode, fid)
+
+    # compat: a pre-round-5 persisted lean table (count under n_shingles)
+    legacy = lean.withColumnRenamed("n_windows", "n_shingles")
+    compat = lean_signature_compat(legacy)
+    assert "n_windows" in compat.columns and "n_shingles" not in compat.columns
+    # idempotent on already-correct lean tables
+    assert lean_signature_compat(lean).columns == lean.columns
+
+
 @pytest.mark.parametrize("mode", ["word", "segment"])
 def test_generic_batch_path_bit_identical_to_per_doc(spark, mode):
     """word/segment signature tables must match the per-doc reference
@@ -185,7 +221,7 @@ def test_fused_scan_matches_segment_and_signature_stages(spark):
     """fused_signature_segments must reproduce BOTH stages bit for bit:
     segment digests == operators/segmentation.segment_files (1-based
     positions, trailing partial block, empty content → no segments) and
-    minhash/n_shingles == signature_table."""
+    minhash/n_windows == signature_table."""
     from data_deduplication_service_spark.functions.signatures import (
         file_segments_from_fused,
         fused_signature_segments,
@@ -214,10 +250,10 @@ def test_fused_scan_matches_segment_and_signature_stages(spark):
     assert got_segs == exp_segs
 
     exp_sig = {
-        r.file_id: (r.n_shingles, r.minhash)
+        r.file_id: (r.n_windows, r.minhash)
         for r in S.signature_table(files, cfg, keep_shingles=False, with_simhash=False).collect()
     }
-    got_sig = {r.file_id: (r.n_shingles, r.minhash) for r in fused.collect()}
+    got_sig = {r.file_id: (r.n_windows, r.minhash) for r in fused.collect()}
     assert got_sig == exp_sig
 
 

@@ -79,6 +79,51 @@ def test_containment_cap_bounds_fanout_and_reports_overflow(spark):
     assert {r.file_id for r in overflow.collect()} == {101}
 
 
+def test_containment_verify_gather_is_chunked(spark):
+    """Template-host corpus (ONE outer containing many inners — the
+    unbounded-in-degree shape): the grouped verify input must never collect
+    more than max_group_rows inner contents (or ~max_group_bytes of them)
+    into a single row, and chunking must not change the verified output."""
+    from pyspark.sql import functions as F
+
+    from data_deduplication_service_spark.operators.suffix import _chunked_verify_input
+
+    inners = [f"distinct-inner-fragment-{i:04d}-" + "x" * 40 for i in range(60)]
+    host = "HOST DOC >>> " + " | ".join(inners) + " <<<"
+    rows = [(0, host)] + [(i + 1, s) for i, s in enumerate(inners)]
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    sig = signature_table(files, DedupConfig())
+
+    # uncapped doc-freq (every inner must reach the verify) + tiny chunk cap
+    out = substring_containment_pairs(
+        files, sig, max_shingle_doc_freq=None, max_group_rows=7
+    )
+    got = {(r.inner, r.outer) for r in out.collect()}
+    assert got == {(i + 1, 0) for i in range(60)}
+
+    # row-width bound on the verify input itself: 60 inners / cap 7 → no
+    # collected list exceeds 7, and the host content appears once per chunk
+    content = files.select("file_id", "content")
+    inner_content = content.select(
+        F.col("file_id").alias("inner"), F.col("content").alias("_ci")
+    )
+    cands = spark.createDataFrame(
+        [(i + 1, 0) for i in range(60)], "inner long, outer long"
+    )
+    grouped = _chunked_verify_input(cands, content, inner_content, 7, 32 * 1024 * 1024)
+    widths = [r.w for r in grouped.select(F.size("_ic").alias("w")).collect()]
+    assert max(widths) <= 7
+    assert sum(widths) == 60
+    assert len(widths) == 9  # ceil(60/7) chunks, each rejoined with _co
+
+    # byte-cap alone must also bound the payload: each inner is ~70 bytes,
+    # so a 200-byte cap forces ≤ ceil(70*?/200)≈3-row chunks
+    grouped_b = _chunked_verify_input(cands, content, inner_content, 10**6, 200)
+    widths_b = [r.w for r in grouped_b.select(F.size("_ic").alias("w")).collect()]
+    assert max(widths_b) <= 3
+    assert sum(widths_b) == 60
+
+
 def test_repeated_substrings_by_cluster_is_layout_independent(spark):
     """The global tier must find cross-doc repeats even when the input's
     physical partitioning separates the matching docs — cluster
