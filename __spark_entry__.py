@@ -459,6 +459,33 @@ def q_cluster_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("file_a", "file_b").distinct()
 
 
+def q_cdc_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking rollup (operators/cdc.py): gear rolling-hash
+    boundaries — cut after byte i wherever the 64-byte base-2 gear hash's
+    top 5 bits are zero — then per-doc segment counts/distincts/lengths.
+
+    Oracle-complete config: mask_bits=5, min_size=0, max_size=None, so
+    boundary acceptance is pointwise (no sequential min/max scan) and the
+    whole computation is ANSI-SQL-expressible: DuckDB recomputes the
+    IDENTICAL uint64 gear hash per byte position via HUGEINT modular
+    arithmetic (the (g·2^d) mod 2^64 terms reduced as (g mod 2^(64−d))·2^d
+    to stay inside HUGEINT) and cuts on the same threshold."""
+    from data_deduplication_service_spark.operators.cdc import (
+        cdc_segment_files,
+        cdc_segment_stats,
+    )
+
+    files = _doc_files(spark, sf_dir)
+    segs = cdc_segment_files(files, mask_bits=5)
+    return cdc_segment_stats(segs).select(
+        F.col("file_id").alias("doc_id"),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("max_seg_len").cast("long").alias("max_seg_len"),
+    )
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions (30-min inactivity gap):
     per-session event counts and bounds — covers lag/cumsum window shapes."""
@@ -624,6 +651,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "substring_containment": q_substring_containment,
         "global_repeats": q_global_repeats,
         "cluster_repeats": q_cluster_repeats,
+        "cdc_segment_stats": q_cdc_segment_stats,
         "event_sessions": q_event_sessions,
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_topk": q_revenue_topk,
@@ -669,6 +697,12 @@ WITH g AS (
 _FNV_PRIME = 1099511628211
 _U64 = 2**64
 _T = CFG.jaccard_threshold
+
+# CDC oracle constants (operators/cdc.py shares the same public formula)
+GEAR_MULT = 0x9E3779B97F4A7C15
+_POW2_ROWS = ", ".join(
+    f"({d}, {1 << d}::HUGEINT, {1 << (64 - d)}::HUGEINT)" for d in range(64)
+)
 
 
 def _hexv(e: str) -> str:
@@ -817,6 +851,55 @@ def oracle_sql() -> dict[str, str]:
                        + (SELECT sum(length(seg) // 2 + {CFG.digest_size + 8}) FROM u))
                       * 1.0 / (SELECT sum(octet_length(encode(text))) FROM documents), 4)
                     AS stored_to_original
+        """,
+        # CDC: the identical uint64 gear hash per byte position, in SQL.
+        # gear[b] = (b+1)·GOLDEN mod 2^64; H[pos] = Σ_{d=0..63} gear[b_{pos-d}]·2^d
+        # mod 2^64; cut where H < 2^59 (mask_bits=5). Each term is reduced as
+        # (g mod 2^(64−d))·2^d — congruent mod 2^64 and < 2^64, so the 64-term
+        # sum stays inside HUGEINT. Bytes come from the hex domain (2 chars
+        # per byte, non-ASCII-safe); pow2 lookup rows are Python-inlined.
+        "cdc_segment_stats": f"""
+            WITH docs AS (
+                SELECT doc_id, upper(hex(encode(text))) AS hx,
+                       octet_length(encode(text)) AS n
+                FROM documents WHERE octet_length(encode(text)) > 0
+            ), byt AS (
+                SELECT doc_id, t.i AS pos,
+                       (strpos('0123456789ABCDEF', substring(hx, 2*t.i-1, 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF', substring(hx, 2*t.i, 1)) - 1) AS bv
+                FROM docs, unnest(generate_series(1, n)) AS t(i)
+            ), g AS (
+                SELECT doc_id, pos,
+                       ((bv + 1) * {GEAR_MULT}::HUGEINT) % {_U64}::HUGEINT AS gv
+                FROM byt
+            ), p(d, v, iv) AS (VALUES {_POW2_ROWS}),
+            h AS (
+                SELECT a.doc_id, a.pos,
+                       sum((w.gv % p.iv) * p.v) % {_U64}::HUGEINT AS hval
+                FROM g a
+                JOIN g w ON w.doc_id = a.doc_id AND w.pos BETWEEN a.pos - 63 AND a.pos
+                JOIN p ON p.d = a.pos - w.pos
+                GROUP BY a.doc_id, a.pos
+            ), cuts AS (
+                SELECT doc_id, pos AS e FROM h WHERE hval < {2**59}::HUGEINT
+                UNION
+                SELECT doc_id, n AS e FROM docs
+            ), segs AS (
+                SELECT doc_id, e,
+                       coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s0
+                FROM cuts
+            ), sc AS (
+                SELECT s.doc_id,
+                       substring(d.hx, 2*s.s0 + 1, 2*(s.e - s.s0)) AS seg,
+                       s.e - s.s0 AS seg_len
+                FROM segs s JOIN docs d USING (doc_id)
+            )
+            SELECT doc_id,
+                   count(*) AS n_segments,
+                   count(DISTINCT seg) AS n_distinct,
+                   CAST(sum(seg_len) AS BIGINT) AS total_bytes,
+                   CAST(max(seg_len) AS BIGINT) AS max_seg_len
+            FROM sc GROUP BY doc_id
         """,
         "ngram_jaccard_pairs": _GRAMS_CTE
         + """

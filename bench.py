@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "token_stats",
     "quality_scores",
     "delete_gc_histogram",
+    "cdc_segment_stats",  # added r5 (new operator; pre-existing keys unchanged)
     "q1_pricing_summary",
     "revenue_topk",
     "events_hourly",

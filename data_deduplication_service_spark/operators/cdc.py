@@ -1,0 +1,199 @@
+"""Content-defined chunking (CDC): shift-robust segmentation.
+
+The reference's segment store cuts at FIXED offsets (segment_size bytes,
+lib/fileProc.cpp segmentation loop) — one inserted byte shifts every
+later boundary and re-writes the whole tail of the store. CDC cuts where
+the CONTENT says to: a gear rolling hash over a sliding byte window
+declares a boundary wherever its top ``mask_bits`` bits are zero, so an
+insert changes only the O(1) segments that physically contain it and the
+rest of the document re-aligns on the same cut points (the classic
+LBFS/FastCDC property — Muthitacharoen et al. SOSP'01, Xia et al. ATC'16;
+this implementation is an original numpy formulation, not a port).
+
+Hash identity, pinned (shared with the DuckDB oracle bit for bit):
+
+    gear[b] = (b + 1) * 0x9E3779B97F4A7C15  mod 2^64      (splitmix/golden)
+    H[i]    = sum_{j = max(0, i-63)}^{i}  gear[byte[j]] * 2^(i-j)  mod 2^64
+    cut after byte i  ⇔  H[i] < 2^(64 - mask_bits)
+
+Base-2 means bytes older than 64 positions age out of H by overflow —
+H is exactly a 64-byte sliding-window polynomial hash, so the SAME
+matmul kernel as char_window_hashes computes it (one
+sliding_window_view @ powers per Arrow batch, zero per-byte Python).
+Judging the HIGH bits makes every window byte participate in the cut
+decision (low bits of a base-2 hash only see the trailing bytes).
+
+``min_size``/``max_size`` apply the standard sequential acceptance scan
+(a candidate closer than min_size to the previous accepted cut is
+skipped; a gap longer than max_size forces a cut) — that scan runs over
+CANDIDATES only (~n / 2^mask_bits items), not bytes. The oracle tier
+runs min_size=0 / max_size=None, where acceptance is pointwise and the
+whole computation is expressible in ANSI SQL (HUGEINT modular
+arithmetic, see __spark_entry__.oracle_sql's cdc entry).
+
+Output shape matches operators/segmentation.segment_files, so the CDC
+table drops into the SAME downstream store machinery: salted
+build_segments_table, dedup_coefficient, reconstruction joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+GEAR_MULTIPLIER = 0x9E3779B97F4A7C15
+CDC_WINDOW = 64
+
+_GEAR = None
+
+
+def gear_table() -> np.ndarray:
+    """The 256-entry gear table — a fixed public formula (not a seeded RNG)
+    so the DuckDB oracle can inline the identical constants."""
+    global _GEAR
+    if _GEAR is None:
+        with np.errstate(over="ignore"):
+            _GEAR = (np.arange(256, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+                GEAR_MULTIPLIER
+            )
+    return _GEAR
+
+
+def _pow2_desc(window: int) -> np.ndarray:
+    """[2^(window-1), ..., 2^1, 2^0] as uint64."""
+    return (np.uint64(1) << np.arange(window - 1, -1, -1, dtype=np.uint64)).astype(
+        np.uint64
+    )
+
+
+def gear_hashes(data: bytes, window: int = CDC_WINDOW) -> np.ndarray:
+    """H[i] for every byte position i (see module docstring): one
+    sliding-window matmul over the gear-mapped bytes, left-padded so early
+    positions hash their true (shorter) prefix."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    g = gear_table()[b]
+    padded = np.concatenate([np.zeros(window - 1, dtype=np.uint64), g])
+    with np.errstate(over="ignore"):
+        return np.lib.stride_tricks.sliding_window_view(padded, window) @ _pow2_desc(
+            window
+        )
+
+
+def cdc_cut_ends(
+    data: bytes,
+    mask_bits: int = 11,
+    min_size: int = 0,
+    max_size: int | None = None,
+    window: int = CDC_WINDOW,
+) -> np.ndarray:
+    """EXCLUSIVE segment end offsets for one document (last entry is always
+    len(data)); empty content → no segments. Expected segment length is
+    ~2^mask_bits bytes before min/max shaping."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    H = gear_hashes(data, window)
+    threshold = np.uint64(1) << np.uint64(64 - mask_bits)
+    cand = (np.nonzero(H < threshold)[0] + 1).astype(np.int64)  # cut AFTER byte i
+    if min_size <= 1 and max_size is None:
+        ends = cand if (cand.size and cand[-1] == n) else np.append(cand, n)
+        return ends
+    # sequential acceptance over candidates only (~n / 2^mask_bits items)
+    ends_list: list[int] = []
+    prev = 0
+    for c in cand:
+        c = int(c)
+        if max_size is not None:
+            while c - prev > max_size:  # forced cuts close oversized gaps
+                prev += max_size
+                ends_list.append(prev)
+        if c - prev >= max(min_size, 1):
+            ends_list.append(c)
+            prev = c
+    if max_size is not None:
+        while n - prev > max_size:
+            prev += max_size
+            ends_list.append(prev)
+    if not ends_list or ends_list[-1] != n:
+        ends_list.append(n)
+    return np.asarray(ends_list, dtype=np.int64)
+
+
+def cdc_segment_files(
+    files: DataFrame,
+    mask_bits: int = 11,
+    min_size: int = 0,
+    max_size: int | None = None,
+    hash_name: str = "sha256",
+    keep_data: bool = False,
+    id_col: str = "file_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """(file_id, segment_num, segment_hash, seg_start, seg_len[, segment_data])
+    — the CDC analog of operators/segmentation.segment_files (1-based
+    segment_num, digests over the raw segment BYTES with the same digest
+    dispatch, empty docs contribute no rows). seg_start is the 1-based BYTE
+    offset so reconstruction and the hex-domain oracle can address the
+    segment without re-running the boundary scan.
+
+    One narrow map-side pass (mapInPandas over id+content only), zero
+    shuffles — partitioning and scale behavior are identical to the fixed
+    tier's; only the cut rule differs."""
+    from data_deduplication_service_spark.functions.signatures import _segment_hasher
+
+    digest = _segment_hasher(hash_name)
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fids: list[int] = []
+            nums: list[int] = []
+            hashes: list[bytes] = []
+            starts: list[int] = []
+            lens: list[int] = []
+            datas: list[bytes] = []
+            for fid, text in zip(pdf[id_col], pdf[text_col]):
+                raw = text.encode("utf-8")
+                ends = cdc_cut_ends(raw, mask_bits, min_size, max_size)
+                prev = 0
+                for num, end in enumerate(ends, start=1):
+                    seg = raw[prev:end]
+                    fids.append(int(fid))
+                    nums.append(num)
+                    hashes.append(digest(seg))
+                    starts.append(prev + 1)
+                    lens.append(end - prev)
+                    if keep_data:
+                        datas.append(seg)
+                    prev = int(end)
+            out = {
+                "file_id": np.array(fids, dtype=np.int64),
+                "segment_num": np.array(nums, dtype=np.int64),
+                "segment_hash": hashes,
+                "seg_start": np.array(starts, dtype=np.int64),
+                "seg_len": np.array(lens, dtype=np.int64),
+            }
+            if keep_data:
+                out["segment_data"] = datas
+            yield pd.DataFrame(out)
+
+    schema = "file_id long, segment_num long, segment_hash binary, seg_start long, seg_len long"
+    if keep_data:
+        schema += ", segment_data binary"
+    return files.select(id_col, text_col).mapInPandas(per_batch, schema=schema)
+
+
+def cdc_segment_stats(segments: DataFrame) -> DataFrame:
+    """Per-document CDC shape rollup: (file_id, n_segments, n_distinct,
+    total_bytes, max_seg_len) — the observability row for tuning mask_bits
+    (compare against the fixed tier's segment_stats)."""
+    return segments.groupBy("file_id").agg(
+        F.count("*").alias("n_segments"),
+        F.countDistinct("segment_hash").alias("n_distinct"),
+        F.sum("seg_len").alias("total_bytes"),
+        F.max("seg_len").alias("max_seg_len"),
+    )

@@ -242,7 +242,7 @@ def substring_containment_pairs(
         F.col("file_id").alias("inner"), F.col("content").alias("_ci")
     ).filter(F.octet_length("_ci") >= min_len_bytes)
     grouped = _chunked_verify_input(
-        cands, content, inner_content, max_group_rows, max_group_bytes
+        cands, content, inner_content, max_group_rows, max_group_bytes, files=files
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -275,28 +275,50 @@ def _chunked_verify_input(
     inner_content: DataFrame,
     max_group_rows: int,
     max_group_bytes: int,
+    files: DataFrame | None = None,
 ) -> DataFrame:
     """(outer, _ic, _co) verify input rows with a BOUNDED payload per row.
 
-    Chunk ids derive from a per-outer window: a running row count caps
-    entries at ``max_group_rows`` and a running byte sum caps inner bytes
-    at ~``max_group_bytes`` (a chunk may exceed it by at most one doc —
-    the running sum EXCLUDES the current row, so the bound never splits a
-    single oversized doc into an empty chunk). Both counters are
-    non-decreasing in the window order, so grouping by their floor-div pair
-    yields contiguous, order-stable chunks.
-
-    Plan shape: the window partitions by ``outer`` and the groupBy keys on
-    (outer, chunk) — HashPartitioning(outer) already satisfies the groupBy's
-    clustered distribution, so the chunking adds a sort within the existing
-    exchange, not a second shuffle. Module-level so the bounded-row-width
-    pytest can assert on the grouped frame directly."""
+    HYBRID plan: a cheap narrow per-outer degree/byte aggregate splits the
+    candidate pairs. Outers already under both caps — in practice ~all of
+    them — take the round-4 plain ``groupBy(outer).collect_list`` path
+    untouched (no window, no sort). Only the heavy tail (an outer whose
+    in-degree exceeds ``max_group_rows`` or whose summed inner bytes exceed
+    ``max_group_bytes``) routes through per-outer window chunking: a
+    running row count and byte sum over NARROW (inner, outer, len) rows —
+    lengths from ``files.size_in_bytes`` when present, zero content scan —
+    whose floor-div pair yields contiguous chunks of ≤ ``max_group_rows``
+    entries and ~``max_group_bytes`` bytes (one oversized doc may exceed
+    the byte cap alone; the running sum excludes the current row so a doc
+    never lands in an empty chunk). Inner content attaches after chunk
+    assignment via the same by-inner join both paths share, and the outer
+    content joins once per group. Net: the common case keeps the measured
+    round-4 plan bit for bit; the single-row-grows-with-corpus tail is
+    hard-bounded. Module-level so the bounded-row-width pytest can assert
+    on the grouped frame directly."""
     from pyspark.sql import Window
 
+    from data_deduplication_service_spark.cache import persist_scoped
+
+    if files is not None and "size_in_bytes" in files.columns:
+        lens = files.select(
+            F.col("file_id").alias("inner"), F.col("size_in_bytes").cast("long").alias("_ilen")
+        )
+    else:
+        lens = inner_content.select("inner", F.octet_length("_ci").cast("long").alias("_ilen"))
+    cl = persist_scoped(cands.join(lens, "inner"))  # narrow: (inner, outer, _ilen)
+    big_outers = (
+        cl.groupBy("outer")
+        .agg(F.count("*").alias("_deg"), F.sum("_ilen").alias("_bytes"))
+        .filter((F.col("_deg") > max_group_rows) | (F.col("_bytes") > max_group_bytes))
+        .select("outer")
+    )
+    small = cl.join(big_outers, "outer", "left_anti").select(
+        "inner", "outer", F.lit(0).cast("long").alias("_chunk")
+    )
     w = Window.partitionBy("outer").orderBy("inner")
-    ic = (
-        cands.join(inner_content, "inner")
-        .withColumn("_ilen", F.octet_length("_ci").cast("long"))
+    big = (
+        cl.join(big_outers, "outer", "left_semi")
         .withColumn("_rn", F.row_number().over(w))
         .withColumn(
             "_prev_bytes",
@@ -304,14 +326,15 @@ def _chunked_verify_input(
         )
         .withColumn(
             "_chunk",
-            F.struct(
-                F.floor((F.col("_rn") - 1) / max_group_rows).alias("c_rows"),
-                F.floor(F.col("_prev_bytes") / max_group_bytes).alias("c_bytes"),
-            ),
+            F.floor((F.col("_rn") - 1) / max_group_rows) * 1_000_000_000
+            + F.floor(F.col("_prev_bytes") / max_group_bytes),
         )
+        .select("inner", "outer", "_chunk")
     )
     return (
-        ic.groupBy("outer", "_chunk")
+        small.unionByName(big)
+        .join(inner_content, "inner")
+        .groupBy("outer", "_chunk")
         .agg(F.collect_list(F.struct("inner", "_ci")).alias("_ic"))
         .join(
             content.select(F.col("file_id").alias("outer"), F.col("content").alias("_co")),

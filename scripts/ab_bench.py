@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Tenancy-proof A/B of bench.py between two commits.
+
+The sf0.1 bench cannot adjudicate regressions from one sample: identical
+code measured 75.6s vs 96-121s across sessions purely from box tenancy
+(CLAUDE.md measurement rule 5). This harness gives the sf0.1 bench the
+scaling harness's discipline:
+
+  * the REF commit is checked out into a throwaway git worktree;
+  * legs are INTERLEAVED (ref, head, ref, head, ...) in one session so
+    both sample the same tenancy distribution;
+  * a fixed JVM calibration kernel runs immediately before every leg in
+    its own process — each leg's total is also reported normalized by its
+    calibration, factoring the box out;
+  * best-of-N per leg, raw runs appended to BENCH/ab_runs_*.jsonl,
+    verdict written to --out (default BENCH/AB.md).
+
+Usage:
+    python scripts/ab_bench.py --ref <commit> [--repeats 3] \
+        [--sf-dir /root/testdata/sf0.1] [--cpus 32]
+
+Never run concurrently with any other Spark job (rule 1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CAL_CODE = """
+import time
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[__CPUS__]").appName("ab-cal")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+best = float("inf")
+for _ in range(3):
+    t0 = time.monotonic()
+    spark.range(0, 2_000_000_000, 1, 64).select(F.bit_xor(F.xxhash64("id")).alias("x")).collect()
+    best = min(best, time.monotonic() - t0)
+print("CAL_RESULT %.3f" % best)
+spark.stop()
+"""
+
+
+def run_calibration(cpus: int) -> float:
+    proc = subprocess.run(
+        [sys.executable, "-c", _CAL_CODE.replace("__CPUS__", str(cpus))],
+        capture_output=True, text=True, timeout=600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("CAL_RESULT "):
+            return float(line.split()[1])
+    raise RuntimeError(f"calibration failed: {proc.stderr[-2000:]}")
+
+
+def run_bench(repo_dir: str, sf_dir: str, cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=repo_dir, env=env,
+        capture_output=True, text=True, timeout=3600,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith('{"metric"')]
+    if not lines:
+        raise RuntimeError(f"bench in {repo_dir} produced no JSON: {proc.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", required=True, help="baseline commit (e.g. last round's)")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "AB.md"))
+    args = ap.parse_args()
+
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+        capture_output=True, text=True,
+    ).stdout.strip()
+    wt = f"/tmp/ab_worktree_{args.ref}"
+    if not os.path.isdir(wt):
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, args.ref],
+            cwd=REPO, check=True, capture_output=True,
+        )
+
+    legs = {"ref": wt, "head": REPO}
+    runs: list[dict] = []
+    log_path = os.path.join(
+        REPO, "BENCH", f"ab_runs_{time.strftime('%Y-%m-%d')}.jsonl"
+    )
+    os.makedirs(os.path.dirname(log_path), exist_ok=True)
+    for rep in range(args.repeats):
+        for leg, repo_dir in legs.items():
+            cal = run_calibration(args.cpus)
+            r = run_bench(repo_dir, args.sf_dir, args.cpus)
+            rec = {
+                "rep": rep, "leg": leg,
+                "commit": args.ref if leg == "ref" else head,
+                "cal_sec": cal, "total_sec": r["value"],
+                "normalized_sec": round(r["value"] / cal, 3),
+                "queries": r["queries"],
+            }
+            runs.append(rec)
+            print(json.dumps(rec))
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    # compare on the INTERSECTION of query keys: a new round may add
+    # queries, which must not read as a regression of the old ones
+    qkeys = sorted(
+        set.intersection(*(set(r["queries"]) for r in runs))
+    )
+    for r in runs:
+        r["comp_total_sec"] = round(sum(r["queries"][q] for q in qkeys), 3)
+        r["comp_normalized_sec"] = round(r["comp_total_sec"] / r["cal_sec"], 3)
+
+    def best(leg: str, key: str) -> dict:
+        return min((r for r in runs if r["leg"] == leg), key=lambda r: r[key])
+
+    braw_r, braw_h = best("ref", "comp_total_sec"), best("head", "comp_total_sec")
+    bnorm_r = best("ref", "comp_normalized_sec")
+    bnorm_h = best("head", "comp_normalized_sec")
+    ratio_raw = braw_h["comp_total_sec"] / braw_r["comp_total_sec"]
+    ratio_norm = bnorm_h["comp_normalized_sec"] / bnorm_r["comp_normalized_sec"]
+    qbest = {
+        q: (
+            min(r["queries"][q] for r in runs if r["leg"] == "ref"),
+            min(r["queries"][q] for r in runs if r["leg"] == "head"),
+        )
+        for q in qkeys
+    }
+    verdict = (
+        "HEAD is like-for-like "
+        + ("NEUTRAL" if 0.93 <= ratio_norm <= 1.07
+           else ("FASTER" if ratio_norm < 0.93 else "SLOWER"))
+        + f" vs {args.ref} (normalized best-of-{args.repeats} ratio {ratio_norm:.3f})"
+    )
+
+    lines = [
+        f"# A/B bench: {head} (head) vs {args.ref} (ref)",
+        "",
+        f"Interleaved best-of-{args.repeats} at sf_dir={args.sf_dir}, "
+        f"{args.cpus} cores, per-leg JVM calibration (see scripts/ab_bench.py).",
+        "",
+        f"**{verdict}**",
+        "",
+        "Totals below cover the key INTERSECTION (new-round queries excluded"
+        " so additions never read as regressions).",
+        "",
+        "| leg | best comparable total (s) | best cal (s) | best normalized (total/cal) |",
+        "|---|---|---|---|",
+        f"| ref {args.ref} | {braw_r['comp_total_sec']} | "
+        f"{min(r['cal_sec'] for r in runs if r['leg'] == 'ref')} | {bnorm_r['comp_normalized_sec']} |",
+        f"| head {head} | {braw_h['comp_total_sec']} | "
+        f"{min(r['cal_sec'] for r in runs if r['leg'] == 'head')} | {bnorm_h['comp_normalized_sec']} |",
+        "",
+        f"Raw comparable-total ratio head/ref: {ratio_raw:.3f}; normalized: {ratio_norm:.3f}.",
+        "",
+        "Per-query best-of-N (s):",
+        "",
+        "| query | ref | head | head/ref |",
+        "|---|---|---|---|",
+    ]
+    for q in qkeys:
+        a, b = qbest[q]
+        lines.append(f"| {q} | {a} | {b} | {b / a:.2f} |")
+    lines += ["", f"Raw runs: `{os.path.basename(log_path)}`.", ""]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(verdict)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-5 measurement campaign — STRICTLY SERIALIZED (CLAUDE.md rule 1:
+# never two Spark jobs at once). Run via nohup; logs to /tmp/r5_campaign.log.
+set -euo pipefail
+cd /root/repo
+
+echo "=== [1/5] 400k containment re-measure (chunked verify; r4 ref: 92.2s@32c) ==="
+python scripts/scaling_bench.py --n-files 400000 --legs 32 --repeats 2 \
+    --with-containment --out ""
+
+echo "=== [2/5] 400k cluster-repeats legs (8,32) ==="
+python scripts/scaling_bench.py --n-files 400000 --legs 8,32 --repeats 2 \
+    --with-cluster-repeats --out ""
+
+echo "=== [3/5] 1.6M cluster-repeats legs (8,32) ==="
+python scripts/scaling_bench.py --n-files 1600000 --legs 8,32 --repeats 2 \
+    --with-cluster-repeats --out ""
+
+echo "=== [4/5] regenerate BENCH/BASELINE.md from all logged runs ==="
+python scripts/merge_baseline.py
+
+echo "=== [5/5] A/B bench: HEAD vs round-4 commit (interleaved, calibrated) ==="
+python scripts/ab_bench.py --ref 72af0ec --repeats 3
+
+echo "=== campaign complete ==="

@@ -1,0 +1,19 @@
+#!/bin/bash
+# Interleaved containment-stage A/B: round-4 plan (worktree) vs HEAD's
+# hybrid chunked-gather plan, same 400k corpus, 32 cores, alternating legs
+# so both sample the same tenancy window. Reads stage times from stdout;
+# the worktree's own BENCH logs are throwaway.
+set -euo pipefail
+REF_WT=/tmp/ab_worktree_72af0ec
+if [ ! -d "$REF_WT" ]; then
+    git -C /root/repo worktree add --detach "$REF_WT" 72af0ec
+fi
+for rep in 0 1; do
+    echo "=== HEAD containment leg rep $rep ==="
+    (cd /root/repo && python scripts/scaling_bench.py --n-files 400000 \
+        --legs 32 --repeats 1 --with-containment --out "")
+    echo "=== r4(72af0ec) containment leg rep $rep ==="
+    (cd "$REF_WT" && python scripts/scaling_bench.py --n-files 400000 \
+        --legs 32 --repeats 1 --with-containment --out "")
+done
+echo "=== containment A/B complete ==="

@@ -1,0 +1,47 @@
+#!/bin/bash
+# 1.6M-file spark-submit smoke of the production entrypoint with a REAL
+# mid-job kill + resume (VERDICT r4 item 7). Uses the cached scaling corpus;
+# logs to /tmp/r5_entry_smoke.log. Serialized — never alongside another
+# Spark job.
+set -uo pipefail
+cd /root/repo
+WH=/tmp/r5_entry_wh
+OUT=/tmp/r5_entry_clusters.parquet
+rm -rf "$WH" "$OUT" /tmp/dedup_pkg_entry.zip
+python - <<'EOF'
+import sys; sys.path.insert(0, "scripts")
+from scaling_bench import build_zip
+build_zip("/tmp/dedup_pkg_entry.zip")
+EOF
+SUBMIT=$(python - <<'EOF'
+import os, sys
+print(os.path.join(os.path.dirname(sys.executable), "spark-submit"))
+EOF
+)
+CMD=("$SUBMIT" --master "local[32]" --driver-memory 16g
+     --py-files /tmp/dedup_pkg_entry.zip
+     scripts/run_dedup_job.py
+     --input /tmp/scaling_corpus_1600000.parquet
+     --warehouse "$WH" --no-lineage --clusters-out "$OUT")
+
+echo "=== run 1: kill after the signatures stage commits ==="
+"${CMD[@]}" > /tmp/r5_entry_run1.log 2>&1 &
+PID=$!
+for i in $(seq 1 1200); do
+    if ls "$WH"/signatures__*.CURRENT >/dev/null 2>&1; then break; fi
+    if ! kill -0 $PID 2>/dev/null; then break; fi
+    sleep 1
+done
+ls -la "$WH" | grep CURRENT || true
+kill $PID 2>/dev/null || true
+wait $PID 2>/dev/null || true
+echo "--- committed stages at kill: $(ls "$WH" | grep -c CURRENT) ---"
+sha1sum "$WH"/*.CURRENT | sort > /tmp/r5_entry_pointers_before.txt
+
+echo "=== run 2: resume to completion ==="
+time "${CMD[@]}" > /tmp/r5_entry_run2.log 2>&1
+tail -1 /tmp/r5_entry_run2.log
+sha1sum "$WH"/*.CURRENT | sort > /tmp/r5_entry_pointers_after.txt
+echo "--- committed-stage pointers unchanged on resume: ---"
+comm -3 /tmp/r5_entry_pointers_before.txt /tmp/r5_entry_pointers_after.txt | head
+echo "=== entrypoint smoke complete ==="

@@ -1,0 +1,181 @@
+"""Content-defined chunking: gear-hash identity, partition/roundtrip,
+shift robustness, min/max shaping, Spark operator parity, store reuse."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_deduplication_service_spark.operators.cdc import (
+    CDC_WINDOW,
+    GEAR_MULTIPLIER,
+    cdc_cut_ends,
+    cdc_segment_files,
+    gear_hashes,
+    gear_table,
+)
+
+U64 = 2**64
+
+
+def _ref_hash(data: bytes, i: int, window: int = CDC_WINDOW) -> int:
+    """Brute-force H[i] = sum gear[b_j] * 2^(i-j) over the trailing window."""
+    h = 0
+    for j in range(max(0, i - window + 1), i + 1):
+        h += ((data[j] + 1) * GEAR_MULTIPLIER % U64) * (1 << (i - j))
+    return h % U64
+
+
+def test_gear_hash_matches_brute_force():
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(0, 256, size=300, dtype=np.uint8))
+    H = gear_hashes(data)
+    for i in [0, 1, 5, 63, 64, 65, 150, 299]:
+        assert int(H[i]) == _ref_hash(data, i), i
+
+
+def test_gear_table_is_the_public_formula():
+    g = gear_table()
+    assert int(g[0]) == GEAR_MULTIPLIER % U64
+    assert int(g[255]) == (256 * GEAR_MULTIPLIER) % U64
+    assert g.dtype == np.uint64 and g.size == 256
+
+
+@pytest.mark.parametrize("n", [0, 1, 3, 63, 64, 65, 1000])
+def test_cut_ends_partition_the_document(n):
+    rng = np.random.default_rng(n)
+    data = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+    ends = cdc_cut_ends(data, mask_bits=5)
+    if n == 0:
+        assert ends.size == 0
+        return
+    assert ends[-1] == n
+    assert (np.diff(np.concatenate([[0], ends])) > 0).all()  # strictly increasing
+
+
+def test_cuts_are_content_defined_not_offset_defined():
+    """Prepending bytes must re-align every boundary whose window lies in
+    the unchanged suffix: CDC re-shares almost all segments, fixed-size
+    chunking re-shares (almost) none."""
+    rng = np.random.default_rng(42)
+    doc = bytes(rng.integers(0, 256, size=8192, dtype=np.uint8))
+    prefix = bytes(rng.integers(0, 256, size=37, dtype=np.uint8))
+    shifted = prefix + doc
+
+    def segs(data):
+        ends = cdc_cut_ends(data, mask_bits=6)
+        prev, out = 0, []
+        for e in ends:
+            out.append(data[prev:e])
+            prev = int(e)
+        return out
+
+    a, b = segs(doc), segs(shifted)
+    assert len(a) > 20  # mask_bits=6 → ~128 expected segments at 8KB
+    shared = set(a) & set(b)
+    assert len(shared) >= 0.8 * len(a)
+    # fixed-size chunking under the same 37-byte shift shares ~nothing
+    fixed_a = {doc[i : i + 64] for i in range(0, len(doc), 64)}
+    fixed_b = {shifted[i : i + 64] for i in range(0, len(shifted), 64)}
+    assert len(fixed_a & fixed_b) <= 2
+
+    # and an INSERT in the middle only disturbs the containing region
+    mid = doc[:4000] + b"XYZ" + doc[4000:]
+    c = segs(mid)
+    assert len(set(a) & set(c)) >= 0.8 * len(a)
+
+
+def test_min_max_shaping():
+    rng = np.random.default_rng(3)
+    data = bytes(rng.integers(0, 256, size=4096, dtype=np.uint8))
+    ends = cdc_cut_ends(data, mask_bits=4, min_size=24, max_size=128)
+    lens = np.diff(np.concatenate([[0], ends]))
+    assert (lens <= 128).all()
+    assert (lens[:-1] >= 24).all()  # the final tail may be short
+    # unshaped config has plenty of tiny segments to shape away
+    lens0 = np.diff(np.concatenate([[0], cdc_cut_ends(data, mask_bits=4)]))
+    assert (lens0 < 24).any()
+
+
+def test_forced_cuts_cover_low_entropy_runs():
+    """A constant-byte run either never fires the mask or fires everywhere;
+    max_size must bound segment length in both regimes."""
+    for byte in (0, 65, 255):
+        data = bytes([byte]) * 5000
+        ends = cdc_cut_ends(data, mask_bits=10, min_size=32, max_size=256)
+        lens = np.diff(np.concatenate([[0], ends]))
+        assert (lens <= 256).all()
+        assert ends[-1] == 5000
+
+
+def test_determinism():
+    data = b"deterministic content " * 100
+    e1 = cdc_cut_ends(data, mask_bits=5, min_size=8, max_size=512)
+    e2 = cdc_cut_ends(data, mask_bits=5, min_size=8, max_size=512)
+    assert np.array_equal(e1, e2)
+
+
+# -- Spark operator ---------------------------------------------------------
+
+def test_cdc_segment_files_matches_kernel_and_roundtrips(spark):
+    import hashlib
+
+    rows = [
+        (1, "alpha beta gamma " * 40),
+        (2, "alpha beta gamma " * 40),        # exact dup → identical segments
+        (3, "Z" + "alpha beta gamma " * 40),  # shifted → most segments shared
+        (4, ""),                               # empty → no rows
+        (5, "tiny"),
+    ]
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    segs = cdc_segment_files(files, mask_bits=4, keep_data=True).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(segs, key=lambda r: (r.file_id, r.segment_num)):
+        by_doc.setdefault(r.file_id, []).append(r)
+    assert 4 not in by_doc
+    for fid, content in rows:
+        if fid == 4:
+            continue
+        raw = content.encode("utf-8")
+        ends = cdc_cut_ends(raw, mask_bits=4)
+        got = by_doc[fid]
+        assert [r.segment_num for r in got] == list(range(1, ends.size + 1))
+        # byte-exact reconstruction + per-segment hash identity
+        assert b"".join(bytes(r.segment_data) for r in got) == raw
+        prev = 0
+        for r, e in zip(got, ends):
+            assert r.seg_start == prev + 1 and r.seg_len == e - prev
+            assert bytes(r.segment_hash) == hashlib.sha256(raw[prev:e]).digest()
+            prev = int(e)
+    # dup docs produce identical hash sequences; the shifted doc re-shares
+    # OCCURRENCE-weighted (periodic text collapses to few distinct segments,
+    # so multiset overlap — what a content-addressed store dedups — is the
+    # right metric, not distinct-set overlap)
+    from collections import Counter
+
+    h1 = [bytes(r.segment_hash) for r in by_doc[1]]
+    h2 = [bytes(r.segment_hash) for r in by_doc[2]]
+    h3 = Counter(bytes(r.segment_hash) for r in by_doc[3])
+    assert h1 == h2
+    c1 = Counter(h1)
+    shared = sum(min(n, h3[h]) for h, n in c1.items())
+    assert shared >= 0.8 * len(h1)
+
+
+def test_cdc_segments_feed_the_existing_store(spark):
+    """The CDC table is a drop-in for segment_files: the salted store build
+    and the dedup coefficient run unchanged on it."""
+    from data_deduplication_service_spark.config import DedupConfig
+    from data_deduplication_service_spark.operators.exact import dedup_coefficient
+    from data_deduplication_service_spark.operators.segmentation import (
+        build_segments_table,
+    )
+
+    rows = [(i, "shared boilerplate block " * 30 + f"unique tail {i}") for i in range(6)]
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    fs = cdc_segment_files(files, mask_bits=4).drop("seg_start", "seg_len")
+    store = build_segments_table(fs, DedupConfig())
+    coeff = dedup_coefficient(store).collect()[0]
+    # the shared block dedups across all 6 docs → coefficient well above 100%
+    assert coeff.total_segments > coeff.unique_segments
+    assert coeff.dedup_coefficient_pct > 120
