@@ -136,12 +136,13 @@ def materialize(df) -> None:
 
 
 # Quiet-window 32-core reference time for the calibration kernel on this box
-# (measured round 5; see CLAUDE.md measurement rules). Box tenancy shifts
-# whole sessions by up to ~1.4-2.2×, which the raw sf0.1 numbers cannot
-# distinguish from plan changes — the fixed JVM kernel below measures the
-# box, so value_normalized ≈ value × (ref / calibration) factors tenancy
-# out. Only comparable across runs at the SAME core count.
-CAL_REF_SEC = 1.9
+# (best observed across the round-5 A/B campaign's per-leg probes; see
+# CLAUDE.md measurement rules). Box tenancy shifts whole sessions by up to
+# ~1.4-2.2×, which the raw sf0.1 numbers cannot distinguish from plan
+# changes — the fixed JVM kernel below measures the box, so
+# value_normalized ≈ value × (ref / calibration) factors tenancy out. Only
+# comparable across runs at the SAME core count (the kernel parallelizes).
+CAL_REF_SEC = 0.555
 
 
 def calibration(spark) -> float:

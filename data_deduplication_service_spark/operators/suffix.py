@@ -242,7 +242,13 @@ def substring_containment_pairs(
         F.col("file_id").alias("inner"), F.col("content").alias("_ci")
     ).filter(F.octet_length("_ci") >= min_len_bytes)
     grouped = _chunked_verify_input(
-        cands, content, inner_content, max_group_rows, max_group_bytes, files=files
+        cands,
+        content,
+        inner_content,
+        max_group_rows,
+        max_group_bytes,
+        files=files,
+        broadcast_narrow=broadcast_inner,
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -276,6 +282,7 @@ def _chunked_verify_input(
     max_group_rows: int,
     max_group_bytes: int,
     files: DataFrame | None = None,
+    broadcast_narrow: bool = True,
 ) -> DataFrame:
     """(outer, _ic, _co) verify input rows with a BOUNDED payload per row.
 
@@ -295,7 +302,16 @@ def _chunked_verify_input(
     content joins once per group. Net: the common case keeps the measured
     round-4 plan bit for bit; the single-row-grows-with-corpus tail is
     hard-bounded. Module-level so the bounded-row-width pytest can assert
-    on the grouped frame directly."""
+    on the grouped frame directly.
+
+    Broadcast pins (the measured A/B: without them Catalyst sort-merge-
+    joins the multi-million-row candidate table three times — 190s vs 124s
+    at 400k/32c): ``lens`` is one ~16-byte row per corpus doc, the same
+    scale as the rarest-shingle inner table, so it follows the caller's
+    ``broadcast_inner`` decision (``broadcast_narrow``); ``big_outers`` is
+    the over-cap overflow set — tiny by construction on real corpora — and
+    is always broadcast, making the anti/semi split a map-side probe and
+    the window sort a no-op on the (usually empty) big slice."""
     from pyspark.sql import Window
 
     from data_deduplication_service_spark.cache import persist_scoped
@@ -306,8 +322,9 @@ def _chunked_verify_input(
         )
     else:
         lens = inner_content.select("inner", F.octet_length("_ci").cast("long").alias("_ilen"))
-    cl = persist_scoped(cands.join(lens, "inner"))  # narrow: (inner, outer, _ilen)
-    big_outers = (
+    lens_side = F.broadcast(lens) if broadcast_narrow else lens.hint("shuffle_hash")
+    cl = persist_scoped(cands.join(lens_side, "inner"))  # narrow: (inner, outer, _ilen)
+    big_outers = F.broadcast(
         cl.groupBy("outer")
         .agg(F.count("*").alias("_deg"), F.sum("_ilen").alias("_bytes"))
         .filter((F.col("_deg") > max_group_rows) | (F.col("_bytes") > max_group_bytes))
