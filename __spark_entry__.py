@@ -587,6 +587,105 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine_sim")
 
 
+# ---- incremental / delta-fold queries (plans/incremental.py) --------------
+
+def _delta_split_files(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(store, delta): deterministic 80/20 slice by doc_id — the "already
+    ingested base" vs "tonight's increment" shape the delta-fold operators
+    consume. The oracle replays the same predicate in SQL."""
+    files = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"),
+        F.col("text").alias("content"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("content_sha256"),
+    )
+    return (
+        files.filter(F.col("file_id") % 5 != 4),
+        files.filter(F.col("file_id") % 5 == 4),
+    )
+
+
+def q_delta_exact_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tier of the batch delta fold (plans/incremental.py:
+    exact_hits_vs_store): every doc of the delta slice either maps to the
+    MIN base doc holding its content (store_rep) or is novel (-1). The base
+    side is scanned once, unshuffled, against a broadcast of the delta's
+    distinct hashes."""
+    from data_deduplication_service_spark.plans.incremental import exact_hits_vs_store
+
+    base, delta = _delta_split_files(spark, sf_dir)
+    edges, novel = exact_hits_vs_store(base, delta)
+    # edges are (a=min, b=max); the delta endpoint is the one in the slice
+    hits = edges.select(
+        F.when(F.col("a") % 5 == 4, F.col("a")).otherwise(F.col("b")).alias("doc_id"),
+        F.when(F.col("a") % 5 == 4, F.col("b")).otherwise(F.col("a")).alias("store_rep"),
+    )
+    return hits.unionByName(
+        novel.select(
+            F.col("file_id").alias("doc_id"), F.lit(-1).cast("long").alias("store_rep")
+        )
+    ).select("doc_id", F.col("store_rep").cast("long").alias("store_rep"))
+
+
+def q_delta_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup tier of the batch delta fold: the TOUCHED-BUCKET signature-
+    store probe (streaming/neardup_stream.py:incremental_candidate_pairs,
+    reused by plans/incremental.py:dedup_delta) at the r=1 completeness
+    config, then exact verification — equal to brute-force exact-Jaccard
+    ≥ t pairs with ≥1 delta-slice side, which the oracle computes directly
+    (both-base pairs belong to the base snapshot, not the fold)."""
+    from data_deduplication_service_spark.cache import persist_scoped
+    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.operators.lsh import (
+        band_table,
+        exact_jaccard_for_pairs,
+    )
+    from data_deduplication_service_spark.streaming.neardup_stream import (
+        incremental_candidate_pairs,
+    )
+
+    base, delta = _delta_split_files(spark, sf_dir)
+    sig_store = signature_table(base.select("file_id", "content"), LSH1, keep_shingles=True)
+    sig_new = signature_table(delta.select("file_id", "content"), LSH1, keep_shingles=True)
+    sig_all = persist_scoped(sig_store.unionByName(sig_new))
+    cands = incremental_candidate_pairs(
+        band_table(sig_new, LSH1), band_table(sig_all, LSH1), LSH1
+    )
+    pairs = exact_jaccard_for_pairs(cands, sig_all).filter(
+        F.col("jaccard") >= LSH1.jaccard_threshold
+    )
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_delta_ingest_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-store count merge of the delta fold (reference J3 upsert,
+    lib/dbManager.cpp:274-281; operators/lifecycle.py:ingest_increment):
+    base store built from the 80% slice, the 20% delta folded in with the
+    append-only fast path, then the counts-of-counts histogram of the
+    MERGED store — the oracle computes the same histogram directly over the
+    FULL corpus, so any drop or double-count in the merge shifts a bucket."""
+    from data_deduplication_service_spark.operators.lifecycle import (
+        DedupTables,
+        ingest_increment,
+    )
+    from data_deduplication_service_spark.operators.segmentation import (
+        build_segments_table,
+        segment_files,
+    )
+
+    base, delta = _delta_split_files(spark, sf_dir)
+    base_fs = segment_files(base.select("file_id", "content"), CFG)
+    tables = DedupTables(base, build_segments_table(base_fs, CFG), base_fs)
+    merged = ingest_increment(
+        tables,
+        delta,
+        segment_files(delta.select("file_id", "content"), CFG),
+        assume_new_ids=True,
+    )
+    return merged.segments.groupBy(
+        F.col("segment_count").cast("long").alias("segment_count")
+    ).agg(F.count("*").alias("n_segments"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -652,6 +751,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "global_repeats": q_global_repeats,
         "cluster_repeats": q_cluster_repeats,
         "cdc_segment_stats": q_cdc_segment_stats,
+        "delta_exact_vs_store": q_delta_exact_vs_store,
+        "delta_minhash_pairs": q_delta_minhash_pairs,
+        "delta_ingest_histogram": q_delta_ingest_histogram,
         "event_sessions": q_event_sessions,
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_topk": q_revenue_topk,
@@ -1142,6 +1244,32 @@ def oracle_sql() -> dict[str, str]:
         + _PAIRS_FROM_GH
         + """
             SELECT a, b, round(jaccard, 6) AS jaccard FROM pr
+        """,
+        # delta fold, exact tier: min base doc per delta content, else -1
+        "delta_exact_vs_store": """
+            WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+                 delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+                 rep AS (SELECT text, min(doc_id) AS store_rep FROM base GROUP BY text)
+            SELECT d.doc_id AS doc_id,
+                   CAST(coalesce(r.store_rep, -1) AS BIGINT) AS store_rep
+            FROM delta d LEFT JOIN rep r USING (text)
+        """,
+        # delta fold, near-dup tier: brute-force exact-Jaccard pairs with
+        # ≥1 delta-slice side (both-base pairs belong to the base snapshot)
+        "delta_minhash_pairs": _gh_cte()
+        + _PAIRS_FROM_GH
+        + """
+            SELECT a, b, round(jaccard, 6) AS jaccard FROM pr
+            WHERE a % 5 = 4 OR b % 5 = 4
+        """,
+        # delta fold, segment-store merge: counts-of-counts of the merged
+        # store ≡ the histogram computed directly over the full corpus
+        "delta_ingest_histogram": _SEGS_CTE
+        + """
+            , per AS (SELECT seg, count(*) AS segment_count FROM segs GROUP BY seg)
+            SELECT CAST(segment_count AS BIGINT) AS segment_count,
+                   count(*) AS n_segments
+            FROM per GROUP BY segment_count
         """,
         "simhash_pairs": _simhash_pairs_sql(max_hamming=7),
         "near_dup_clusters": _gh_cte()

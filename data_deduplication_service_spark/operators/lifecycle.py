@@ -114,16 +114,27 @@ def gc_unused_segments(segments: DataFrame) -> DataFrame:
     return segments.filter(F.col("segment_count") > 0)
 
 
-def ingest_increment(tables: DedupTables, new_files: DataFrame, new_file_segments: DataFrame) -> DedupTables:
+def ingest_increment(
+    tables: DedupTables,
+    new_files: DataFrame,
+    new_file_segments: DataFrame,
+    assume_new_ids: bool = False,
+) -> DedupTables:
     """Incremental ingest: merge a new batch into an existing snapshot.
 
     The reference's upsert (J3, ON CONFLICT segment_count += excluded,
     lib/dbManager.cpp:274-281) as a full-outer count merge. Duplicate
     (repo,path,commit) keys follow the Replace strategy
-    (include/fileUtils.h:35-40): the new row wins.
+    (include/fileUtils.h:35-40): the new row wins. ``assume_new_ids=True``
+    skips the replace probe (one action over the base id column) when the
+    caller guarantees the batch's file_ids are absent from the snapshot —
+    the append-only ingest hot path.
     """
-    replaced = tables.files.join(new_files.select("file_id"), "file_id", "left_semi")
-    base = delete_files(tables, replaced) if not replaced.isEmpty() else tables
+    if assume_new_ids:
+        base = tables
+    else:
+        replaced = tables.files.join(new_files.select("file_id"), "file_id", "left_semi")
+        base = delete_files(tables, replaced) if not replaced.isEmpty() else tables
 
     new_counts = new_file_segments.groupBy("segment_hash").agg(F.count("*").alias("_add"))
     segments = (

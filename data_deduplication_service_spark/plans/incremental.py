@@ -1,0 +1,295 @@
+"""Batch delta dedup: fold a NEW batch of documents into an already-deduped
+corpus without recomputing anything proportional to the base.
+
+This is the nightly-ingest shape of a training-data pipeline: the base
+corpus (100 TB, already segmented / signed / clustered by
+plans.pipeline.run_pipeline) sits in its stores, and a delta (a crawl
+increment, typically ≤1% of base) arrives. Everything below is
+O(delta + touched-store-slivers), never O(base):
+
+  1. EXACT vs store — probe the delta's content hashes against the base
+     corpus. The base stays UNSHUFFLED: its (file_id, content_sha256)
+     column pair is scanned once and semi-joined against a broadcast of
+     the delta's distinct hashes, so matching is a map-side probe (at
+     10^12-file scale a sha-bucketed base layout makes the scan itself
+     partition-prunable). Hits become star edges to the EXISTING base
+     representative; only novel contents go on.
+  2. SEGMENT STORE merge — reference J3 upsert semantics
+     (operators/lifecycle.py:ingest_increment — full-outer count merge,
+     the DataFrame form of ON CONFLICT segment_count += excluded,
+     lib/dbManager.cpp:274-281).
+  3. NEAR-DUP vs store — sign only the novel delta representatives and
+     probe the persisted signature store with the SAME touched-bucket
+     prune the streaming tier uses (streaming/neardup_stream.py:
+     incremental_candidate_pairs): buckets no new doc landed in cannot
+     produce a new pair, so candidate generation reads a sliver of the
+     store proportional to the delta's bucket footprint. Content crosses
+     a shuffle only as the 3-zone verify's semi-join-pruned borderline
+     sliver — the batch scale path's invariant, unchanged.
+  4. CLUSTERS — append-only deltas update clustering from the base
+     clustering's STAR EDGES (cluster_id → member), not the base pair
+     set: stars preserve exactly the base connectivity and cluster ids
+     are min member ids, so connected components over
+     (stars ∪ new pairs) yields the same min-labels as a full recompute
+     — with an input of O(clustered members + new pairs).
+
+Replace semantics (``assume_new_ids=False``) additionally evicts the
+replaced file_ids from every derived table. Two correctness traps the
+naive eviction hits, both handled here and pinned by parity tests:
+
+  * a replaced file can be the elected REP of a content group whose
+    other members survive — the group would silently lose its signature
+    (future deltas stop seeing it as a near-dup target) and its star
+    edges (surviving members disconnect). We re-elect the min surviving
+    member per orphaned content, re-sign it, and re-link the group.
+  * removing a node can genuinely SPLIT a cluster (stars don't carry
+    enough information to know), so the replace path clusters from the
+    base PAIR SET (minus pairs touching replaced ids), not from stars.
+    Re-elected reps join the PROBE side of the bucket prune, so pairs
+    the replaced rep carried are regenerated with the new endpoint —
+    bounded by the delta size, since re-elections are ≤ |delta|.
+
+Pair endpoints are representatives AS OF processing time: a delta doc
+whose content already exists in base maps to the base rep even if the
+delta id is smaller (ids normally grow with time, making this moot).
+Cluster-level output is identical to a full recompute regardless; the
+pair SETS are identical whenever delta ids sort after base ids
+(pinned by tests/test_incremental.py against the full pipeline).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_deduplication_service_spark.cache import persist_scoped
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.functions.signatures import (
+    lean_signature_compat,
+    signature_table,
+)
+from data_deduplication_service_spark.operators.components import (
+    clusters_with_singletons,
+    connected_components,
+)
+from data_deduplication_service_spark.operators.lifecycle import (
+    DedupTables,
+    ingest_increment,
+)
+from data_deduplication_service_spark.operators.lsh import band_table, verified_pairs
+from data_deduplication_service_spark.operators.segmentation import segment_files
+from data_deduplication_service_spark.plans.pipeline import exact_representatives
+from data_deduplication_service_spark.streaming.neardup_stream import (
+    incremental_candidate_pairs,
+)
+
+
+@dataclass
+class DedupState:
+    """One consistent snapshot of every store the delta fold reads+writes.
+
+    ``from_pipeline`` adapts a plans.pipeline.PipelineResult; on a real
+    warehouse each field is an Iceberg/parquet table and the fold's
+    outputs are the next snapshot's contents.
+    """
+
+    files: DataFrame          # (file_id, …, content, content_sha256)
+    segments: DataFrame       # (segment_hash, segment_count[, segment_data])
+    file_segments: DataFrame  # (file_id, segment_num, segment_hash)
+    signatures: DataFrame     # lean layout: (file_id, n_windows, minhash) — reps only
+    dup_pairs: DataFrame      # (a, b, jaccard)
+    clusters: DataFrame       # (file_id, cluster_id = min member id), singletons included
+
+    @classmethod
+    def from_pipeline(cls, result) -> "DedupState":
+        return cls(
+            files=result.files,
+            segments=result.segments,
+            file_segments=result.file_segments,
+            signatures=result.signatures,
+            dup_pairs=result.dup_pairs,
+            clusters=result.clusters,
+        )
+
+
+@dataclass
+class DeltaDedupResult:
+    state: DedupState      # the next snapshot (base ⊎ delta)
+    new_pairs: DataFrame   # (a, b, jaccard) pairs with ≥1 delta (or re-elected) side
+
+
+def exact_hits_vs_store(base_files: DataFrame, delta_files: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a delta by probing base content hashes: (store_edges, novel).
+
+    ``store_edges`` are (a, b, 1.0) rows linking each delta doc whose
+    content already exists in base to the MIN base file_id holding it;
+    ``novel`` is the delta subset whose content_sha256 is absent from base.
+
+    Scale shape: the base side is never shuffled or broadcast — its
+    (file_id, content_sha256) projection is scanned once against a
+    broadcast of the delta's distinct hashes (map-side semi-join), and the
+    min-rep groupBy runs on the semi-join output, which is at most one row
+    per base file sharing a delta hash (≪ base). Everything broadcast is
+    O(delta)."""
+    delta_keys = delta_files.select("file_id", "content_sha256")
+    delta_shas = delta_keys.select("content_sha256").distinct()
+    matched = persist_scoped(
+        base_files.select("file_id", "content_sha256")
+        .join(F.broadcast(delta_shas), "content_sha256", "left_semi")
+        .groupBy("content_sha256")
+        .agg(F.min("file_id").alias("rep_id"))
+    )
+    store_edges = (
+        delta_keys.join(F.broadcast(matched), "content_sha256")
+        .select(
+            F.least("rep_id", "file_id").alias("a"),
+            F.greatest("rep_id", "file_id").alias("b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    novel = delta_files.join(
+        F.broadcast(matched.select("content_sha256")), "content_sha256", "left_anti"
+    )
+    return store_edges, novel
+
+
+def _max_jaccard(pairs: DataFrame) -> DataFrame:
+    return pairs.groupBy("a", "b").agg(F.max("jaccard").alias("jaccard"))
+
+
+def dedup_delta(
+    base: DedupState,
+    delta_files: DataFrame,
+    cfg: DedupConfig,
+    assume_new_ids: bool = True,
+    exact_verify: bool = True,
+) -> DeltaDedupResult:
+    """Fold ``delta_files`` (same schema as base.files) into ``base``.
+
+    ``assume_new_ids=True`` (append-only ingest, the common shape): delta
+    file_ids are promised absent from base; clustering updates from base
+    cluster star edges. ``False``: delta rows REPLACE base rows sharing
+    their file_id (include/fileUtils.h:35-40 Replace strategy), with full
+    eviction + rep re-election as described in the module docstring.
+
+    Returns the next snapshot plus the delta's new pair set. All outputs
+    are lazy; the caller materializes (or checkpoints) them and then
+    releases the scoped caches this builds (cache.release_scoped)."""
+    base_sigs = lean_signature_compat(base.signatures)
+    base_files = base.files
+    base_pairs = base.dup_pairs
+    resigned = None  # re-elected reps that must join the probe side
+
+    if not assume_new_ids:
+        replaced = persist_scoped(
+            base.files.join(delta_files.select("file_id"), "file_id", "left_semi").select(
+                "file_id"
+            )
+        )
+        base_files = base.files.join(replaced, "file_id", "left_anti")
+        # pairs/edges touching a replaced id die with it
+        base_pairs = (
+            base.dup_pairs.join(
+                replaced.withColumnRenamed("file_id", "a"), "a", "left_anti"
+            ).join(replaced.withColumnRenamed("file_id", "b"), "b", "left_anti")
+        )
+        # rep re-election: contents whose elected rep was replaced but that
+        # still exist among kept rows get the min surviving member as the
+        # new rep — re-signed, re-linked, and re-probed (all ≤ |delta|)
+        replaced_rep_shas = (
+            base.files.join(
+                base_sigs.select("file_id").join(replaced, "file_id", "left_semi"),
+                "file_id",
+                "left_semi",
+            )
+            .select("content_sha256")
+            .distinct()
+        )
+        orphans = persist_scoped(
+            base_files.join(F.broadcast(replaced_rep_shas), "content_sha256", "left_semi")
+        )
+        new_reps = persist_scoped(
+            orphans.groupBy("content_sha256").agg(F.min("file_id").alias("file_id"))
+        )
+        resigned = orphans.join(
+            F.broadcast(new_reps.select("file_id")), "file_id", "left_semi"
+        ).select("file_id", "content")
+        relink_edges = (
+            orphans.select("file_id", "content_sha256")
+            .join(F.broadcast(new_reps.withColumnRenamed("file_id", "rep_id")), "content_sha256")
+            .filter(F.col("file_id") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("a"),
+                F.col("file_id").alias("b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        base_sigs = base_sigs.join(replaced, "file_id", "left_anti")
+
+    # 1. exact tier vs store --------------------------------------------
+    store_edges, novel = exact_hits_vs_store(base_files, delta_files)
+    novel_reps, delta_exact_edges = exact_representatives(novel)
+
+    # 2. segment-store count merge (J3 upsert; handles Replace internally,
+    # and skips the replace probe entirely on the append-only promise)
+    merged = ingest_increment(
+        DedupTables(base.files, base.segments, base.file_segments),
+        delta_files,
+        segment_files(delta_files, cfg),
+        assume_new_ids=assume_new_ids,
+    )
+
+    # 3. near-dup vs signature store ------------------------------------
+    sig_delta = signature_table(novel_reps, cfg, keep_shingles=False, with_simhash=False)
+    if resigned is not None:
+        sig_delta = sig_delta.unionByName(
+            signature_table(resigned, cfg, keep_shingles=False, with_simhash=False)
+        )
+    sig_delta = persist_scoped(sig_delta)
+    sig_all = persist_scoped(base_sigs.unionByName(sig_delta))
+    cands = incremental_candidate_pairs(
+        band_table(sig_delta, cfg), band_table(sig_all, cfg), cfg
+    )
+    # 3-zone verify: content only for the borderline sliver, semi-join
+    # pruned out of (base reps ∪ delta reps) — base content never moves
+    # except for that sliver
+    rep_files = base_files.join(base_sigs.select("file_id"), "file_id", "left_semi").select(
+        "file_id", "content"
+    ).unionByName(novel_reps.select("file_id", "content"))
+    if resigned is not None:
+        rep_files = rep_files.unionByName(resigned)
+    near = verified_pairs(cands, sig_all, cfg, exact=exact_verify, files=rep_files)
+
+    new_pairs = near.unionByName(store_edges).unionByName(delta_exact_edges)
+    if not assume_new_ids:
+        new_pairs = new_pairs.unionByName(relink_edges)
+    new_pairs = persist_scoped(_max_jaccard(new_pairs))
+
+    # 4. clusters ---------------------------------------------------------
+    if assume_new_ids:
+        # star edges ≡ base connectivity; CC input is O(members + new pairs)
+        base_edges = base.clusters.filter(F.col("file_id") != F.col("cluster_id")).select(
+            F.col("cluster_id").alias("a"), F.col("file_id").alias("b")
+        )
+    else:
+        # node removal can split clusters — stars can't express that;
+        # recluster from the surviving base pair set (still delta-bounded
+        # work in the common case: CC contracts pair-sparse graphs fast)
+        base_edges = base_pairs.select("a", "b")
+    comp = connected_components(
+        base_edges.unionByName(new_pairs.select("a", "b")),
+        max_iterations=cfg.cc_max_iterations,
+    )
+    clusters = clusters_with_singletons(comp, merged.files)
+
+    state = DedupState(
+        files=merged.files,
+        segments=merged.segments,
+        file_segments=merged.file_segments,
+        signatures=sig_all,
+        dup_pairs=_max_jaccard(base_pairs.unionByName(new_pairs)),
+        clusters=clusters,
+    )
+    return DeltaDedupResult(state=state, new_pairs=new_pairs)

@@ -1,0 +1,269 @@
+"""Batch delta dedup (plans/incremental.py) parity against full recompute.
+
+The contract under test: folding a delta into a deduped base snapshot
+produces EXACTLY what rerunning the full pipeline over (base ∪ delta)
+would — pair set, clustering, segment store — while only doing
+delta-proportional work. Pair-endpoint parity additionally requires delta
+ids to sort after base ids (reps are elected as min ids; see the module
+docstring), which the append split here guarantees by construction;
+cluster parity holds regardless and is what the replace tests assert.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.functions.signatures import signature_table
+from data_deduplication_service_spark.operators.components import (
+    clusters_with_singletons,
+    connected_components,
+)
+from data_deduplication_service_spark.operators.lsh import (
+    band_table,
+    candidate_pairs,
+    verified_pairs,
+)
+from data_deduplication_service_spark.operators.segmentation import (
+    build_segments_table,
+    segment_files,
+)
+from data_deduplication_service_spark.plans.incremental import (
+    DedupState,
+    dedup_delta,
+    exact_hits_vs_store,
+)
+from data_deduplication_service_spark.plans.pipeline import exact_representatives
+from data_deduplication_service_spark.sources import synthesize_corpus, with_file_identity
+
+
+@pytest.fixture(scope="module")
+def icfg() -> DedupConfig:
+    # uncapped buckets: the bucket cap is prefix-dependent by design (a
+    # bucket can exceed the cap only once the delta arrives), so parity
+    # with a full recompute is only exact without it — same reasoning as
+    # the streaming tier's pytest (streaming/neardup_stream.py docstring)
+    return DedupConfig().with_(max_bucket_size=10**9)
+
+
+@pytest.fixture(scope="module")
+def corpus300(spark):
+    return with_file_identity(synthesize_corpus(spark, 300, seed=42)).cache()
+
+
+def _materialized(state: DedupState) -> DedupState:
+    """Eagerly localCheckpoint every table — the production contract: a base
+    snapshot is READ FROM STORES, not held as one lazy mega-plan (a fully
+    lazy state compounds across folds until planning itself overflows the
+    JVM stack, and every action recomputes the whole pipeline)."""
+    return DedupState(
+        **{
+            name: getattr(state, name).localCheckpoint()
+            for name in (
+                "files",
+                "segments",
+                "file_segments",
+                "signatures",
+                "dup_pairs",
+                "clusters",
+            )
+        }
+    )
+
+
+def _full_state(files, cfg) -> DedupState:
+    """The pipeline's exact stage composition (plans/pipeline.py:run_pipeline)
+    without the checkpoint warehouse — the parity reference."""
+    fs = segment_files(files, cfg)
+    segs = build_segments_table(fs, cfg)
+    reps, exact_edges = exact_representatives(files)
+    sig = signature_table(reps, cfg, keep_shingles=False, with_simhash=False)
+    near = verified_pairs(
+        candidate_pairs(band_table(sig, cfg), cfg), sig, cfg, exact=True, files=reps
+    )
+    pairs = (
+        near.unionByName(exact_edges).groupBy("a", "b").agg(F.max("jaccard").alias("jaccard"))
+    )
+    clusters = clusters_with_singletons(
+        connected_components(pairs.select("a", "b"), max_iterations=cfg.cc_max_iterations),
+        files,
+    )
+    return _materialized(
+        DedupState(
+            files=files,
+            segments=segs,
+            file_segments=fs,
+            signatures=sig,
+            dup_pairs=pairs,
+            clusters=clusters,
+        )
+    )
+
+
+def _pair_set(df):
+    return {(r.a, r.b, round(r.jaccard, 6)) for r in df.collect()}
+
+
+def _cluster_set(df):
+    return {(r.file_id, r.cluster_id) for r in df.collect()}
+
+
+def _seg_counts(df):
+    return {(r.segment_hash, r.segment_count) for r in df.select("segment_hash", "segment_count").collect()}
+
+
+# --------------------------------------------------------------------------
+# append-only delta
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def append_split(corpus300):
+    # delta = top-40% of ids → every delta id sorts after every base id,
+    # so representative election (min id) is split-invariant
+    ids = sorted(r.file_id for r in corpus300.select("file_id").collect())
+    pivot = ids[int(len(ids) * 0.6)]
+    base = corpus300.filter(F.col("file_id") < pivot).cache()
+    delta = corpus300.filter(F.col("file_id") >= pivot).cache()
+    return base, delta
+
+
+def test_append_delta_matches_full_recompute(spark, corpus300, append_split, icfg):
+    base_files, delta_files = append_split
+    base = _full_state(base_files, icfg)
+    out = dedup_delta(base, delta_files, icfg, assume_new_ids=True)
+    out_state, out_new = _materialized(out.state), out.new_pairs.localCheckpoint()
+    full = _full_state(corpus300, icfg)
+
+    got_pairs = _pair_set(out_state.dup_pairs)
+    exp_pairs = _pair_set(full.dup_pairs)
+    assert got_pairs == exp_pairs
+    # the fixture must actually exercise the cross-store probe: at least
+    # one emitted pair must straddle the split
+    delta_ids = {r.file_id for r in delta_files.select("file_id").collect()}
+    new_pairs = _pair_set(out_new)
+    assert any((a in delta_ids) != (b in delta_ids) for a, b, _ in new_pairs)
+    assert all(a in delta_ids or b in delta_ids for a, b, _ in new_pairs)
+
+    assert _cluster_set(out_state.clusters) == _cluster_set(full.clusters)
+    assert _seg_counts(out_state.segments) == _seg_counts(full.segments)
+    # signature store holds exactly the full run's representatives
+    got_sig_ids = {r.file_id for r in out_state.signatures.select("file_id").collect()}
+    exp_sig_ids = {r.file_id for r in full.signatures.select("file_id").collect()}
+    assert got_sig_ids == exp_sig_ids
+
+
+def test_empty_delta_is_identity(spark, corpus300, icfg):
+    base = _full_state(corpus300, icfg)
+    empty = corpus300.filter(F.lit(False))
+    out = dedup_delta(base, empty, icfg, assume_new_ids=True)
+    out_state = _materialized(out.state)
+    assert out.new_pairs.count() == 0
+    assert _pair_set(out_state.dup_pairs) == _pair_set(base.dup_pairs)
+    assert _cluster_set(out_state.clusters) == _cluster_set(base.clusters)
+    assert _seg_counts(out_state.segments) == _seg_counts(base.segments)
+
+
+def test_exact_hits_vs_store_unit(spark):
+    base = spark.createDataFrame(
+        [(10, "aaa", "h1"), (11, "aaa", "h1"), (12, "bbb", "h2")],
+        "file_id long, content string, content_sha256 string",
+    )
+    delta = spark.createDataFrame(
+        [(20, "aaa", "h1"), (21, "ccc", "h3")],
+        "file_id long, content string, content_sha256 string",
+    )
+    edges, novel = exact_hits_vs_store(base, delta)
+    assert {(r.a, r.b, r.jaccard) for r in edges.collect()} == {(10, 20, 1.0)}
+    assert {r.file_id for r in novel.collect()} == {21}
+
+
+# --------------------------------------------------------------------------
+# replace semantics (assume_new_ids=False)
+# --------------------------------------------------------------------------
+
+
+def _dup_group(files):
+    """(sha, [member ids asc]) of some exact-dup group with ≥2 members."""
+    g = (
+        files.groupBy("content_sha256")
+        .agg(F.sort_array(F.collect_list("file_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .orderBy(F.desc(F.size("ids")), "content_sha256")
+        .first()
+    )
+    assert g is not None, "synthetic corpus must contain exact-dup groups"
+    return g.content_sha256, list(g.ids)
+
+
+def _replace_row(files, victim_id, new_content):
+    """A delta row reusing the victim's (repo, path, commit) — and therefore
+    its xxhash64 file_id — with different content."""
+    return (
+        files.filter(F.col("file_id") == victim_id)
+        .withColumn("content", F.lit(new_content))
+        .withColumn("size_in_bytes", F.octet_length("content"))
+        .withColumn("content_sha256", F.sha2(F.encode("content", "UTF-8"), 256))
+    )
+
+
+@pytest.fixture(scope="module")
+def replace_setup(spark, corpus300, icfg):
+    base = _full_state(corpus300, icfg)
+    sha, members = _dup_group(corpus300)
+    rep_id = members[0]  # min member = the elected representative
+    delta = _replace_row(
+        corpus300, rep_id, "entirely unrelated replacement body 9f3c\n" * 40
+    ).cache()
+    raw = dedup_delta(base, delta, icfg, assume_new_ids=False)
+    out = type(raw)(state=_materialized(raw.state), new_pairs=raw.new_pairs.localCheckpoint())
+    substituted = (
+        corpus300.filter(F.col("file_id") != rep_id).unionByName(delta).cache()
+    )
+    return base, sha, members, rep_id, delta, out, substituted
+
+
+def test_replace_matches_full_recompute_on_substituted_corpus(replace_setup, icfg):
+    _, _, _, _, _, out, substituted = replace_setup
+    full = _full_state(substituted, icfg)
+    assert _cluster_set(out.state.clusters) == _cluster_set(full.clusters)
+    assert _seg_counts(out.state.segments) == _seg_counts(full.segments)
+
+
+def test_replace_reelects_orphaned_group_rep(replace_setup):
+    _, _, members, rep_id, _, out, _ = replace_setup
+    survivors = members[1:]
+    new_rep = survivors[0]
+    # surviving members stay linked (relink edges), now under the new rep
+    clusters = {r.file_id: r.cluster_id for r in out.state.clusters.collect()}
+    assert len({clusters[m] for m in survivors}) == 1
+    # the orphaned content keeps a live signature under the re-elected rep
+    sig_ids = {r.file_id for r in out.state.signatures.select("file_id").collect()}
+    assert new_rep in sig_ids and rep_id not in sig_ids or clusters[rep_id] != clusters[new_rep]
+    assert new_rep in sig_ids
+
+
+def test_second_delta_still_finds_orphaned_content(spark, replace_setup, icfg):
+    """The regression the naive eviction causes: after replacing a group's
+    rep, a LATER delta near-dup of that content must still be caught —
+    i.e. the re-elected rep's signature really is probe-able."""
+    base, _, members, _, _, out, _ = replace_setup
+    new_rep = members[1]
+    orphan_content = (
+        out.state.files.filter(F.col("file_id") == new_rep).select("content").first().content
+    )
+    near_dup = orphan_content + " trailing-tweak"
+    delta2 = spark.createDataFrame(
+        [("r2", "delta/near.py", "c2", "python", near_dup)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    from data_deduplication_service_spark.sources import with_file_identity as wfi
+
+    delta2 = wfi(delta2)
+    d2_id = delta2.select("file_id").first().file_id
+    out2 = dedup_delta(out.state, delta2, icfg, assume_new_ids=True)
+    pairs = {(r.a, r.b): r.jaccard for r in out2.new_pairs.collect()}
+    hit = {frozenset(p) for p in pairs} & {frozenset((new_rep, d2_id))}
+    assert hit, f"near-dup of orphaned content not found: {pairs}"
+    assert all(j >= icfg.jaccard_threshold for j in pairs.values())
