@@ -265,24 +265,66 @@ def dedup_delta(
     new_pairs = near.unionByName(store_edges).unionByName(delta_exact_edges)
     if not assume_new_ids:
         new_pairs = new_pairs.unionByName(relink_edges)
-    new_pairs = persist_scoped(_max_jaccard(new_pairs))
+    # Lineage cut, not just a cache: new_pairs feeds ≥6 downstream subtrees
+    # (touched/affected/aff_members/stars/recompute_ids/dup_pairs), and a
+    # persist() leaves the full delta-pipeline plan embedded in each — the
+    # final clusters plan then blows up the driver just STRINGIFYING it.
+    # A lazy local checkpoint truncates the plan to a LogicalRDD immediately
+    # while deferring materialization to the first action (the fold stays
+    # lazy); blocks are freed by the ContextCleaner when the frame is GC'd.
+    new_pairs = _max_jaccard(new_pairs).localCheckpoint(eager=False)
 
     # 4. clusters ---------------------------------------------------------
     if assume_new_ids:
-        # star edges ≡ base connectivity; CC input is O(members + new pairs)
-        base_edges = base.clusters.filter(F.col("file_id") != F.col("cluster_id")).select(
+        # AFFECTED-CLUSTER scoping: a base cluster none of whose members
+        # touches a new pair cannot change (no new edge reaches it), so
+        # only clusters containing a new-pair endpoint are re-solved — from
+        # their star edges (≡ their base connectivity) plus the new pairs —
+        # and everything else passes through label-untouched (zero CC work,
+        # and on a warehouse zero rewritten files). CC input is
+        # O(affected members + new pairs), both delta-proportional; the
+        # affected-cluster set itself is ≤ the new-pair endpoint count, so
+        # broadcasting it is O(delta).
+        touched = (
+            new_pairs.select(F.col("a").alias("file_id"))
+            .unionByName(new_pairs.select(F.col("b").alias("file_id")))
+            .distinct()
+        )
+        affected = (
+            base.clusters.join(touched, "file_id", "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        aff_members = persist_scoped(
+            base.clusters.join(F.broadcast(affected), "cluster_id", "left_semi")
+        )
+        stars = aff_members.filter(F.col("file_id") != F.col("cluster_id")).select(
             F.col("cluster_id").alias("a"), F.col("file_id").alias("b")
+        )
+        comp = connected_components(
+            stars.unionByName(new_pairs.select("a", "b")),
+            max_iterations=cfg.cc_max_iterations,
+        )
+        # every comp node is an affected member or a delta doc, so the
+        # singleton fill over exactly that id set loses nothing and also
+        # labels pair-less delta docs
+        recompute_ids = (
+            aff_members.select("file_id")
+            .unionByName(delta_files.select("file_id"))
+            .distinct()
+        )
+        clusters = base.clusters.join(affected, "cluster_id", "left_anti").unionByName(
+            clusters_with_singletons(comp, recompute_ids)
         )
     else:
         # node removal can split clusters — stars can't express that;
         # recluster from the surviving base pair set (still delta-bounded
         # work in the common case: CC contracts pair-sparse graphs fast)
-        base_edges = base_pairs.select("a", "b")
-    comp = connected_components(
-        base_edges.unionByName(new_pairs.select("a", "b")),
-        max_iterations=cfg.cc_max_iterations,
-    )
-    clusters = clusters_with_singletons(comp, merged.files)
+        comp = connected_components(
+            base_pairs.select("a", "b").unionByName(new_pairs.select("a", "b")),
+            max_iterations=cfg.cc_max_iterations,
+        )
+        clusters = clusters_with_singletons(comp, merged.files)
 
     state = DedupState(
         files=merged.files,

@@ -123,10 +123,18 @@ def synthesize_corpus(
     n_files: int,
     seed: int = 42,
     partitions: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
-    """Distributed deterministic corpus: content of row i = f(seed, i)."""
+    """Distributed deterministic corpus: content of row i = f(seed, i).
+
+    ``start`` shifts the logical row range to [start, start+n_files): the
+    rows are identical to the same slice of a larger corpus (content never
+    depends on partitioning or range bounds), so a DELTA batch disjoint
+    from a base corpus of N files is simply ``start=N`` — with organic
+    cross-batch exact/near-dup ties wherever a recipe group (i - i%300
+    etc.) straddles the boundary, exactly the nightly-ingest shape."""
     partitions = partitions or max(4, n_files // 5000)
-    base = spark.range(0, n_files, 1, partitions)
+    base = spark.range(start, start + n_files, 1, partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

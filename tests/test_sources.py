@@ -17,6 +17,21 @@ def test_synthesis_deterministic_and_partition_independent(spark):
     assert a.exceptAll(c).count() > 0  # different seed → different corpus
 
 
+def test_synthesis_start_is_slice_of_larger_corpus(spark):
+    """A delta batch (start=N) must be byte-identical to the same row range
+    of a larger corpus — the property scripts/delta_bench.py relies on to
+    fold ONE delta into bases of several sizes."""
+    whole = synthesize_corpus(spark, 150, seed=42, partitions=3)
+    tail = synthesize_corpus(spark, 50, seed=42, partitions=2, start=100)
+    key = ["repo", "path", "commit"]
+    whole_tail = whole.join(tail.select(key), key, "left_semi")
+    assert tail.count() == 50
+    assert whole_tail.exceptAll(tail).isEmpty() and tail.exceptAll(whole_tail).isEmpty()
+    # disjoint from the base prefix
+    base = synthesize_corpus(spark, 100, seed=42)
+    assert base.join(tail.select(key), key, "left_semi").isEmpty()
+
+
 def test_file_identity_deterministic_and_unique(spark, small_corpus):
     ident = with_file_identity(small_corpus)
     assert ident.count() == ident.select("file_id").distinct().count()
