@@ -74,6 +74,7 @@ def _doc_segments(spark: SparkSession, sf_dir: str, keep_data: bool = False) -> 
 # RESULT persisted OUTSIDE the scoped-cache registry, so the per-query
 # release_scoped() in _released() doesn't evict it between gate queries.
 _PAIR_CACHE: dict[str, DataFrame] = {}
+_PAIR_CACHE_SESSION: list = [None]  # owning SparkSession, guards staleness
 
 
 def _exact_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,6 +86,12 @@ def _exact_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_jaccard_for_pairs,
     )
 
+    # cached frames are bound to the session that built them — a process
+    # that stops and recreates its SparkSession (pytest fixtures, driver
+    # retries) must not get back a plan on a dead context
+    if _PAIR_CACHE_SESSION[0] is not spark:
+        _PAIR_CACHE.clear()
+        _PAIR_CACHE_SESSION[0] = spark
     cached = _PAIR_CACHE.get(sf_dir)
     if cached is not None:
         return cached
@@ -800,8 +807,11 @@ _FNV_PRIME = 1099511628211
 _U64 = 2**64
 _T = CFG.jaccard_threshold
 
-# CDC oracle constants (operators/cdc.py shares the same public formula)
-GEAR_MULT = 0x9E3779B97F4A7C15
+# CDC oracle constants — the multiplier is imported so the oracle can
+# never drift from the operator's gear formula
+from data_deduplication_service_spark.operators.cdc import (  # noqa: E402
+    GEAR_MULTIPLIER as GEAR_MULT,
+)
 _POW2_ROWS = ", ".join(
     f"({d}, {1 << d}::HUGEINT, {1 << (64 - d)}::HUGEINT)" for d in range(64)
 )

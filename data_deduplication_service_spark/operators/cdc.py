@@ -38,8 +38,6 @@ build_segments_table, dedup_coefficient, reconstruction joins.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -141,50 +139,75 @@ def cdc_segment_files(
     offset so reconstruction and the hex-domain oracle can address the
     segment without re-running the boundary scan.
 
-    One narrow map-side pass (mapInPandas over id+content only), zero
-    shuffles — partitioning and scale behavior are identical to the fixed
-    tier's; only the cut rule differs."""
-    from data_deduplication_service_spark.functions.signatures import _segment_hasher
+    Python computes ONLY the cut offsets (one numpy sliding-window matmul
+    per document — no per-segment loop); the explode, byte slicing, and
+    digesting run JVM-side through the fixed tier's dispatch. This split
+    matters: per-segment Python hashlib was the measured-slow shape the
+    segment store already abandoned (CLAUDE.md measurement rule 7 — the
+    fused kernel lost its A/B 127s vs 32s precisely because Python hashed
+    each segment), and at the oracle config (~32-byte segments) a 10 KB
+    doc is ~300 segments. Still one narrow map-side pass, zero shuffles —
+    partitioning and scale behavior identical to the fixed tier's; only
+    the cut rule differs."""
+    from data_deduplication_service_spark.operators.segmentation import (
+        _jvm_digest,
+        _md4_digest_udf,
+    )
 
-    digest = _segment_hasher(hash_name)
+    @F.pandas_udf("array<long>")
+    def cut_ends(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda text: cdc_cut_ends(
+                text.encode("utf-8"), mask_bits, min_size, max_size
+            ).tolist()
+        )
 
-    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            fids: list[int] = []
-            nums: list[int] = []
-            hashes: list[bytes] = []
-            starts: list[int] = []
-            lens: list[int] = []
-            datas: list[bytes] = []
-            for fid, text in zip(pdf[id_col], pdf[text_col]):
-                raw = text.encode("utf-8")
-                ends = cdc_cut_ends(raw, mask_bits, min_size, max_size)
-                prev = 0
-                for num, end in enumerate(ends, start=1):
-                    seg = raw[prev:end]
-                    fids.append(int(fid))
-                    nums.append(num)
-                    hashes.append(digest(seg))
-                    starts.append(prev + 1)
-                    lens.append(end - prev)
-                    if keep_data:
-                        datas.append(seg)
-                    prev = int(end)
-            out = {
-                "file_id": np.array(fids, dtype=np.int64),
-                "segment_num": np.array(nums, dtype=np.int64),
-                "segment_hash": hashes,
-                "seg_start": np.array(starts, dtype=np.int64),
-                "seg_len": np.array(lens, dtype=np.int64),
-            }
-            if keep_data:
-                out["segment_data"] = datas
-            yield pd.DataFrame(out)
+    exploded = (
+        files.select(
+            F.col(id_col).alias("file_id"),
+            F.encode(text_col, "UTF-8").alias("_bytes"),
+            cut_ends(F.col(text_col)).alias("_ends"),
+        )
+        .select(
+            "file_id",
+            "_bytes",
+            "_ends",
+            F.posexplode("_ends").alias("_i", "_end"),
+        )
+        .select(
+            "file_id",
+            (F.col("_i") + 1).alias("segment_num"),  # 1-based, like the fixed tier
+            "_bytes",
+            "_end",
+            # previous cut end (0 for the first segment); element_at is 1-based
+            F.when(F.col("_i") == 0, F.lit(0).cast("long"))
+            .otherwise(F.element_at("_ends", F.col("_i").cast("int")))
+            .alias("_prev"),
+        )
+        .select(
+            "file_id",
+            "segment_num",
+            F.substring(
+                F.col("_bytes"), F.col("_prev") + 1, F.col("_end") - F.col("_prev")
+            ).alias("segment_data"),
+            (F.col("_prev") + 1).alias("seg_start"),
+            (F.col("_end") - F.col("_prev")).alias("seg_len"),
+        )
+    )
+    from data_deduplication_service_spark.config import JVM_HASHES
 
-    schema = "file_id long, segment_num long, segment_hash binary, seg_start long, seg_len long"
-    if keep_data:
-        schema += ", segment_data binary"
-    return files.select(id_col, text_col).mapInPandas(per_batch, schema=schema)
+    if hash_name in JVM_HASHES:
+        hashed = exploded.withColumn(
+            "segment_hash", _jvm_digest(F.col("segment_data"), hash_name)
+        )
+    else:  # md4 → vectorized pandas UDF (Arrow batches, no per-row Python)
+        hashed = exploded.withColumn(
+            "segment_hash", _md4_digest_udf()(F.col("segment_data"))
+        )
+    cols = ["file_id", "segment_num", "segment_hash", "seg_start", "seg_len"] + (
+        ["segment_data"] if keep_data else []
+    )
+    return hashed.select(*cols)
 
 
 def cdc_segment_stats(segments: DataFrame) -> DataFrame:

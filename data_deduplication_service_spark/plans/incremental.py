@@ -26,12 +26,12 @@ O(delta + touched-store-slivers), never O(base):
      store proportional to the delta's bucket footprint. Content crosses
      a shuffle only as the 3-zone verify's semi-join-pruned borderline
      sliver — the batch scale path's invariant, unchanged.
-  4. CLUSTERS — append-only deltas update clustering from the base
-     clustering's STAR EDGES (cluster_id → member), not the base pair
-     set: stars preserve exactly the base connectivity and cluster ids
-     are min member ids, so connected components over
-     (stars ∪ new pairs) yields the same min-labels as a full recompute
-     — with an input of O(clustered members + new pairs).
+  4. CLUSTERS — append-only deltas re-solve ONLY the base clusters a new
+     pair touches, from their STAR EDGES (cluster_id → member, which
+     preserve exactly their base connectivity) plus the new pairs;
+     every untouched cluster passes through label-identical with zero CC
+     work. Star min-labels ≡ full-recompute labels, and CC input is
+     O(affected members + new pairs) — both delta-proportional.
 
 Replace semantics (``assume_new_ids=False``) additionally evicts the
 replaced file_ids from every derived table. Two correctness traps the
@@ -75,6 +75,7 @@ from data_deduplication_service_spark.operators.components import (
 )
 from data_deduplication_service_spark.operators.lifecycle import (
     DedupTables,
+    delete_files,
     ingest_increment,
 )
 from data_deduplication_service_spark.operators.lsh import band_table, verified_pairs
@@ -100,6 +101,12 @@ class DedupState:
     signatures: DataFrame     # lean layout: (file_id, n_windows, minhash) — reps only
     dup_pairs: DataFrame      # (a, b, jaccard)
     clusters: DataFrame       # (file_id, cluster_id = min member id), singletons included
+    # OPTIONAL persisted LSH band index: (file_id, band_id, band_hash) ≡
+    # band_table(lean signatures) — the caller promises consistency with
+    # `signatures`. When present, a fold reuses it instead of re-banding
+    # the ENTIRE base signature store (the one O(base) compute left in the
+    # pairs phase); the fold's output snapshot carries the updated index.
+    bands: DataFrame | None = None
 
     @classmethod
     def from_pipeline(cls, result) -> "DedupState":
@@ -232,13 +239,19 @@ def dedup_delta(
     store_edges, novel = exact_hits_vs_store(base_files, delta_files)
     novel_reps, delta_exact_edges = exact_representatives(novel)
 
-    # 2. segment-store count merge (J3 upsert; handles Replace internally,
-    # and skips the replace probe entirely on the append-only promise)
+    # 2. segment-store count merge (J3 upsert). The replace eviction reuses
+    # the ALREADY-persisted `replaced` probe from above rather than letting
+    # ingest_increment re-derive it (its internal path also runs an eager
+    # isEmpty() action, which would break this fold's all-lazy contract and
+    # probe the base id column a second time).
+    tables = DedupTables(base.files, base.segments, base.file_segments)
+    if not assume_new_ids:
+        tables = delete_files(tables, replaced)
     merged = ingest_increment(
-        DedupTables(base.files, base.segments, base.file_segments),
+        tables,
         delta_files,
         segment_files(delta_files, cfg),
-        assume_new_ids=assume_new_ids,
+        assume_new_ids=True,
     )
 
     # 3. near-dup vs signature store ------------------------------------
@@ -249,9 +262,18 @@ def dedup_delta(
         )
     sig_delta = persist_scoped(sig_delta)
     sig_all = persist_scoped(base_sigs.unionByName(sig_delta))
-    cands = incremental_candidate_pairs(
-        band_table(sig_delta, cfg), band_table(sig_all, cfg), cfg
-    )
+    bands_delta = band_table(sig_delta, cfg)
+    if base.bands is not None:
+        # persisted LSH index: band only the delta; base bands are read, not
+        # recomputed (band_table is row-wise, so bands(base ∪ delta) ≡
+        # bands(base) ∪ bands(delta))
+        base_bands = base.bands
+        if not assume_new_ids:
+            base_bands = base_bands.join(replaced, "file_id", "left_anti")
+        bands_all = base_bands.unionByName(bands_delta)
+    else:
+        bands_all = band_table(sig_all, cfg)
+    cands = incremental_candidate_pairs(bands_delta, bands_all, cfg)
     # 3-zone verify: content only for the borderline sliver, semi-join
     # pruned out of (base reps ∪ delta reps) — base content never moves
     # except for that sliver
@@ -290,7 +312,12 @@ def dedup_delta(
             .unionByName(new_pairs.select(F.col("b").alias("file_id")))
             .distinct()
         )
-        affected = (
+        # persisted + explicitly broadcast: `affected` feeds BOTH the member
+        # gather and the pass-through anti-join below — without the persist
+        # the semi-join subtree runs twice, and without the hint a declined
+        # broadcast would shuffle the whole O(base) clusters table in the
+        # path whose point is delta-proportional work
+        affected = persist_scoped(
             base.clusters.join(touched, "file_id", "left_semi")
             .select("cluster_id")
             .distinct()
@@ -313,9 +340,9 @@ def dedup_delta(
             .unionByName(delta_files.select("file_id"))
             .distinct()
         )
-        clusters = base.clusters.join(affected, "cluster_id", "left_anti").unionByName(
-            clusters_with_singletons(comp, recompute_ids)
-        )
+        clusters = base.clusters.join(
+            F.broadcast(affected), "cluster_id", "left_anti"
+        ).unionByName(clusters_with_singletons(comp, recompute_ids))
     else:
         # node removal can split clusters — stars can't express that;
         # recluster from the surviving base pair set (still delta-bounded
@@ -331,7 +358,19 @@ def dedup_delta(
         segments=merged.segments,
         file_segments=merged.file_segments,
         signatures=sig_all,
-        dup_pairs=_max_jaccard(base_pairs.unionByName(new_pairs)),
+        bands=bands_all,
+        # append path: every new pair has ≥1 delta endpoint (store_edges and
+        # delta_exact_edges by construction; incremental_candidate_pairs
+        # drops seen-seen pairs) and delta ids are promised absent from
+        # base, so (a,b) keys cannot collide with base pairs — a plain
+        # union avoids re-shuffling the entire O(base) pair set per fold.
+        # The replace path CAN re-mint a surviving key (re-elected reps),
+        # so it keeps the max-merge.
+        dup_pairs=(
+            base_pairs.unionByName(new_pairs)
+            if assume_new_ids
+            else _max_jaccard(base_pairs.unionByName(new_pairs))
+        ),
         clusters=clusters,
     )
     return DeltaDedupResult(state=state, new_pairs=new_pairs)

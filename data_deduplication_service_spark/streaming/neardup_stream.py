@@ -71,6 +71,16 @@ def _store_exists(path: str) -> bool:
     return bool(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 
 
+def read_batches(spark, path: str) -> DataFrame:
+    """Read a batch_id-partitioned output dir (pairs_dir / store_dir) with
+    ``batch_id`` normalized to LongType. Partition-column inference types
+    small ids as INT, while the pre-partition-layout (flat) files stored a
+    LONG data column — the cast makes both layouts union-, join-, and
+    schema-compatible for downstream consumers."""
+    df = spark.read.parquet(path)
+    return df.withColumn("batch_id", F.col("batch_id").cast("long"))
+
+
 def near_dup_batch_processor(
     cfg: DedupConfig,
     store_dir: str,
@@ -111,7 +121,7 @@ def near_dup_batch_processor(
                 # crashed attempt already committed its store partition must
                 # not probe its own (or any later) signatures — partition
                 # pruning makes both filters metadata-only
-                stored = spark.read.parquet(store_dir).filter(
+                stored = read_batches(spark, store_dir).filter(
                     F.col("batch_id") < F.lit(int(batch_id))
                 )
                 if retention_batches is not None:

@@ -33,18 +33,19 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_CAL_CODE = """
-import time
-from pyspark.sql import SparkSession, functions as F
+# The calibration kernel is bench.calibration — imported from the HEAD
+# checkout so there is exactly ONE definition (a drifted copy here would
+# normalize ref/head against inconsistent box probes with no error). Both
+# legs use the same kernel: it probes the box, not the code under test.
+_CAL_CODE = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from pyspark.sql import SparkSession
+import bench
 spark = (SparkSession.builder.master("local[__CPUS__]").appName("ab-cal")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-best = float("inf")
-for _ in range(3):
-    t0 = time.monotonic()
-    spark.range(0, 2_000_000_000, 1, 64).select(F.bit_xor(F.xxhash64("id")).alias("x")).collect()
-    best = min(best, time.monotonic() - t0)
-print("CAL_RESULT %.3f" % best)
+print("CAL_RESULT %.3f" % bench.calibration(spark))
 spark.stop()
 """
 

@@ -17,9 +17,9 @@ Protocol (same discipline as scaling_bench.py — rules 1/2/5 in CLAUDE.md):
   * measured phases: pairs (exact-vs-store probe + incremental LSH +
     3-zone verify + new-pair count), clusters (affected-cluster-scoped CC
     + pass-through union, noop sink), stores (merged segments /
-    file_segments / signatures snapshot refresh, noop sink — O(base)
-    column SCANS but zero re-segmentation/re-signing CPU; on an Iceberg
-    warehouse these become MERGE row-writes).
+    file_segments / signatures / dup_pairs snapshot refresh, noop sink —
+    O(base) column SCANS but zero re-segmentation/re-signing CPU; on an
+    Iceberg warehouse these become MERGE row-writes).
 
 Evidence shape reported in BENCH/DELTA.md:
   * fold total at base B1 vs B2 (B2 = 4×B1): a ratio ≪ 4 shows the fold
@@ -107,18 +107,41 @@ def prep_worker(cores: int, corpus_path: str, state_dir: str) -> None:
         connected_components(pairs.select("a", "b"), max_iterations=cfg.cc_max_iterations),
         files,
     )
+    from data_deduplication_service_spark.operators.lsh import band_table
+
     out = {
         "segments": build_segments_table(fs, cfg),
         "file_segments": fs,
         "signatures": sig,
         "dup_pairs": pairs,
         "clusters": clusters,
+        # persisted LSH band index: what a warehouse keeps so a fold bands
+        # only the delta (DedupState.bands)
+        "bands": band_table(sig, cfg),
     }
-    for name in STATE_TABLES:
+    for name in STATE_TABLES + ("bands",):
         out[name].write.mode("overwrite").parquet(os.path.join(state_dir, name))
     with open(os.path.join(state_dir, "_STATE_SUCCESS"), "w") as f:
         f.write(json.dumps({"corpus": corpus_path}))
     print("PREP_DONE " + state_dir)
+    spark.stop()
+
+
+def bands_worker(cores: int, state_dir: str) -> None:
+    """Backfill the persisted band index for a state dir prepared before
+    `bands` was part of the snapshot (band_table over stored signatures —
+    seconds, vs re-running the whole prep pipeline)."""
+    spark = _spark(cores, "delta-bands-backfill")
+    spark.sparkContext.setLogLevel("ERROR")
+    from data_deduplication_service_spark.config import DedupConfig
+    from data_deduplication_service_spark.functions.signatures import lean_signature_compat
+    from data_deduplication_service_spark.operators.lsh import band_table
+
+    sig = lean_signature_compat(spark.read.parquet(os.path.join(state_dir, "signatures")))
+    band_table(sig, DedupConfig()).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "bands")
+    )
+    print("BANDS_DONE " + state_dir)
     spark.stop()
 
 
@@ -130,8 +153,10 @@ def fold_worker(cores: int, corpus_path: str, state_dir: str, delta_path: str) -
     from data_deduplication_service_spark.plans.incremental import DedupState, dedup_delta
 
     cfg = DedupConfig()
+    bands_dir = os.path.join(state_dir, "bands")
     state = DedupState(
         files=spark.read.parquet(corpus_path),
+        bands=spark.read.parquet(bands_dir) if os.path.exists(bands_dir) else None,
         **{n: spark.read.parquet(os.path.join(state_dir, n)) for n in STATE_TABLES},
     )
     delta = spark.read.parquet(delta_path)
@@ -155,6 +180,7 @@ def fold_worker(cores: int, corpus_path: str, state_dir: str, delta_path: str) -
     noop(result.state.segments)
     noop(result.state.file_segments)
     noop(result.state.signatures)
+    noop(result.state.dup_pairs)
     t["stores"] = time.monotonic() - t2
     total = time.monotonic() - t0
 
@@ -243,6 +269,12 @@ def orchestrate(
             if "PREP_DONE" not in proc.stdout:
                 sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
                 raise RuntimeError(f"prep failed for base {b}")
+        if not os.path.exists(os.path.join(state_dir, "bands")):
+            proc = submit(32, ["--bands-worker", "--cores", "32",
+                              "--state-dir", state_dir])
+            if "BANDS_DONE" not in proc.stdout:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+                raise RuntimeError(f"bands backfill failed for base {b}")
         state_dirs[b] = state_dir
 
     campaign = time.strftime("%Y%m%dT%H%M%S")
@@ -354,10 +386,11 @@ def write_md(path: str, summary: dict, best: dict) -> None:
         + ".",
         "",
         "Phases: `pairs` = exact-vs-store broadcast probe + incremental LSH",
-        "(touched-bucket prune) + 3-zone verify + new-pair count; `clusters` =",
+        "over the PERSISTED band index (only the delta is banded; touched-",
+        "bucket prune) + 3-zone verify + new-pair count; `clusters` =",
         "affected-cluster-scoped connected components + pass-through union;",
-        "`stores` = merged segments/file_segments/signatures snapshot refresh",
-        "(noop sink) — O(base) column scans with zero re-segmentation or",
+        "`stores` = merged segments/file_segments/signatures/dup_pairs snapshot",
+        "refresh (noop sink) — O(base) column scans with zero re-segmentation or",
         "re-signing CPU (an Iceberg MERGE writes only touched rows). Compare",
         "fold totals against the full-recompute times in BENCH/BASELINE.md for",
         "the same corpus sizes.",
@@ -373,6 +406,7 @@ def write_md(path: str, summary: dict, best: dict) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--prep-worker", action="store_true")
+    ap.add_argument("--bands-worker", action="store_true")
     ap.add_argument("--fold-worker", action="store_true")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--corpus", type=str, default="")
@@ -386,6 +420,8 @@ def main() -> None:
     args = ap.parse_args()
     if args.prep_worker:
         prep_worker(args.cores, args.corpus, args.state_dir)
+    elif args.bands_worker:
+        bands_worker(args.cores, args.state_dir)
     elif args.fold_worker:
         fold_worker(args.cores, args.corpus, args.state_dir, args.delta_path)
     else:

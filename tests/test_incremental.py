@@ -154,6 +154,31 @@ def test_append_delta_matches_full_recompute(spark, corpus300, append_split, icf
     assert got_sig_ids == exp_sig_ids
 
 
+def test_append_with_persisted_band_index_matches(spark, corpus300, append_split, icfg):
+    """Supplying DedupState.bands (the persisted LSH index a warehouse
+    keeps) must yield the identical fold as re-banding the whole signature
+    store — band_table is row-wise, so bands(base ∪ delta) ≡ bands(base) ∪
+    bands(delta)."""
+    from data_deduplication_service_spark.operators.lsh import band_table
+
+    base_files, delta_files = append_split
+    base = _full_state(base_files, icfg)
+    without = dedup_delta(base, delta_files, icfg, assume_new_ids=True)
+    base_indexed = DedupState(
+        **{n: getattr(base, n) for n in (
+            "files", "segments", "file_segments", "signatures", "dup_pairs", "clusters"
+        )},
+        bands=band_table(base.signatures, icfg).localCheckpoint(),
+    )
+    with_idx = dedup_delta(base_indexed, delta_files, icfg, assume_new_ids=True)
+    assert _pair_set(with_idx.new_pairs) == _pair_set(without.new_pairs)
+    assert _cluster_set(with_idx.state.clusters) == _cluster_set(without.state.clusters)
+    # the output snapshot carries the UPDATED index for the next fold
+    assert with_idx.state.bands is not None
+    n_docs = with_idx.state.signatures.count()
+    assert with_idx.state.bands.count() == n_docs * icfg.bands
+
+
 def test_empty_delta_is_identity(spark, corpus300, icfg):
     base = _full_state(corpus300, icfg)
     empty = corpus300.filter(F.lit(False))
@@ -240,8 +265,10 @@ def test_replace_reelects_orphaned_group_rep(replace_setup):
     assert len({clusters[m] for m in survivors}) == 1
     # the orphaned content keeps a live signature under the re-elected rep
     sig_ids = {r.file_id for r in out.state.signatures.select("file_id").collect()}
-    assert new_rep in sig_ids and rep_id not in sig_ids or clusters[rep_id] != clusters[new_rep]
     assert new_rep in sig_ids
+    # the replaced id may legitimately re-enter the store as rep of its NEW
+    # content — but then it must not have absorbed the orphaned group
+    assert rep_id not in sig_ids or clusters[rep_id] != clusters[new_rep]
 
 
 def test_second_delta_still_finds_orphaned_content(spark, replace_setup, icfg):
