@@ -112,6 +112,27 @@ class StageStore:
         stage plans against a fresh parquet scan with pushdown/pruning —
         and makes the stage a durable resume point.
         """
+        name = self._write_snapshot(stage, df, partition_by)
+        self._flip_current(stage, name)
+        return self.load(stage)
+
+    def save_many(self, stages: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        """Multi-stage commit with a NARROWED crash window (the delta-ingest
+        primitive): every stage's snapshot dir is fully written and logged
+        BEFORE any CURRENT pointer flips, then the pointers flip in one
+        tight loop — microseconds of file renames instead of minutes of
+        parquet writes. A crash during the write phase leaves every pointer
+        on the previous consistent snapshot set (the orphan dirs are
+        reclaimed by the same crash-orphan rule save() uses); only a crash
+        inside the flip loop itself can leave stages at mixed generations,
+        which the snapshot log makes detectable and load_snapshot makes
+        recoverable."""
+        names = {s: self._write_snapshot(s, df) for s, df in stages.items()}
+        for s, name in names.items():
+            self._flip_current(s, name)
+        return {s: self.load(s) for s in names}
+
+    def _write_snapshot(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
         sid = self._next_snapshot_id()
         name = f"{stage}__{self.fingerprint}__s{sid}"
         final = os.path.join(self.warehouse, name)
@@ -149,15 +170,17 @@ class StageStore:
             f.write(json.dumps({"snapshot_id": sid, "stage": stage,
                                 "fingerprint": self.fingerprint, "dir": name,
                                 "rows": rows}) + "\n")
+        # drop any cached file listing for the path (Spark's FileStatusCache
+        # would otherwise serve a stale pre-commit listing)
+        self.spark.catalog.refreshByPath(final)
+        return name
+
+    def _flip_current(self, stage: str, name: str) -> None:
         # atomic CURRENT swap — the commit point readers observe
         ptr_tmp = self._current_file(stage) + ".tmp"
         with open(ptr_tmp, "w") as f:
             f.write(name)
         os.rename(ptr_tmp, self._current_file(stage))
-        # drop any cached file listing for the path (Spark's FileStatusCache
-        # would otherwise serve a stale pre-commit listing)
-        self.spark.catalog.refreshByPath(final)
-        return self.load(stage)
 
     def load(self, stage: str) -> DataFrame:
         d = self._current_dir(stage)
@@ -276,6 +299,13 @@ class IcebergStageStore:
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         writer.createOrReplace()  # one atomic Iceberg snapshot commit
         return self.load(stage)
+
+    def save_many(self, stages: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        """Sequential per-table atomic commits (Iceberg has no cross-table
+        transaction); every table keeps its previous snapshot readable, so
+        a mid-sequence crash is recoverable via time travel — same contract
+        as the parquet store's narrowed-window flip."""
+        return {s: self.save(s, df) for s, df in stages.items()}
 
     def load(self, stage: str) -> DataFrame:
         return self.spark.read.table(self.table_name(stage))

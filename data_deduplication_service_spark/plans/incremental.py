@@ -119,6 +119,22 @@ class DedupState:
             clusters=result.clusters,
         )
 
+    @classmethod
+    def from_store(cls, store) -> "DedupState":
+        """Load the committed pipeline stages of a warehouse (StageStore or
+        IcebergStageStore) as one consistent snapshot. The returned frames
+        bind to the CURRENT snapshot dirs at load time, so later commits
+        never shift what this state reads."""
+        return cls(
+            files=store.load("files"),
+            segments=store.load("segments"),
+            file_segments=store.load("file_segments"),
+            signatures=store.load("signatures"),
+            dup_pairs=store.load("dup_pairs"),
+            clusters=store.load("clusters"),
+            bands=store.load("bands") if store.is_done("bands") else None,
+        )
+
 
 @dataclass
 class DeltaDedupResult:
@@ -353,7 +369,7 @@ def dedup_delta(
         )
         clusters = clusters_with_singletons(comp, merged.files)
 
-    state = DedupState(
+    out_state = DedupState(
         files=merged.files,
         segments=merged.segments,
         file_segments=merged.file_segments,
@@ -373,4 +389,61 @@ def dedup_delta(
         ),
         clusters=clusters,
     )
-    return DeltaDedupResult(state=state, new_pairs=new_pairs)
+    return DeltaDedupResult(state=out_state, new_pairs=new_pairs)
+
+
+def run_delta_ingest(
+    spark,
+    delta_with_identity: DataFrame,
+    cfg: DedupConfig,
+    warehouse: str,
+    assume_new_ids: bool = True,
+    exact_verify: bool = True,
+    store=None,
+) -> dict:
+    """Nightly-ingest entrypoint: load the committed pipeline stages of
+    ``warehouse`` (a prior run_pipeline/run_delta_ingest warehouse), fold
+    the delta, and COMMIT the next snapshot of every stage via the store's
+    multi-stage save_many (all parquet writes land before any CURRENT
+    pointer flips — the previous snapshot set stays consistent and
+    time-travelable until the tight flip loop).
+
+    Cost note for the parquet backend: committing the next ``files``
+    snapshot rewrites the whole corpus table (O(base) bytes) — that is
+    what a snapshot store without row-level ops does; the Iceberg backend
+    turns these into MERGE row-writes. The COMPUTE stays delta-
+    proportional either way (scripts/delta_bench.py measures it).
+
+    Returns a summary dict (counts + committed snapshot names)."""
+    from data_deduplication_service_spark.cache import release_scoped
+    from data_deduplication_service_spark.plans.checkpoint import StageStore
+
+    store = store or StageStore(spark, warehouse, cfg)
+    base = DedupState.from_store(store)
+    result = dedup_delta(
+        base, delta_with_identity, cfg,
+        assume_new_ids=assume_new_ids, exact_verify=exact_verify,
+    )
+    n_delta = delta_with_identity.count()
+    n_new_pairs = result.new_pairs.count()
+    ns = result.state
+    committed = store.save_many(
+        {
+            "files": ns.files,
+            "file_segments": ns.file_segments,
+            "segments": ns.segments,
+            "signatures": ns.signatures,
+            "bands": ns.bands,
+            "dup_pairs": ns.dup_pairs,
+            "clusters": ns.clusters,
+        }
+    )
+    release_scoped()
+    return {
+        "n_delta_files": n_delta,
+        "n_new_pairs": n_new_pairs,
+        "n_files": committed["files"].count(),
+        "n_clusters": committed["clusters"]
+        .select("cluster_id").distinct().count(),
+        "committed_stages": sorted(committed),
+    }

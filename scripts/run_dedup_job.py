@@ -19,6 +19,13 @@ a configured catalog is present) so a killed job resumes from its last
 committed stage with identical output. Prints the one-row pipeline
 summary as JSON on stdout.
 
+Nightly ingest (after a completed run): add `--delta` to fold --input
+into the warehouse's committed snapshot instead of recomputing — loads
+every stage, runs plans/incremental.dedup_delta (delta-proportional
+compute; the persisted `bands` stage means only the delta is re-banded),
+and commits the next snapshot of every stage via the store's two-phase
+save_many. `--replace` switches append-only to replace semantics.
+
 Local smoke (no cluster): add `--master local[8]`.
 """
 
@@ -40,6 +47,14 @@ def main() -> None:
                     help="parquet path, or catalog table name with --table")
     ap.add_argument("--table", action="store_true",
                     help="treat --input as a catalog/Iceberg table name")
+    ap.add_argument("--delta", action="store_true",
+                    help="nightly ingest: fold --input into the warehouse's "
+                         "committed snapshot (plans/incremental.run_delta_ingest) "
+                         "instead of running the full pipeline; requires a "
+                         "completed prior run with the same config")
+    ap.add_argument("--replace", action="store_true",
+                    help="with --delta: batch rows REPLACE same-file_id rows "
+                         "(eviction + rep re-election); default is append-only")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--clusters-out", default=None,
                     help="optional parquet path for (file_id, cluster_id)")
@@ -100,6 +115,21 @@ def main() -> None:
                 f"--iceberg-catalog {args.iceberg_catalog!r} is not a configured "
                 f"Iceberg catalog (found: {iceberg_catalogs(spark)})"
             )
+
+    if args.delta:
+        from data_deduplication_service_spark.plans.incremental import run_delta_ingest
+
+        summary = run_delta_ingest(
+            spark,
+            corpus,
+            cfg,
+            args.warehouse,
+            assume_new_ids=not args.replace,
+            exact_verify=not args.no_exact_verify,
+        )
+        print(json.dumps(summary, default=str))
+        spark.stop()
+        return
 
     result = run_pipeline(
         spark,

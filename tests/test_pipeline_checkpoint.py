@@ -166,3 +166,77 @@ def test_run_dedup_job_entrypoint_kill_resume(spark, tmp_path):
     got = spark.read.parquet(clusters_out)
     assert got.count() == 400
     assert got.select("file_id").distinct().count() == 400
+
+
+def test_save_many_two_phase_commit(spark, warehouse):
+    """save_many writes every snapshot dir before any CURRENT pointer
+    flips: commits are observable together, and the snapshot log records
+    each stage."""
+    cfg = DedupConfig()
+    store = StageStore(spark, warehouse, cfg)
+    store.save("a", spark.range(2).withColumnRenamed("id", "x"))
+    store.save("b", spark.range(3).withColumnRenamed("id", "x"))
+    out = store.save_many(
+        {
+            "a": spark.range(20).withColumnRenamed("id", "x"),
+            "b": spark.range(30).withColumnRenamed("id", "x"),
+        }
+    )
+    assert out["a"].count() == 20 and out["b"].count() == 30
+    assert store.load("a").count() == 20 and store.load("b").count() == 30
+    # previous generation stays time-travelable
+    first_a = store.snapshots("a")[0]["snapshot_id"]
+    assert store.load_snapshot(first_a).count() == 2
+
+
+def test_warehouse_delta_ingest_matches_full_recompute(spark, warehouse):
+    """run_delta_ingest: fold a delta batch into a COMMITTED warehouse and
+    compare the committed next snapshot against a full recompute over
+    (base ∪ delta); the previous clusters snapshot must stay readable
+    (nightly-ingest time travel)."""
+    from data_deduplication_service_spark.plans.incremental import run_delta_ingest
+
+    # uncapped buckets — same parity reasoning as tests/test_incremental.py
+    cfg = DedupConfig().with_(max_bucket_size=10**9)
+
+    # pair-ENDPOINT parity needs delta ids to sort after base ids (reps are
+    # min ids; see plans/incremental.py docstring) — xxhash64 ids are
+    # unordered, so derive sequential ids from the synthesized row index
+    # embedded in the path (mod_{i})
+    def seq_ids(corpus):
+        return with_file_identity(corpus).withColumn(
+            "file_id", F.regexp_extract("path", r"mod_(\d+)\.", 1).cast("long")
+        )
+
+    base_corpus = seq_ids(synthesize_corpus(spark, 200, seed=42))
+    delta_corpus = seq_ids(synthesize_corpus(spark, 100, seed=42, start=200))
+    run_pipeline(spark, base_corpus, cfg, warehouse, collect_lineage=False)
+    store = StageStore(spark, warehouse, cfg)
+    prev_clusters_sid = store.manifest("clusters")["snapshot_id"]
+
+    summary = run_delta_ingest(spark, delta_corpus, cfg, warehouse)
+    assert summary["n_delta_files"] == 100
+    assert summary["n_files"] == 300
+    assert sorted(summary["committed_stages"]) == [
+        "bands", "clusters", "dup_pairs", "file_segments",
+        "files", "segments", "signatures",
+    ]
+
+    full_wh = warehouse + "_full"
+    full = run_pipeline(
+        spark,
+        seq_ids(synthesize_corpus(spark, 300, seed=42)),
+        cfg,
+        full_wh,
+        collect_lineage=False,
+    )
+    got_pairs = {
+        (r.a, r.b, round(r.jaccard, 6)) for r in store.load("dup_pairs").collect()
+    }
+    exp_pairs = {(r.a, r.b, round(r.jaccard, 6)) for r in full.dup_pairs.collect()}
+    assert got_pairs == exp_pairs
+    got_clusters = {(r.file_id, r.cluster_id) for r in store.load("clusters").collect()}
+    exp_clusters = {(r.file_id, r.cluster_id) for r in full.clusters.collect()}
+    assert got_clusters == exp_clusters
+    # the pre-ingest clusters snapshot is still readable (time travel)
+    assert store.load_snapshot(prev_clusters_sid).count() == 200
