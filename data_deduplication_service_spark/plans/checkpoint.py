@@ -21,6 +21,23 @@ it runs in this sandbox with no extra jars, feature for feature:
   expiration      — `expire_snapshots(keep_last=n)` deletes old snapshot
                     dirs but never the current one (Iceberg
                     `expire_snapshots` semantics).
+  fast append     — `save_append(stage, delta)` commits a FRAGMENT
+                    snapshot holding only the delta rows plus a manifest
+                    pointer to its parent snapshot (Iceberg's fast-append:
+                    a new snapshot that adds data files and reuses the
+                    parent's). Reads resolve the parent chain and scan
+                    every fragment dir as one parquet table; `compact()`
+                    rewrites a long chain into one full snapshot. This is
+                    what makes a nightly delta ingest write O(delta)
+                    bytes instead of rewriting the O(base) corpus table.
+  merge-on-read   — `save_merge(stage, increments, keys)` commits a
+                    fragment of per-key UPSERT increments for count
+                    tables (the segment store's ON CONFLICT += shape);
+                    load() reconciles the chain with one groupBy(keys) —
+                    sum for numeric columns, max for the rest (Iceberg's
+                    MERGE INTO expressed as write-side fragments +
+                    read-side reconciliation). Chains are homogeneous:
+                    plain and merge fragments never mix on one stage.
 
 On a real cluster the same StageStore maps 1:1 onto
 `df.writeTo(tbl).createOrReplace()` with Iceberg's own snapshot ids in the
@@ -116,7 +133,12 @@ class StageStore:
         self._flip_current(stage, name)
         return self.load(stage)
 
-    def save_many(self, stages: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    def save_many(
+        self,
+        stages: dict[str, DataFrame],
+        append: "set[str] | frozenset[str]" = frozenset(),
+        merge: "dict[str, list[str]] | None" = None,
+    ) -> dict[str, DataFrame]:
         """Multi-stage commit with a NARROWED crash window (the delta-ingest
         primitive): every stage's snapshot dir is fully written and logged
         BEFORE any CURRENT pointer flips, then the pointers flip in one
@@ -126,13 +148,96 @@ class StageStore:
         reclaimed by the same crash-orphan rule save() uses); only a crash
         inside the flip loop itself can leave stages at mixed generations,
         which the snapshot log makes detectable and load_snapshot makes
-        recoverable."""
-        names = {s: self._write_snapshot(s, df) for s, df in stages.items()}
+        recoverable.
+
+        Stages named in ``append`` are committed as FRAGMENTS: their df is
+        the DELTA rows only, and the new snapshot chains to the stage's
+        current snapshot (see save_append) — O(delta) bytes written.
+        Stages keyed in ``merge`` commit their df as per-key UPSERT
+        increments reconciled at read time (see save_merge)."""
+        merge = merge or {}
+        names = {}
+        for s, df in stages.items():
+            parent = self._append_parent(s) if (s in append or s in merge) else None
+            names[s] = self._write_snapshot(s, df, parent=parent, merge_keys=merge.get(s))
         for s, name in names.items():
             self._flip_current(s, name)
         return {s: self.load(s) for s in names}
 
-    def _write_snapshot(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
+    def save_append(self, stage: str, delta_df: DataFrame) -> DataFrame:
+        """Fast-append commit: write ONLY ``delta_df``'s rows as a fragment
+        snapshot whose manifest points at the stage's current snapshot; the
+        logical table is the union over the parent chain. The parent dirs
+        stay immutable (time travel to them reads their own chains), so a
+        crash anywhere leaves the previous commit intact. The fragment's
+        columns are aligned to the parent schema; a name/type mismatch
+        raises rather than silently nulling columns at read time."""
+        name = self._write_snapshot(stage, delta_df, parent=self._append_parent(stage))
+        self._flip_current(stage, name)
+        return self.load(stage)
+
+    def save_merge(self, stage: str, increments: DataFrame, keys: list[str]) -> DataFrame:
+        """Merge-on-read commit for count/upsert tables: the fragment holds
+        per-``keys`` INCREMENT rows (full rows for new keys), and load()
+        reconciles the chain with one groupBy(keys) — numeric columns sum,
+        everything else takes max (the segment store's ON CONFLICT
+        count += excluded upsert, Iceberg's MERGE INTO, expressed as
+        O(delta) write + read-side reconciliation). The reconciling
+        groupBy keys the same column downstream joins/aggregations key,
+        so its exchange is typically reused, not added."""
+        name = self._write_snapshot(
+            stage, increments, parent=self._append_parent(stage), merge_keys=list(keys)
+        )
+        self._flip_current(stage, name)
+        return self.load(stage)
+
+    def _append_parent(self, stage: str) -> str:
+        if not self.is_done(stage):
+            raise FileNotFoundError(
+                f"stage {stage!r} has no committed snapshot to append to"
+            )
+        return os.path.basename(self._current_dir(stage))
+
+    def _write_snapshot(
+        self,
+        stage: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        parent: str | None = None,
+        merge_keys: list[str] | None = None,
+    ) -> str:
+        parent_rows = 0
+        if parent is not None:
+            if partition_by:
+                # fragment dirs are read as multiple parquet roots, and
+                # partition-column discovery needs one common basePath —
+                # chains and partitionBy don't compose
+                raise ValueError("save_append does not support partition_by")
+            pm = self._dir_manifest(os.path.join(self.warehouse, parent))
+            parent_rows = pm["rows"]
+            # homogeneous chains only: a plain append onto a merge chain
+            # would get its rows folded by the read-side groupBy, and a
+            # merge fragment over plain appends would sum rows that were
+            # meant to coexist — both silent corruption, so both raise
+            parent_merge = pm.get("merge_keys")
+            if pm.get("parent") is not None and parent_merge != merge_keys:
+                raise ValueError(
+                    f"stage {stage!r}: cannot chain a "
+                    f"{'merge' if merge_keys else 'plain'} fragment onto a "
+                    f"{'merge' if parent_merge else 'plain'} fragment chain "
+                    f"({parent_merge} vs {merge_keys})"
+                )
+            parent_schema = self._read_chain(os.path.join(self.warehouse, parent)).schema
+            got = {f.name: f.dataType for f in df.schema.fields}
+            want = {f.name: f.dataType for f in parent_schema.fields}
+            if got != want:
+                raise ValueError(
+                    f"fragment schema for stage {stage!r} does not match the "
+                    f"parent snapshot: fragment={sorted(got)} parent={sorted(want)}"
+                )
+            if merge_keys and not set(merge_keys) <= set(got):
+                raise ValueError(f"merge keys {merge_keys} not in columns")
+            df = df.select(*[f.name for f in parent_schema.fields])
         sid = self._next_snapshot_id()
         name = f"{stage}__{self.fingerprint}__s{sid}"
         final = os.path.join(self.warehouse, name)
@@ -147,13 +252,23 @@ class StageStore:
         # ONE read-back serves both the row count and the schema (footer
         # bound, but two reads were two listings + an extra count job)
         written = self.spark.read.parquet(tmp)
-        rows = written.count()
+        frag_rows = written.count()
+        # logical total over the chain; a merge fragment's logical count is
+        # only derivable by reconciling (upserts overwrite), so it is None
+        rows = (
+            None
+            if merge_keys or parent_rows is None
+            else parent_rows + frag_rows
+        )
         manifest = {
             "stage": stage,
             "snapshot_id": sid,
             "fingerprint": self.fingerprint,
             "status": "committed",
             "rows": rows,
+            "fragment_rows": frag_rows,
+            "parent": parent,
+            "merge_keys": merge_keys,
             "wall_ms": round(wall_ms, 1),
             "schema": written.schema.simpleString(),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -169,11 +284,55 @@ class StageStore:
         with open(self._log_path(), "a") as f:
             f.write(json.dumps({"snapshot_id": sid, "stage": stage,
                                 "fingerprint": self.fingerprint, "dir": name,
-                                "rows": rows}) + "\n")
+                                "rows": rows, "parent": parent}) + "\n")
         # drop any cached file listing for the path (Spark's FileStatusCache
         # would otherwise serve a stale pre-commit listing)
         self.spark.catalog.refreshByPath(final)
         return name
+
+    # -- fragment chains ------------------------------------------------------
+
+    def _dir_manifest(self, d: str) -> dict[str, Any]:
+        with open(os.path.join(d, MANIFEST)) as f:
+            return json.load(f)
+
+    def _chain_dirs(self, d: str) -> list[str]:
+        """Snapshot dir chain [youngest .. oldest] via manifest parent links."""
+        dirs = []
+        while d is not None:
+            dirs.append(d)
+            p = self._dir_manifest(d).get("parent")
+            d = os.path.join(self.warehouse, p) if p else None
+        return dirs
+
+    def _read_chain(self, d: str) -> DataFrame:
+        """One DataFrame over a snapshot dir's parent chain: a plain scan
+        for append chains; for merge chains, the read-side reconciliation
+        (groupBy merge keys, sum numerics / max the rest) that realizes
+        the upsert semantics the fragments encode."""
+        from pyspark.sql import functions as F, types as T
+
+        dirs = self._chain_dirs(d)
+        df = self.spark.read.parquet(*dirs)
+        mk = self._dir_manifest(d).get("merge_keys")
+        if not mk or len(dirs) == 1:
+            return df
+        order = [f.name for f in df.schema.fields]
+        aggs = [
+            (F.sum if isinstance(f.dataType, T.NumericType) else F.max)(f.name).alias(f.name)
+            for f in df.schema.fields
+            if f.name not in mk
+        ]
+        return df.groupBy(*mk).agg(*aggs).select(*order)
+
+    def chain_length(self, stage: str) -> int:
+        d = self._current_dir(stage)
+        return 0 if d is None else len(self._chain_dirs(d))
+
+    def compact(self, stage: str) -> DataFrame:
+        """Rewrite the current fragment chain as ONE full snapshot (a new
+        commit with no parent); the old chain becomes expirable."""
+        return self.save(stage, self.load(stage))
 
     def _flip_current(self, stage: str, name: str) -> None:
         # atomic CURRENT swap — the commit point readers observe
@@ -186,34 +345,43 @@ class StageStore:
         d = self._current_dir(stage)
         if d is None:
             raise FileNotFoundError(f"stage {stage!r} has no committed snapshot")
-        return self.spark.read.parquet(d)
+        return self._read_chain(d)
 
     def load_snapshot(self, snapshot_id: int) -> DataFrame:
-        """Time travel: read any retained snapshot by id."""
+        """Time travel: read any retained snapshot by id (a fragment
+        snapshot reads its whole parent chain — the table AS OF that
+        commit, exactly like Iceberg's snapshot semantics)."""
         for e in self.snapshots():
             if e["snapshot_id"] == snapshot_id:
                 d = os.path.join(self.warehouse, e["dir"])
                 if not os.path.isdir(d):
                     raise FileNotFoundError(f"snapshot {snapshot_id} was expired")
-                return self.spark.read.parquet(d)
+                return self._read_chain(d)
         raise KeyError(f"unknown snapshot id {snapshot_id}")
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
-        """Delete all but the newest ``keep_last`` snapshots per stage (the
-        current snapshot is always kept). Returns expired ids."""
-        currents = set()
-        for e in self.snapshots():
-            cur = self._current_dir(e["stage"])
-            if cur is not None:
-                currents.add(os.path.basename(cur))
-        expired: list[int] = []
+        """Delete all but the newest ``keep_last`` snapshots per stage.
+        The current snapshot — and every parent a retained fragment chains
+        to — is always kept (deleting a parent would corrupt the children
+        that reference its data, Iceberg's reachability rule). Returns
+        expired ids."""
         by_stage: dict[str, list[dict[str, Any]]] = {}
         for e in self.snapshots():
             by_stage.setdefault(e["stage"], []).append(e)
-        for entries in by_stage.values():
+        protected: set[str] = set()
+        for stage, entries in by_stage.items():
             entries.sort(key=lambda e: e["snapshot_id"])
+            cur = self._current_dir(stage)
+            roots = {os.path.basename(cur)} if cur is not None else set()
+            roots.update(e["dir"] for e in (entries[-keep_last:] if keep_last else []))
+            for r in roots:
+                d = os.path.join(self.warehouse, r)
+                if os.path.isdir(d):
+                    protected.update(os.path.basename(c) for c in self._chain_dirs(d))
+        expired: list[int] = []
+        for entries in by_stage.values():
             for e in entries[:-keep_last] if keep_last else entries:
-                if e["dir"] in currents:
+                if e["dir"] in protected:
                     continue
                 d = os.path.join(self.warehouse, e["dir"])
                 if os.path.isdir(d):
@@ -300,12 +468,60 @@ class IcebergStageStore:
         writer.createOrReplace()  # one atomic Iceberg snapshot commit
         return self.load(stage)
 
-    def save_many(self, stages: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    def save_many(
+        self,
+        stages: dict[str, DataFrame],
+        append: "set[str] | frozenset[str]" = frozenset(),
+        merge: "dict[str, list[str]] | None" = None,
+    ) -> dict[str, DataFrame]:
         """Sequential per-table atomic commits (Iceberg has no cross-table
         transaction); every table keeps its previous snapshot readable, so
         a mid-sequence crash is recoverable via time travel — same contract
-        as the parquet store's narrowed-window flip."""
-        return {s: self.save(s, df) for s, df in stages.items()}
+        as the parquet store's narrowed-window flip. Stages in ``append``
+        commit their df as NEW ROWS via a native fast-append snapshot;
+        stages keyed in ``merge`` upsert via native MERGE INTO."""
+        merge = merge or {}
+        out = {}
+        for s, df in stages.items():
+            if s in merge:
+                out[s] = self.save_merge(s, df, merge[s])
+            elif s in append:
+                out[s] = self.save_append(s, df)
+            else:
+                out[s] = self.save(s, df)
+        return out
+
+    def save_append(self, stage: str, delta_df: DataFrame) -> DataFrame:
+        """Native fast-append: one atomic Iceberg snapshot that adds only
+        the delta's data files (the parquet store's fragment-chain analog,
+        but manifest-managed by Iceberg itself)."""
+        delta_df.writeTo(self.table_name(stage)).append()
+        return self.load(stage)
+
+    def save_merge(self, stage: str, increments: DataFrame, keys: list[str]) -> DataFrame:
+        """Native MERGE INTO upsert (the reference's ON CONFLICT
+        count += excluded, lib/dbManager.cpp:274-281): numeric non-key
+        columns add, others take the incoming value; unmatched keys
+        insert — the in-place form of the parquet store's merge-on-read
+        fragments."""
+        from pyspark.sql import types as T
+
+        tbl = self.table_name(stage)
+        increments.createOrReplaceTempView("_merge_increments")
+        on = " AND ".join(f"t.{k} = d.{k}" for k in keys)
+        sets = ", ".join(
+            f"t.{f.name} = t.{f.name} + d.{f.name}"
+            if isinstance(f.dataType, T.NumericType)
+            else f"t.{f.name} = d.{f.name}"
+            for f in increments.schema.fields
+            if f.name not in keys
+        )
+        self.spark.sql(
+            f"MERGE INTO {tbl} t USING _merge_increments d ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+        return self.load(stage)
 
     def load(self, stage: str) -> DataFrame:
         return self.spark.read.table(self.table_name(stage))

@@ -140,6 +140,17 @@ class DedupState:
 class DeltaDedupResult:
     state: DedupState      # the next snapshot (base ⊎ delta)
     new_pairs: DataFrame   # (a, b, jaccard) pairs with ≥1 delta (or re-elected) side
+    # Append path only: the per-stage DELTA fragments such that
+    # state.<stage> ≡ base.<stage> ∪ appended[<stage>] — what a store's
+    # fast-append commits instead of rewriting O(base) bytes. The affected-
+    # cluster relabel genuinely rewrites rows (no fragment); the replace
+    # path has none at all (eviction rewrites).
+    appended: "dict[str, DataFrame] | None" = None
+    # Append path only: per-key UPSERT increments such that state.<stage>
+    # ≡ merge(base.<stage>, increments) — what a store's merge commit
+    # (parquet merge-on-read fragment / Iceberg MERGE INTO) writes for the
+    # segment store's count table.
+    merge_appended: "dict[str, tuple[DataFrame, list[str]]] | None" = None
 
 
 def exact_hits_vs_store(base_files: DataFrame, delta_files: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -263,10 +274,11 @@ def dedup_delta(
     tables = DedupTables(base.files, base.segments, base.file_segments)
     if not assume_new_ids:
         tables = delete_files(tables, replaced)
+    delta_fs = segment_files(delta_files, cfg)
     merged = ingest_increment(
         tables,
         delta_files,
-        segment_files(delta_files, cfg),
+        delta_fs,
         assume_new_ids=True,
     )
 
@@ -389,7 +401,54 @@ def dedup_delta(
         ),
         clusters=clusters,
     )
-    return DeltaDedupResult(state=out_state, new_pairs=new_pairs)
+    appended = None
+    merge_appended = None
+    if assume_new_ids:
+        # exact fragments of the plain unions above (files/file_segments/
+        # dup_pairs by construction; signatures because sig_all =
+        # base_sigs ∪ sig_delta; bands only when the base index was read,
+        # not recomputed). segments commits as per-hash count INCREMENTS
+        # (ingest_increment's full-outer count-merge ≡ summing base rows
+        # with these increments per segment_hash). Only clusters
+        # (affected-cluster relabel) remains a full rewrite.
+        appended = {
+            "files": delta_files,
+            "file_segments": delta_fs,
+            "signatures": sig_delta,
+            "dup_pairs": new_pairs,
+        }
+        if base.bands is not None:
+            appended["bands"] = bands_delta
+        merge_appended = {
+            "segments": (
+                delta_fs.groupBy("segment_hash").agg(
+                    F.count("*").alias("segment_count")
+                ),
+                ["segment_hash"],
+            )
+        }
+    return DeltaDedupResult(
+        state=out_state,
+        new_pairs=new_pairs,
+        appended=appended,
+        merge_appended=merge_appended,
+    )
+
+
+def _fragment_compatible(store, stage: str, frag: DataFrame) -> bool:
+    """A fragment may append only when the stage is committed and the
+    fragment's (name → type) map equals the stored snapshot's — otherwise
+    the ingest falls back to a full rewrite of that stage (e.g. a base
+    warehouse whose signatures predate the lean-layout rename)."""
+    try:
+        if not store.is_done(stage):
+            return False
+        cur = store.load(stage).schema
+    except Exception:
+        return False
+    return {f.name: f.dataType for f in cur.fields} == {
+        f.name: f.dataType for f in frag.schema.fields
+    }
 
 
 def run_delta_ingest(
@@ -400,6 +459,8 @@ def run_delta_ingest(
     assume_new_ids: bool = True,
     exact_verify: bool = True,
     store=None,
+    incremental_commit: bool = True,
+    compact_over: int | None = None,
 ) -> dict:
     """Nightly-ingest entrypoint: load the committed pipeline stages of
     ``warehouse`` (a prior run_pipeline/run_delta_ingest warehouse), fold
@@ -408,36 +469,65 @@ def run_delta_ingest(
     pointer flips — the previous snapshot set stays consistent and
     time-travelable until the tight flip loop).
 
-    Cost note for the parquet backend: committing the next ``files``
-    snapshot rewrites the whole corpus table (O(base) bytes) — that is
-    what a snapshot store without row-level ops does; the Iceberg backend
-    turns these into MERGE row-writes. The COMPUTE stays delta-
-    proportional either way (scripts/delta_bench.py measures it).
+    ``incremental_commit=True`` (default) commits the append-only stages
+    (files, file_segments, signatures, bands, dup_pairs on the append
+    path) as FRAGMENTS and the segment store as per-hash count-increment
+    MERGE fragments — O(delta) bytes written instead of rewriting the
+    O(base) tables; only clusters (affected relabel) rewrites, and it is
+    the narrowest table of the set. On Iceberg the same flags map to
+    native fast-append snapshots and MERGE INTO. Stages whose stored
+    schema doesn't match the fragment fall back to a full rewrite
+    (schema-guarded, never silent).
+    ``compact_over=N`` rewrites any stage whose fragment chain exceeds N
+    snapshots after the commit (bounds read-side listing cost across many
+    nightly folds; parquet backend only — Iceberg compacts via its own
+    maintenance procedures).
 
-    Returns a summary dict (counts + committed snapshot names)."""
+    Returns a summary dict (counts + committed/appended stage names)."""
     from data_deduplication_service_spark.cache import release_scoped
     from data_deduplication_service_spark.plans.checkpoint import StageStore
 
+    import time
+
     store = store or StageStore(spark, warehouse, cfg)
     base = DedupState.from_store(store)
+    t0 = time.monotonic()
     result = dedup_delta(
         base, delta_with_identity, cfg,
         assume_new_ids=assume_new_ids, exact_verify=exact_verify,
     )
     n_delta = delta_with_identity.count()
     n_new_pairs = result.new_pairs.count()
+    pairs_sec = time.monotonic() - t0
     ns = result.state
-    committed = store.save_many(
-        {
-            "files": ns.files,
-            "file_segments": ns.file_segments,
-            "segments": ns.segments,
-            "signatures": ns.signatures,
-            "bands": ns.bands,
-            "dup_pairs": ns.dup_pairs,
-            "clusters": ns.clusters,
-        }
-    )
+    to_commit = {
+        "files": ns.files,
+        "file_segments": ns.file_segments,
+        "segments": ns.segments,
+        "signatures": ns.signatures,
+        "bands": ns.bands,
+        "dup_pairs": ns.dup_pairs,
+        "clusters": ns.clusters,
+    }
+    append: set[str] = set()
+    merge: dict[str, list[str]] = {}
+    if incremental_commit and result.appended:
+        for s, frag in result.appended.items():
+            if _fragment_compatible(store, s, frag):
+                to_commit[s] = frag
+                append.add(s)
+    if incremental_commit and result.merge_appended:
+        for s, (frag, keys) in result.merge_appended.items():
+            if _fragment_compatible(store, s, frag):
+                to_commit[s] = frag
+                merge[s] = keys
+    t1 = time.monotonic()
+    committed = store.save_many(to_commit, append=append, merge=merge)
+    commit_sec = time.monotonic() - t1
+    if compact_over is not None and hasattr(store, "chain_length"):
+        for s in sorted(to_commit):
+            if store.chain_length(s) > compact_over:
+                committed[s] = store.compact(s)
     release_scoped()
     return {
         "n_delta_files": n_delta,
@@ -446,4 +536,8 @@ def run_delta_ingest(
         "n_clusters": committed["clusters"]
         .select("cluster_id").distinct().count(),
         "committed_stages": sorted(committed),
+        "appended_stages": sorted(append),
+        "merged_stages": sorted(merge),
+        "pairs_sec": round(pairs_sec, 2),
+        "commit_sec": round(commit_sec, 2),
     }

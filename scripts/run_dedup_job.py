@@ -24,7 +24,11 @@ into the warehouse's committed snapshot instead of recomputing — loads
 every stage, runs plans/incremental.dedup_delta (delta-proportional
 compute; the persisted `bands` stage means only the delta is re-banded),
 and commits the next snapshot of every stage via the store's two-phase
-save_many. `--replace` switches append-only to replace semantics.
+save_many — append-only stages as O(delta) fast-append fragments, the
+segment store as count-increment MERGE fragments; only clusters
+rewrites (`--full-commit` rewrites everything instead; `--compact-over
+N` bounds chain length). `--replace` switches append-only to replace
+semantics.
 
 Local smoke (no cluster): add `--master local[8]`.
 """
@@ -55,6 +59,13 @@ def main() -> None:
     ap.add_argument("--replace", action="store_true",
                     help="with --delta: batch rows REPLACE same-file_id rows "
                          "(eviction + rep re-election); default is append-only")
+    ap.add_argument("--full-commit", action="store_true",
+                    help="with --delta: rewrite every stage in full instead of "
+                         "fast-appending O(delta) fragments for the append-only "
+                         "stages (the default incremental commit)")
+    ap.add_argument("--compact-over", type=int, default=None,
+                    help="with --delta: compact any stage whose fragment chain "
+                         "exceeds this many snapshots after the commit")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--clusters-out", default=None,
                     help="optional parquet path for (file_id, cluster_id)")
@@ -126,6 +137,8 @@ def main() -> None:
             args.warehouse,
             assume_new_ids=not args.replace,
             exact_verify=not args.no_exact_verify,
+            incremental_commit=not args.full_commit,
+            compact_over=args.compact_over,
         )
         print(json.dumps(summary, default=str))
         spark.stop()

@@ -190,10 +190,12 @@ def test_save_many_two_phase_commit(spark, warehouse):
 
 
 def test_warehouse_delta_ingest_matches_full_recompute(spark, warehouse):
-    """run_delta_ingest: fold a delta batch into a COMMITTED warehouse and
-    compare the committed next snapshot against a full recompute over
-    (base ∪ delta); the previous clusters snapshot must stay readable
-    (nightly-ingest time travel)."""
+    """run_delta_ingest: fold TWO successive delta batches into a COMMITTED
+    warehouse (the second fold appends onto the first fold's fragments —
+    chain length 3) and compare the committed snapshot against a full
+    recompute over (base ∪ both deltas); the previous clusters snapshot
+    must stay readable (nightly-ingest time travel), and the append-only
+    stages must have committed as FRAGMENTS, not full rewrites."""
     from data_deduplication_service_spark.plans.incremental import run_delta_ingest
 
     # uncapped buckets — same parity reasoning as tests/test_incremental.py
@@ -209,18 +211,35 @@ def test_warehouse_delta_ingest_matches_full_recompute(spark, warehouse):
         )
 
     base_corpus = seq_ids(synthesize_corpus(spark, 200, seed=42))
-    delta_corpus = seq_ids(synthesize_corpus(spark, 100, seed=42, start=200))
+    delta1 = seq_ids(synthesize_corpus(spark, 50, seed=42, start=200))
+    delta2 = seq_ids(synthesize_corpus(spark, 50, seed=42, start=250))
     run_pipeline(spark, base_corpus, cfg, warehouse, collect_lineage=False)
     store = StageStore(spark, warehouse, cfg)
     prev_clusters_sid = store.manifest("clusters")["snapshot_id"]
 
-    summary = run_delta_ingest(spark, delta_corpus, cfg, warehouse)
-    assert summary["n_delta_files"] == 100
+    s1 = run_delta_ingest(spark, delta1, cfg, warehouse)
+    summary = run_delta_ingest(spark, delta2, cfg, warehouse)
+    assert s1["n_delta_files"] == 50 and s1["n_files"] == 250
+    assert summary["n_delta_files"] == 50
     assert summary["n_files"] == 300
     assert sorted(summary["committed_stages"]) == [
         "bands", "clusters", "dup_pairs", "file_segments",
         "files", "segments", "signatures",
     ]
+    # append-only stages committed as fragments both folds; segments as
+    # count-increment MERGE fragments; only clusters (relabel) rewrites
+    assert summary["appended_stages"] == s1["appended_stages"] == [
+        "bands", "dup_pairs", "file_segments", "files", "signatures",
+    ]
+    assert summary["merged_stages"] == s1["merged_stages"] == ["segments"]
+    for s in summary["appended_stages"] + ["segments"]:
+        m = store.manifest(s)
+        assert m["parent"] is not None
+        assert store.chain_length(s) == 3  # base + fold1 + fold2
+    assert store.manifest("files")["fragment_rows"] == 50
+    assert store.manifest("files")["rows"] == 300
+    assert store.manifest("segments")["merge_keys"] == ["segment_hash"]
+    assert store.manifest("clusters")["parent"] is None
 
     full_wh = warehouse + "_full"
     full = run_pipeline(
@@ -238,5 +257,132 @@ def test_warehouse_delta_ingest_matches_full_recompute(spark, warehouse):
     got_clusters = {(r.file_id, r.cluster_id) for r in store.load("clusters").collect()}
     exp_clusters = {(r.file_id, r.cluster_id) for r in full.clusters.collect()}
     assert got_clusters == exp_clusters
+    # merge-on-read reconciliation ≡ the full recompute's segment counts
+    got_segs = {(r.segment_hash, r.segment_count) for r in store.load("segments").collect()}
+    exp_segs = {(r.segment_hash, r.segment_count) for r in full.segments.collect()}
+    assert got_segs == exp_segs
     # the pre-ingest clusters snapshot is still readable (time travel)
     assert store.load_snapshot(prev_clusters_sid).count() == 200
+
+
+def test_save_append_fragment_chain(spark, warehouse):
+    """save_append commits only the delta rows; load() resolves the chain,
+    manifests carry parent/fragment_rows/logical-total, and time travel to
+    the base snapshot still reads the base alone."""
+    store = StageStore(spark, warehouse, DedupConfig())
+    store.save("t", spark.range(5).withColumnRenamed("id", "x"))
+    base_sid = store.manifest("t")["snapshot_id"]
+    out = store.save_append(
+        "t", spark.range(5, 8).withColumnRenamed("id", "x")
+    )
+    assert sorted(r.x for r in out.collect()) == list(range(8))
+    m = store.manifest("t")
+    assert m["parent"] is not None
+    assert m["fragment_rows"] == 3 and m["rows"] == 8
+    assert store.chain_length("t") == 2
+    assert store.load_snapshot(base_sid).count() == 5       # AS OF base
+    assert store.load_snapshot(m["snapshot_id"]).count() == 8  # AS OF fragment
+    # the fragment dir physically holds only the delta rows
+    frag_dir = os.path.join(store.warehouse, f"t__{store.fingerprint}__s{m['snapshot_id']}")
+    assert spark.read.parquet(frag_dir).count() == 3
+
+
+def test_save_append_guards(spark, warehouse):
+    """Appending to an uncommitted stage or with a mismatched schema must
+    raise — never silently null columns at read time."""
+    store = StageStore(spark, warehouse, DedupConfig())
+    with pytest.raises(FileNotFoundError):
+        store.save_append("nope", spark.range(1))
+    store.save("g", spark.range(2).withColumnRenamed("id", "x"))
+    with pytest.raises(ValueError, match="schema"):
+        store.save_append("g", spark.range(2).withColumnRenamed("id", "y"))
+    with pytest.raises(ValueError, match="schema"):
+        store.save_append(
+            "g", spark.range(2).select(F.col("id").cast("int").alias("x"))
+        )
+
+
+def test_expire_keeps_fragment_parents_and_compact(spark, warehouse):
+    """expire_snapshots must never delete a dir a retained fragment chains
+    to (Iceberg's reachability rule); compact() collapses the chain into
+    one full snapshot, after which the old chain is expirable."""
+    store = StageStore(spark, warehouse, DedupConfig())
+    store.save("t", spark.range(5).withColumnRenamed("id", "x"))
+    store.save_append("t", spark.range(5, 8).withColumnRenamed("id", "x"))
+    store.save_append("t", spark.range(8, 10).withColumnRenamed("id", "x"))
+    # an unrelated superseded snapshot IS expirable
+    store.save("u", spark.range(1).withColumnRenamed("id", "x"))
+    store.save("u", spark.range(2).withColumnRenamed("id", "x"))
+    expired = store.expire_snapshots(keep_last=1)
+    # only u's first snapshot goes; t's whole chain is reachable from current
+    assert len(expired) == 1
+    assert sorted(r.x for r in store.load("t").collect()) == list(range(10))
+    assert store.chain_length("t") == 3
+    compacted = store.compact("t")
+    assert sorted(r.x for r in compacted.collect()) == list(range(10))
+    assert store.chain_length("t") == 1
+    assert store.manifest("t")["parent"] is None
+    # chain dirs now unreachable from current → expirable; data intact
+    assert len(store.expire_snapshots(keep_last=1)) == 3
+    assert store.load("t").count() == 10
+
+
+def test_save_merge_sum_reconciliation(spark, warehouse):
+    """save_merge commits per-key increments; load() reconciles the chain
+    (sum numerics, max the rest), upserting existing keys and inserting
+    new ones. Time travel to the base sees pre-merge counts; compact
+    flattens the chain into plain rows."""
+    store = StageStore(spark, warehouse, DedupConfig())
+    base = spark.createDataFrame(
+        [("a", 2, "blob-a"), ("b", 1, "blob-b")], "k string, n long, d string"
+    )
+    store.save("cnt", base)
+    base_sid = store.manifest("cnt")["snapshot_id"]
+    inc = spark.createDataFrame(
+        [("a", 3, "blob-a"), ("c", 7, "blob-c")], "k string, n long, d string"
+    )
+    out = store.save_merge("cnt", inc, ["k"])
+    got = {(r.k, r.n, r.d) for r in out.collect()}
+    assert got == {("a", 5, "blob-a"), ("b", 1, "blob-b"), ("c", 7, "blob-c")}
+    m = store.manifest("cnt")
+    assert m["merge_keys"] == ["k"] and m["rows"] is None and m["fragment_rows"] == 2
+    # second increment chains; reconciliation spans the whole chain
+    store.save_merge("cnt", spark.createDataFrame(
+        [("c", 1, "blob-c")], "k string, n long, d string"), ["k"])
+    assert {(r.k, r.n) for r in store.load("cnt").collect()} == {
+        ("a", 5), ("b", 1), ("c", 8)
+    }
+    assert {(r.k, r.n) for r in store.load_snapshot(base_sid).collect()} == {
+        ("a", 2), ("b", 1)
+    }
+    # chains are homogeneous: plain append onto a merge chain (and merge
+    # with different keys) would silently corrupt — both raise
+    with pytest.raises(ValueError, match="chain"):
+        store.save_append("cnt", inc)
+    with pytest.raises(ValueError, match="chain"):
+        store.save_merge("cnt", inc, ["k", "d"])
+    compacted = store.compact("cnt")
+    assert store.chain_length("cnt") == 1
+    assert store.manifest("cnt")["merge_keys"] is None
+    assert {(r.k, r.n, r.d) for r in compacted.collect()} == {
+        ("a", 5, "blob-a"), ("b", 1, "blob-b"), ("c", 8, "blob-c")
+    }
+
+
+def test_save_many_append_mode(spark, warehouse):
+    """save_many with append stages: fragments and full rewrites commit
+    together, pointers flip after all writes."""
+    store = StageStore(spark, warehouse, DedupConfig())
+    store.save("a", spark.range(4).withColumnRenamed("id", "x"))
+    store.save("b", spark.range(2).withColumnRenamed("id", "x"))
+    out = store.save_many(
+        {
+            "a": spark.range(4, 6).withColumnRenamed("id", "x"),  # fragment
+            "b": spark.range(9).withColumnRenamed("id", "x"),     # rewrite
+        },
+        append={"a"},
+    )
+    assert sorted(r.x for r in out["a"].collect()) == list(range(6))
+    assert out["b"].count() == 9
+    assert store.manifest("a")["parent"] is not None
+    assert store.manifest("b")["parent"] is None

@@ -86,6 +86,41 @@ def test_contract_snapshots_and_time_travel(any_store, spark):
     assert _load_snapshot(any_store, "tt", first).count() == 2  # time travel
 
 
+def test_contract_fast_append(any_store, spark):
+    """save_append commits only delta rows as a new snapshot; the logical
+    table is base ∪ delta on both backends (fragment chain on parquet,
+    native fast-append on Iceberg); save_many routes append stages the
+    same way."""
+    any_store.save("fa", spark.range(3).withColumnRenamed("id", "x"))
+    out = any_store.save_append("fa", spark.range(3, 5).withColumnRenamed("id", "x"))
+    assert sorted(r.x for r in out.collect()) == list(range(5))
+    assert sorted(r.x for r in any_store.load("fa").collect()) == list(range(5))
+    many = any_store.save_many(
+        {"fa": spark.range(5, 6).withColumnRenamed("id", "x")}, append={"fa"}
+    )
+    assert sorted(r.x for r in many["fa"].collect()) == list(range(6))
+
+
+def test_contract_merge_commit(any_store, spark):
+    """save_merge upserts per-key increments on both backends (merge-on-
+    read fragments on parquet, native MERGE INTO on Iceberg): matched keys
+    add numeric columns, unmatched keys insert."""
+    any_store.save(
+        "mg", spark.createDataFrame([("a", 2), ("b", 1)], "k string, n long")
+    )
+    out = any_store.save_merge(
+        "mg", spark.createDataFrame([("a", 3), ("c", 7)], "k string, n long"), ["k"]
+    )
+    assert {(r.k, r.n) for r in out.collect()} == {("a", 5), ("b", 1), ("c", 7)}
+    many = any_store.save_many(
+        {"mg": spark.createDataFrame([("b", 4)], "k string, n long")},
+        merge={"mg": ["k"]},
+    )
+    assert {(r.k, r.n) for r in many["mg"].collect()} == {
+        ("a", 5), ("b", 5), ("c", 7)
+    }
+
+
 def test_contract_fingerprint_isolation(any_store, spark, tmp_path, request):
     """A config change must get fresh stage state (fingerprint keying) while
     the old fingerprint's commit stays loadable."""
