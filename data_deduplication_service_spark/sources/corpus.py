@@ -118,6 +118,127 @@ def _make_row(seed: int, i: int) -> tuple[str, str, str, str, str]:
     return repo, path, commit, lang, content
 
 
+# ---------------------------------------------------------------------------
+# Adversarial hot-key skew corpus (north rule: "popular license headers,
+# boilerplate"). A hot_pct slice of files shares ONE multi-KB verbatim
+# boilerplate prefix, which makes
+#   * every boilerplate segment hash appear in n*hot_pct/100 files (hot
+#     segment-store keys — the salted two-phase groupBy's target), and
+#   * every LSH band grow one giant "boilerplate bucket": the band minima
+#     of most hot files are attained inside the shared prefix, so they band
+#     to the same key (capped + overflow-reported by candidate_pairs).
+# The tails are per-file unique (row id baked into every identifier so two
+# unrelated hot files stay BELOW the Jaccard threshold), and true near-dup
+# pairs are planted INSIDE the hot slice — the adversarial case: their
+# boilerplate-dominated buckets are capped away, so recall must come from
+# tail-driven band collisions.
+# ---------------------------------------------------------------------------
+
+_SKEW_BOILER_LINES = 170  # ≈6 KB of non-repetitive shared "license/config"
+
+
+def _skew_boiler(seed: int) -> str:
+    # deterministic per seed, identical for every hot file; non-repetitive
+    # (a repeated small block would collapse to few unique shingles and
+    # lose the |boiler| >> |tail| shingle-set ratio the skew shape needs)
+    return APACHE_HEADER + _noise_body(_rng(seed, 10**9 + 7), _SKEW_BOILER_LINES)
+
+
+def _unique_code_line(rng: np.random.Generator, i: int) -> str:
+    # row id inside every identifier: 9-char shingles spanning the id differ
+    # across files, keeping cross-tail Jaccard of UNRELATED hot files low
+    w = [_WORDS[k] for k in rng.integers(0, len(_WORDS), size=3)]
+    return f"{w[0]}_{i}_{w[1]} = {w[2]}_{i}({int(rng.integers(0, 9999))})"
+
+
+def _skew_tail(seed: int, owner: int, n_lines: int = 120) -> list[str]:
+    # 120 lines ≈ 3.6 KB: with the ~6 KB boiler this puts UNRELATED hot
+    # pairs' true Jaccard ≈ 0.5-0.6 (below the 0.7 threshold even with the
+    # residual cross-tail shingle sharing of same-vocabulary code lines),
+    # while the planted 6/120-line mutations sit ≈ 0.94
+    rng = _rng(seed, owner, 23)
+    return [_unique_code_line(rng, owner) for _ in range(n_lines)]
+
+
+def _make_skew_row(seed: int, i: int, hot_pct: int, boiler: str) -> tuple[str, str, str, str, str]:
+    """recipe classes (i % 100):
+      0,1   planted NEAR-DUP pair (i-1, i): same boiler, tails differ in 3/60 lines
+      2,3   planted EXACT-DUP pair (i-1, i): identical content
+      4..hot_pct-1   hot: boiler + unique tail
+      hot_pct..99    the uniform generator's recipes (_make_row)
+    """
+    recipe = i % 100
+    if recipe >= hot_pct:
+        return _make_row(seed, i)
+    lang = LANGS[i % len(LANGS)]
+    repo = f"org{i % 7}/repo{(i // 7) % 23}"
+    path = f"src/pkg{(i // 3) % 11}/mod_{i}.{lang}"
+    commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
+    if recipe in (1, 3):
+        canon = i - 1
+        lines = _skew_tail(seed, canon)
+        if recipe == 1:  # near dup: mutate 6 of 120 tail lines
+            vrng = _rng(seed, i, 29)
+            for _ in range(6):
+                lines[int(vrng.integers(0, len(lines)))] = _unique_code_line(vrng, i)
+        content = boiler + "\n".join(lines) + "\n"
+    else:
+        content = boiler + "\n".join(_skew_tail(seed, i)) + "\n"
+    return repo, path, commit, lang, content
+
+
+def synthesize_skewed_corpus(
+    spark: SparkSession,
+    n_files: int,
+    seed: int = 42,
+    hot_pct: int = 50,
+    partitions: int | None = None,
+    start: int = 0,
+) -> DataFrame:
+    """Boilerplate-heavy adversarial corpus: ``hot_pct``% of files share one
+    ~6 KB verbatim prefix (see module-level note). Deterministic: content of
+    row i = f(seed, i), independent of partitioning. The non-hot slice uses
+    the uniform generator's recipes, so the corpus keeps organic near/exact
+    dups outside the hot set too."""
+    if not 4 < hot_pct <= 100:
+        raise ValueError("hot_pct must be in (4, 100]")
+    partitions = partitions or max(4, n_files // 5000)
+    base = spark.range(start, start + n_files, 1, partitions)
+    boiler = _skew_boiler(seed)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_make_skew_row(seed, int(i), hot_pct, boiler) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    return base.mapInPandas(gen, schema=CORPUS_SCHEMA)
+
+
+def planted_skew_pairs(spark: SparkSession, n_files: int, seed: int = 42, start: int = 0) -> DataFrame:
+    """Ground-truth (a, b, kind) file_id pairs planted by
+    synthesize_skewed_corpus: kind='near' for the class-(0,1) tail-mutation
+    pairs, kind='exact' for the class-(2,3) identical pairs. Ids are the
+    same xxhash64(repo, path, commit) with_file_identity mints, derived
+    here without touching content."""
+    ids = spark.range(start, start + n_files).select(F.col("id").alias("i"))
+    second = ids.filter((F.col("i") % 100).isin(1, 3))
+
+    def fid(col):
+        lang = F.element_at(F.array(*[F.lit(l) for l in LANGS]), (col % len(LANGS) + 1).cast("int"))
+        repo = F.concat(F.lit("org"), (col % 7).cast("string"), F.lit("/repo"),
+                        ((col / 7).cast("long") % 23).cast("string"))
+        path = F.concat(F.lit("src/pkg"), ((col / 3).cast("long") % 11).cast("string"),
+                        F.lit("/mod_"), col.cast("string"), F.lit("."), lang)
+        commit = F.sha1(F.concat(F.lit(f"{seed}:"), col.cast("string")))
+        return F.xxhash64(repo, path, commit)
+
+    return second.select(
+        fid(F.col("i") - 1).alias("a"),
+        fid(F.col("i")).alias("b"),
+        F.when(F.col("i") % 100 == 1, "near").otherwise("exact").alias("kind"),
+    )
+
+
 def synthesize_corpus(
     spark: SparkSession,
     n_files: int,

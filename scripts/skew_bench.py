@@ -1,0 +1,339 @@
+#!/usr/bin/env python
+"""Adversarial hot-key skew measurement (north rule: shuffle partitioning
+"salted against hot-key skew (popular license headers, boilerplate)").
+
+Corpus: synthesize_skewed_corpus — hot_pct% of files share one ~6 KB
+verbatim boilerplate prefix. That gives every LSH band a giant
+"boilerplate bucket" (uncapped candidate generation would be quadratic in
+the hot count: at 400k files / 50% hot that is ~10^10 pairs per band) and
+makes every boilerplate segment hash a hot groupBy key. True near-dup
+pairs are planted INSIDE the hot slice, so the capped pipeline must find
+them from tail-driven band collisions after the cap drops the
+boilerplate-dominated buckets.
+
+Measured, per leg (interleaved best-of-N, spark-submit per run, same
+discipline as scaling_bench):
+  * the full capped pipeline completes and its throughput vs the SAME
+    campaign's uniform-corpus leg (the skew tax, same-window),
+  * identical outputs at every parallelism level (pair/component counts,
+    overflow-bucket counts),
+  * planted-pair recall == 1.0 (near AND exact) through the caps,
+  * overflow accounting: how many buckets/rows the cap dropped.
+
+Orchestrator:
+    python scripts/skew_bench.py --n-files 400000 --legs 8,32 --repeats 3
+Worker (what spark-submit runs):
+    spark-submit --py-files dedup.zip scripts/skew_bench.py --worker \
+        --cores 32 --input /tmp/skew_corpus_400000.parquet --n-files 400000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def worker(cores: int, input_path: str, n_files: int, skewed: bool = True) -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.appName(f"skew-{cores}")
+        # same conf rationale as scripts/scaling_bench.py:worker
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "6000")
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.local.dir", "/dev/shm/spark-scaling")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_deduplication_service_spark.config import DedupConfig
+    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.operators.components import connected_components
+    from data_deduplication_service_spark.operators.lsh import (
+        band_table,
+        candidate_pairs,
+        overflow_buckets,
+        verified_pairs,
+    )
+    from data_deduplication_service_spark.operators.segmentation import (
+        build_segments_table,
+        segment_files,
+    )
+    from data_deduplication_service_spark.plans.pipeline import exact_representatives
+    from data_deduplication_service_spark.sources.corpus import planted_skew_pairs
+
+    cfg = DedupConfig(minhash_bits=32)  # the production scale config
+    files = spark.read.parquet(input_path)
+    n_input = files.count()
+
+    def mat(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    t = {}
+    t0 = time.monotonic()
+    fs = segment_files(files, cfg)
+    mat(build_segments_table(fs, cfg))
+    t["segment_store"] = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    reps, exact_edges = exact_representatives(files)
+    sig = signature_table(reps, cfg, keep_shingles=False, with_simhash=False).persist()
+    bands = band_table(sig, cfg).persist()  # feeds candidates AND the overflow report
+    cands = candidate_pairs(bands, cfg)
+    near = verified_pairs(cands, sig, cfg, exact=True, files=reps)
+    pairs = near.select("a", "b").unionByName(exact_edges.select("a", "b")).distinct().persist()
+    n_pairs = pairs.count()
+    t["signatures_lsh_verify"] = time.monotonic() - t1
+
+    t2 = time.monotonic()
+    comp = connected_components(pairs.select("a", "b"), max_iterations=cfg.cc_max_iterations)
+    n_comp = comp.count()
+    t["connected_components"] = time.monotonic() - t2
+
+    # overflow accounting (untimed boundary: one extra agg over the persisted
+    # band table) — what the cap dropped, never silently
+    over = overflow_buckets(bands, cfg)
+    o = over.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("rows"),
+        F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max"),
+    ).first()
+
+    recall = {}
+    if skewed:
+        planted = planted_skew_pairs(spark, n_files, seed=42)
+        canon = pairs.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        pl = planted.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"), "kind"
+        )
+        got = (
+            pl.join(canon, ["a", "b"], "left_semi").groupBy("kind").count()
+            .collect()
+        )
+        want = {r["kind"]: r["count"] for r in pl.groupBy("kind").count().collect()}
+        found = {r["kind"]: r["count"] for r in got}
+        recall = {
+            k: round(found.get(k, 0) / want[k], 6) for k in sorted(want)
+        }
+
+    total = time.monotonic() - t0
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "skewed": skewed,
+                "n_files": n_input,
+                "n_pairs": n_pairs,
+                "n_component_rows": n_comp,
+                "overflow_buckets": int(o["n"]),
+                "overflow_rows": int(o["rows"]),
+                "max_bucket_size": int(o["max"]),
+                "planted_recall": recall,
+                "stages_sec": {k: round(v, 2) for k, v in t.items()},
+                "total_sec": round(total, 2),
+                "files_per_sec": round(n_input / total, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _ensure_skew_corpus(n_files: int, hot_pct: int) -> str:
+    path = f"/tmp/skew_corpus_{n_files}_h{hot_pct}.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from data_deduplication_service_spark.session import get_spark
+        from data_deduplication_service_spark.sources import with_file_identity
+        from data_deduplication_service_spark.sources.corpus import synthesize_skewed_corpus
+
+        spark = get_spark("skew-datagen", master="local[32]")
+        with_file_identity(
+            synthesize_skewed_corpus(spark, n_files, seed=42, hot_pct=hot_pct, partitions=128)
+        ).write.mode("overwrite").parquet(path)
+        spark.stop()
+    return path
+
+
+def _ensure_uniform_corpus(n_files: int) -> str:
+    path = f"/tmp/scaling_corpus_{n_files}.parquet"  # shared with scaling_bench
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from data_deduplication_service_spark.session import get_spark
+        from data_deduplication_service_spark.sources import synthesize_corpus, with_file_identity
+
+        spark = get_spark("skew-datagen-uniform", master="local[32]")
+        with_file_identity(
+            synthesize_corpus(spark, n_files, seed=42, partitions=128)
+        ).write.mode("overwrite").parquet(path)
+        spark.stop()
+    return path
+
+
+def orchestrate(
+    n_files: int,
+    hot_pct: int,
+    legs: tuple[int, ...],
+    repeats: int,
+    out_md: str,
+) -> None:
+    from scripts.scaling_bench import build_zip
+
+    skew_path = _ensure_skew_corpus(n_files, hot_pct)
+    uniform_path = _ensure_uniform_corpus(n_files)
+    zip_path = build_zip("/tmp/dedup_pkg.zip")
+    spark_submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = "spark-submit"
+
+    campaign = time.strftime("%Y%m%dT%H%M%S")
+    runs_log = os.path.join(REPO, "BENCH", f"skew_runs_{time.strftime('%Y-%m-%d')}.jsonl")
+    os.makedirs(os.path.dirname(runs_log), exist_ok=True)
+
+    # legs: (corpus, cores) pairs, interleaved per repeat. The uniform leg
+    # runs at the max core count only — it exists to price the skew tax in
+    # the SAME measurement window, not to re-measure BASELINE scaling.
+    slots: list[tuple[str, int, bool]] = [("skew", c, True) for c in legs]
+    slots.append(("uniform", max(legs), False))
+
+    best: dict[tuple[str, int], dict] = {}
+    for rep in range(repeats):
+        for kind, cores, skewed in slots:
+            cmd = [
+                spark_submit, "--master", f"local[{cores}]",
+                "--driver-memory", "16g", "--py-files", zip_path,
+                os.path.abspath(__file__),
+                "--worker", "--cores", str(cores),
+                "--input", skew_path if skewed else uniform_path,
+                "--n-files", str(n_files),
+            ] + ([] if skewed else ["--uniform"])
+            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+            line = [l for l in proc.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+            if not line:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+                raise RuntimeError(f"worker {kind}@{cores} produced no result")
+            r = json.loads(line[0][len("WORKER_RESULT "):])
+            r.update({"campaign": campaign, "kind": kind, "rep": rep, "hot_pct": hot_pct})
+            print(json.dumps(r), flush=True)
+            with open(runs_log, "a") as f:
+                f.write(json.dumps(r) + "\n")
+            if skewed:
+                for k, v in r["planted_recall"].items():
+                    if v != 1.0:
+                        raise RuntimeError(f"planted {k} recall {v} != 1.0 at {cores} cores")
+            prev = next((v for (kk, _), v in best.items() if kk == kind), None)
+            if prev is not None and (
+                prev["n_pairs"] != r["n_pairs"]
+                or prev["n_component_rows"] != r["n_component_rows"]
+                or prev["overflow_buckets"] != r["overflow_buckets"]
+            ):
+                raise RuntimeError(f"outputs differ across {kind} runs: {prev} vs {r}")
+            cur = best.get((kind, cores))
+            if cur is None or r["files_per_sec"] > cur["files_per_sec"]:
+                best[(kind, cores)] = r
+
+    summary = {
+        "n_files": n_files, "hot_pct": hot_pct, "legs": list(legs),
+        "repeats": repeats, "campaign": campaign,
+        "best": {f"{k}@{c}": best[(k, c)] for (k, c) in sorted(best)},
+    }
+    print(json.dumps(summary))
+    write_md(out_md, summary, best, legs)
+
+
+def write_md(path: str, s: dict, best: dict, legs: tuple[int, ...]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    sk = {c: best[("skew", c)] for c in legs}
+    un = best[("uniform", max(legs))]
+    hot = s["n_files"] * s["hot_pct"] // 100
+    r0 = sk[legs[0]]
+    lines = [
+        "# BENCH/SKEW — adversarial hot-key (boilerplate) corpus",
+        "",
+        f"Corpus: {s['n_files']:,} files, {s['hot_pct']}% of which ({hot:,} files) share one",
+        "~6 KB verbatim boilerplate prefix (synthesize_skewed_corpus). Every LSH band",
+        "gets a boilerplate bucket of ~10-20% of the hot files — uncapped candidate",
+        f"generation would emit ~10^9-10^10 pairs; the max_bucket_size cap drops those",
+        "buckets (overflow-reported) and planted near/exact-dup pairs INSIDE the hot",
+        "slice must be recovered from tail-driven band collisions. Same measurement",
+        "discipline as BENCH/BASELINE.md: spark-submit per run, legs interleaved,",
+        f"best-of-{s['repeats']}, identical outputs asserted across every run.",
+        "",
+        "| corpus | cores | total sec | files/sec | " + " | ".join(r0["stages_sec"]) + " | pairs | overflow buckets (rows) | planted recall |",
+        "|---" * (8 + len(r0["stages_sec"])) + "|",
+    ]
+    for c in legs:
+        r = sk[c]
+        rec = ", ".join(f"{k}={v}" for k, v in r["planted_recall"].items())
+        lines.append(
+            f"| skew | {c} | {r['total_sec']} | {r['files_per_sec']} | "
+            + " | ".join(str(round(v, 1)) for v in r["stages_sec"].values())
+            + f" | {r['n_pairs']} | {r['overflow_buckets']} ({r['overflow_rows']:,}) | {rec} |"
+        )
+    lines.append(
+        f"| uniform | {un['cores']} | {un['total_sec']} | {un['files_per_sec']} | "
+        + " | ".join(str(round(v, 1)) for v in un["stages_sec"].values())
+        + f" | {un['n_pairs']} | {un['overflow_buckets']} ({un['overflow_rows']:,}) | n/a |"
+    )
+    lines.append("")
+    cmax = max(legs)
+    tax = sk[cmax]["files_per_sec"] / un["files_per_sec"] if un["files_per_sec"] else 0
+    lines.append(
+        f"**Skew tax at {cmax} cores (same campaign window): {sk[cmax]['files_per_sec']}"
+        f" vs {un['files_per_sec']} files/sec on the uniform corpus — ×{1 / tax:.2f} "
+        f"slower with {s['hot_pct']}% of the corpus sharing a 6 KB prefix.**"
+    )
+    if len(legs) >= 2 and legs[0] * 4 == cmax:
+        eff = (sk[cmax]["files_per_sec"] / sk[legs[0]]["files_per_sec"]) / (cmax / legs[0])
+        lines.append("")
+        lines.append(
+            f"**Skewed-corpus scaling efficiency {legs[0]}→{cmax} cores: {eff:.2f}** — "
+            "skew does not add a serial straggler: the capped plan keeps the hot "
+            "keys off any single reducer."
+        )
+    lines += [
+        "",
+        f"Planted recall is asserted == 1.0 for BOTH kinds in every run: the pairs",
+        "whose boilerplate buckets were capped away are still found via their",
+        "tail-driven band collisions (min_band_collisions=2 of 32 bands).",
+        "",
+        f"Raw JSON: `{json.dumps(s)}`",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--input", type=str, default="")
+    ap.add_argument("--uniform", action="store_true",
+                    help="worker: the input is the uniform corpus (skip planted-recall)")
+    ap.add_argument("--n-files", type=int, default=400_000)
+    ap.add_argument("--hot-pct", type=int, default=50)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--legs", type=str, default="8,32")
+    ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH", "SKEW.md"))
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.cores, args.input, args.n_files, skewed=not args.uniform)
+    else:
+        orchestrate(args.n_files, args.hot_pct,
+                    tuple(int(x) for x in args.legs.split(",")),
+                    args.repeats, args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Adversarial hot-key skew: boilerplate-heavy corpus (north rule: "popular
+license headers, boilerplate").
+
+The skewed synthesizer plants true near-dup pairs INSIDE the hot slice —
+the hard case for capped LSH: the hot files' boilerplate-dominated band
+buckets are exactly the ones the max_bucket_size cap drops, so recall for
+those pairs must come from tail-driven band collisions. These tests pin
+
+  * corpus determinism + the skew shape (shared prefix, hot fraction),
+  * unrelated hot pairs sitting BELOW the Jaccard threshold (so the
+    expected pair set stays linear, not quadratic),
+  * the caps actually engaging on the boilerplate buckets (overflow
+    reports non-empty), and
+  * planted-pair recall = 1.0 THROUGH the capped pipeline.
+
+scripts/skew_bench.py measures the same shape at 400k files / 8+32 cores.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.sources.corpus import (
+    _skew_boiler,
+    planted_skew_pairs,
+    synthesize_skewed_corpus,
+)
+from data_deduplication_service_spark.sources import with_file_identity
+
+
+def _shingles(text: str, k: int = 9) -> set[str]:
+    return {text[i : i + k] for i in range(max(1, len(text) - k + 1))}
+
+
+def _jac(a: str, b: str) -> float:
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def skew_corpus(spark):
+    return with_file_identity(synthesize_skewed_corpus(spark, 1000, seed=42)).cache()
+
+
+def test_skewed_corpus_deterministic_and_hot(spark, skew_corpus):
+    again = with_file_identity(synthesize_skewed_corpus(spark, 1000, seed=42, partitions=7))
+    assert skew_corpus.exceptAll(again).count() == 0
+    assert again.exceptAll(skew_corpus).count() == 0
+    boiler = _skew_boiler(42)
+    n_hot = skew_corpus.filter(F.col("content").startswith(boiler[:200])).count()
+    assert n_hot == 500  # hot_pct=50 of 1000
+    # the full prefix is shared verbatim (segment-store hot keys)
+    assert skew_corpus.filter(F.col("content").startswith(boiler)).count() == 500
+
+
+def test_skew_jaccard_shape(spark, skew_corpus):
+    """Unrelated hot pairs < threshold; planted near pairs ≥ threshold;
+    planted exact pairs byte-identical."""
+    cfg = DedupConfig()
+    planted = planted_skew_pairs(spark, 1000, seed=42).cache()
+    content = {r.file_id: r.content for r in skew_corpus.filter(
+        F.col("content").startswith("/*")).select("file_id", "content").collect()}
+
+    near = planted.filter(F.col("kind") == "near").collect()
+    exact = planted.filter(F.col("kind") == "exact").collect()
+    assert len(near) == 10 and len(exact) == 10
+    for r in near:
+        j = _jac(content[r.a], content[r.b])
+        assert j >= cfg.jaccard_threshold + 0.1, f"planted near pair too far apart: {j}"
+    for r in exact:
+        assert content[r.a] == content[r.b]
+
+    # unrelated hot docs (plain class 10) stay safely below the threshold
+    plain = sorted(
+        (r.file_id for r in skew_corpus.filter(F.col("path").rlike("mod_[0-9]*10\\.")
+        ).select("file_id").collect())
+    )[:8]
+    js = [
+        _jac(content[a], content[b])
+        for idx, a in enumerate(plain) for b in plain[idx + 1 :]
+        if a in content and b in content
+    ]
+    assert js, "no unrelated hot pairs sampled"
+    assert max(js) < cfg.jaccard_threshold - 0.05, f"unrelated hot pair too close: {max(js)}"
+
+
+def test_boilerplate_buckets_capped_and_recall_preserved(spark, skew_corpus):
+    """The end-to-end capped pipeline over the skewed corpus: the per-band
+    boilerplate buckets overflow the cap (reported, dropped), yet every
+    planted pair — near AND exact — lands in the final pair set."""
+    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.operators.lsh import (
+        band_table,
+        candidate_pairs,
+        overflow_buckets,
+        verified_pairs,
+    )
+    from data_deduplication_service_spark.plans.pipeline import exact_representatives
+
+    # ~500 hot files → per-band boiler bucket ≈ 0.1-0.2 × 500 members;
+    # cap=40 forces those buckets out while pair-level buckets (size ~2) pass
+    cfg = DedupConfig(max_bucket_size=40)
+    reps, exact_edges = exact_representatives(skew_corpus)
+    sig = signature_table(reps, cfg, keep_shingles=True, with_simhash=False).cache()
+    bands = band_table(sig, cfg)
+
+    over = overflow_buckets(bands, cfg)
+    n_over = over.count()
+    assert n_over >= cfg.bands // 2, f"expected a hot bucket in most bands, got {n_over}"
+    assert over.agg(F.max("bucket_size")).first()[0] > cfg.max_bucket_size
+
+    cands = candidate_pairs(bands, cfg)
+    near_found = verified_pairs(cands, sig, cfg, exact=True)
+    pairs = (
+        near_found.select("a", "b")
+        .unionByName(exact_edges.select("a", "b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .cache()
+    )
+
+    planted = planted_skew_pairs(spark, 1000, seed=42).select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"), "kind"
+    )
+    missed = planted.join(pairs, ["a", "b"], "left_anti")
+    assert missed.count() == 0, f"planted pairs missed under skew: {missed.collect()}"
+    # and no quadratic blowup: found pairs stay linear in corpus size
+    assert pairs.count() < 1000
+
+
+def test_salted_segment_store_matches_unsalted(spark, skew_corpus):
+    """Hot segment hashes (the shared prefix) aggregate identically through
+    the salted two-phase groupBy and the plain one."""
+    from data_deduplication_service_spark.operators.segmentation import (
+        build_segments_table,
+        segment_files,
+    )
+
+    cfg = DedupConfig(salt_buckets=8)
+    fs = segment_files(skew_corpus, cfg).cache()
+    salted = build_segments_table(fs, cfg, salted=True)
+    plain = build_segments_table(fs, cfg, salted=False)
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    # skew shape sanity: the boiler prefix segments are ~500-count hot keys
+    assert salted.agg(F.max("segment_count")).first()[0] >= 500
