@@ -34,7 +34,7 @@ it runs in this sandbox with no extra jars, feature for feature:
                     fragment of per-key UPSERT increments for count
                     tables (the segment store's ON CONFLICT += shape);
                     load() reconciles the chain with one groupBy(keys) —
-                    sum for numeric columns, max for the rest (Iceberg's
+                    sum for numeric columns, latest wins for the rest (Iceberg's
                     MERGE INTO expressed as write-side fragments +
                     read-side reconciliation). Chains are homogeneous:
                     plain and merge fragments never mix on one stage.
@@ -180,7 +180,8 @@ class StageStore:
         """Merge-on-read commit for count/upsert tables: the fragment holds
         per-``keys`` INCREMENT rows (full rows for new keys), and load()
         reconciles the chain with one groupBy(keys) — numeric columns sum,
-        everything else takes max (the segment store's ON CONFLICT
+        everything else takes the LATEST fragment's value, matching the
+        Iceberg backend's MERGE INTO (the segment store's ON CONFLICT
         count += excluded upsert, Iceberg's MERGE INTO, expressed as
         O(delta) write + read-side reconciliation). The reconciling
         groupBy keys the same column downstream joins/aggregations key,
@@ -308,8 +309,12 @@ class StageStore:
     def _read_chain(self, d: str) -> DataFrame:
         """One DataFrame over a snapshot dir's parent chain: a plain scan
         for append chains; for merge chains, the read-side reconciliation
-        (groupBy merge keys, sum numerics / max the rest) that realizes
-        the upsert semantics the fragments encode."""
+        (groupBy merge keys: sum numeric columns, LATEST fragment wins for
+        the rest) that realizes the upsert semantics the fragments encode.
+        Latest-wins matches the Iceberg backend's MERGE INTO, which sets
+        non-numeric columns to the incoming row's value; the fragment's
+        generation is its snapshot id, recovered from the dir name in the
+        scanned file path (no extra column is ever written)."""
         from pyspark.sql import functions as F, types as T
 
         dirs = self._chain_dirs(d)
@@ -318,12 +323,17 @@ class StageStore:
         if not mk or len(dirs) == 1:
             return df
         order = [f.name for f in df.schema.fields]
+        # anchored to the snapshot dir (the second-to-last path segment) so
+        # an unlucky warehouse path containing "__s<digits>/" can't confuse it
+        gen = F.regexp_extract(F.input_file_name(), "__s([0-9]+)/[^/]*$", 1).cast("long")
         aggs = [
-            (F.sum if isinstance(f.dataType, T.NumericType) else F.max)(f.name).alias(f.name)
+            F.sum(f.name).alias(f.name)
+            if isinstance(f.dataType, T.NumericType)
+            else F.max_by(f.name, "_gen").alias(f.name)
             for f in df.schema.fields
             if f.name not in mk
         ]
-        return df.groupBy(*mk).agg(*aggs).select(*order)
+        return df.withColumn("_gen", gen).groupBy(*mk).agg(*aggs).select(*order)
 
     def chain_length(self, stage: str) -> int:
         d = self._current_dir(stage)

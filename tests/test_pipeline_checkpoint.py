@@ -329,9 +329,10 @@ def test_expire_keeps_fragment_parents_and_compact(spark, warehouse):
 
 def test_save_merge_sum_reconciliation(spark, warehouse):
     """save_merge commits per-key increments; load() reconciles the chain
-    (sum numerics, max the rest), upserting existing keys and inserting
-    new ones. Time travel to the base sees pre-merge counts; compact
-    flattens the chain into plain rows."""
+    (sum numerics, LATEST fragment wins for the rest — the Iceberg MERGE
+    INTO semantics), upserting existing keys and inserting new ones. Time
+    travel to the base sees pre-merge counts; compact flattens the chain
+    into plain rows."""
     store = StageStore(spark, warehouse, DedupConfig())
     base = spark.createDataFrame(
         [("a", 2, "blob-a"), ("b", 1, "blob-b")], "k string, n long, d string"
@@ -339,18 +340,20 @@ def test_save_merge_sum_reconciliation(spark, warehouse):
     store.save("cnt", base)
     base_sid = store.manifest("cnt")["snapshot_id"]
     inc = spark.createDataFrame(
-        [("a", 3, "blob-a"), ("c", 7, "blob-c")], "k string, n long, d string"
+        [("a", 3, "a-v2"), ("c", 7, "blob-c")], "k string, n long, d string"
     )
     out = store.save_merge("cnt", inc, ["k"])
     got = {(r.k, r.n, r.d) for r in out.collect()}
-    assert got == {("a", 5, "blob-a"), ("b", 1, "blob-b"), ("c", 7, "blob-c")}
+    # 'a': count added AND the non-numeric column took the incoming value
+    # even though it sorts BELOW the base's (latest wins, not max)
+    assert got == {("a", 5, "a-v2"), ("b", 1, "blob-b"), ("c", 7, "blob-c")}
     m = store.manifest("cnt")
     assert m["merge_keys"] == ["k"] and m["rows"] is None and m["fragment_rows"] == 2
     # second increment chains; reconciliation spans the whole chain
     store.save_merge("cnt", spark.createDataFrame(
-        [("c", 1, "blob-c")], "k string, n long, d string"), ["k"])
-    assert {(r.k, r.n) for r in store.load("cnt").collect()} == {
-        ("a", 5), ("b", 1), ("c", 8)
+        [("c", 1, "c-v2")], "k string, n long, d string"), ["k"])
+    assert {(r.k, r.n, r.d) for r in store.load("cnt").collect()} == {
+        ("a", 5, "a-v2"), ("b", 1, "blob-b"), ("c", 8, "c-v2")
     }
     assert {(r.k, r.n) for r in store.load_snapshot(base_sid).collect()} == {
         ("a", 2), ("b", 1)
@@ -365,7 +368,7 @@ def test_save_merge_sum_reconciliation(spark, warehouse):
     assert store.chain_length("cnt") == 1
     assert store.manifest("cnt")["merge_keys"] is None
     assert {(r.k, r.n, r.d) for r in compacted.collect()} == {
-        ("a", 5, "blob-a"), ("b", 1, "blob-b"), ("c", 8, "blob-c")
+        ("a", 5, "a-v2"), ("b", 1, "blob-b"), ("c", 8, "c-v2")
     }
 
 
