@@ -91,13 +91,86 @@ def _minhash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_POLY_POWERS_CACHE: dict[int, np.ndarray] = {}
+
+
 def _poly_powers(k: int) -> np.ndarray:
+    # memoized (read-only) — the sliced kernel asks once per document
+    cached = _POLY_POWERS_CACHE.get(k)
+    if cached is not None:
+        return cached
     out = np.empty(k, dtype=np.uint64)
     out[-1] = np.uint64(1)
     with np.errstate(over="ignore"):  # uint64 wraparound is the point
         for i in range(k - 2, -1, -1):
             out[i] = out[i + 1] * _FNV_PRIME
+    out.flags.writeable = False
+    _POLY_POWERS_CACHE[k] = out
     return out
+
+
+_HASH_CHUNK = 1 << 20  # windows per chunk: ~8 MB uint64 transients, reused
+_SLICE_WINDOWS = 1 << 21  # windows per kernel slice: two reused 16 MB buffers
+
+# Per-process reusable uint64 buffers (python workers are single-threaded
+# and live across tasks, so these amortize to zero steady-state allocation;
+# see _char_batch_positional_minhash on why allocation volume anti-scales).
+_WORKER_BUFS: dict[str, np.ndarray] = {}
+
+
+def _worker_buf(name: str, size: int) -> np.ndarray:
+    buf = _WORKER_BUFS.get(name)
+    if buf is None or buf.size < size:
+        buf = np.empty(size, dtype=np.uint64)
+        _WORKER_BUFS[name] = buf
+    return buf
+
+
+def _window_hashes_into(
+    data: np.ndarray, s: int, e: int, k: int, out: np.ndarray, o: int, tmp: np.ndarray
+) -> None:
+    """Horner k-window polynomial hashes of data[s:e] (uint8) written into
+    out[o : o + (e-s-k+1)] — no transient bigger than the reused tmp."""
+    n = e - s - (k - 1)
+    pw = _poly_powers(k)
+    acc = out[o : o + n]
+    t = tmp[:n]
+    with np.errstate(over="ignore"):
+        np.multiply(data[s : s + n], pw[0], out=acc, casting="unsafe")
+        for j in range(1, k):
+            np.multiply(data[s + j : s + j + n], pw[j], out=t, casting="unsafe")
+            acc += t
+
+
+def _batch_window_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """All k-window polynomial hashes of a uint8 byte buffer, computed in
+    bounded chunks with preallocated uint64 buffers.
+
+    The obvious one-liner — ``sliding_window_view(data.astype(uint64), k)
+    @ powers`` — allocates ~16× the batch bytes in fresh >256 KB numpy
+    temporaries (the uint64 inflation plus the matmul result), which numpy
+    serves via mmap. At 32 concurrent python workers on a big-document
+    corpus the resulting mmap/munmap page churn contends inside the kernel
+    and the signature stage INVERSE-scaled: kernel-only 301 s @ 32 cores
+    vs 156 s @ 8 cores on the 400k boilerplate corpus (BENCH/SKEW.md).
+    Horner-style chunked accumulation keeps per-worker transients at two
+    reused ~8 MB buffers; only the output array is a large allocation."""
+    nb = int(data.size)
+    if nb < k:
+        return np.empty(0, dtype=np.uint64)
+    pw = _poly_powers(k)
+    H = np.empty(nb - k + 1, dtype=np.uint64)
+    tmp = np.empty(min(_HASH_CHUNK, H.size), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for s in range(0, H.size, _HASH_CHUNK):
+            e = min(s + _HASH_CHUNK, H.size)
+            acc = H[s:e]
+            t = tmp[: e - s]
+            np.multiply(data[s:e], pw[0], out=acc, casting="unsafe")
+            for j in range(1, k):
+                np.multiply(data[s + j : e + j], pw[j], out=t, casting="unsafe")
+                acc += t
+    return H
 
 
 def char_window_hashes(data: bytes, k: int) -> np.ndarray:
@@ -105,18 +178,15 @@ def char_window_hashes(data: bytes, k: int) -> np.ndarray:
     (whole doc as one window if len<k). The positional form is what
     position-sensitive consumers (winnowing anchors) need; the set form
     below just uniques it."""
-    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    arr = np.frombuffer(data, dtype=np.uint8)
     n = arr.size
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     if n <= k:
-        windows = arr[None, :]
-        powers = _poly_powers(n)
-    else:
-        windows = np.lib.stride_tricks.sliding_window_view(arr, k)
-        powers = _poly_powers(k)
-    with np.errstate(over="ignore"):
-        return windows @ powers  # modular 2^64 polynomial hash
+        with np.errstate(over="ignore"):
+            # modular 2^64 polynomial hash over the whole (short) doc
+            return np.atleast_1d(arr.astype(np.uint64) @ _poly_powers(n))
+    return _batch_window_hashes(arr, k)
 
 
 def char_shingle_hashes(data: bytes, k: int) -> np.ndarray:
@@ -257,28 +327,49 @@ def _char_batch_positional_minhash(
     (window_counts[n], minhash uint64 (n_perm, n)); use only when neither
     the shingle sets nor simhash (multiplicity-sensitive) are needed."""
     n_docs = offs.size - 1
-    arr = data.astype(np.uint64)
-    with np.errstate(over="ignore"):
-        if arr.size >= k:
-            H = np.lib.stride_tricks.sliding_window_view(arr, k) @ _poly_powers(k)
-        else:
-            H = np.empty(0, dtype=np.uint64)
-    parts: list[np.ndarray] = []
-    counts = np.zeros(n_docs, dtype=np.int64)
-    for d in range(n_docs):
-        s, e = int(offs[d]), int(offs[d + 1])
-        if e == s:
-            continue
-        if e - s <= k:
-            with np.errstate(over="ignore"):
-                parts.append(np.atleast_1d(arr[s:e] @ _poly_powers(e - s)))
-        else:
-            parts.append(H[s : e - (k - 1)])
-        counts[d] = parts[-1].size
-    starts = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-    u = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
-    return counts, _batch_minhash(u, starts, counts, a, b)
+    # window counts in closed form: 0 for empty docs, 1 for len ≤ k
+    # (whole doc is the single shingle), len-k+1 otherwise
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    counts = np.maximum(lens - (k - 1), 0)
+    counts[(lens > 0) & (lens <= k)] = 1
+    bounds = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    minhash = np.full((a.size, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n_docs == 0:
+        return counts, minhash
+    # Sliced execution over PERSISTENT per-worker buffers: a big-document
+    # Arrow batch used to materialize one window-hash array (+ a copy) of
+    # hundreds of MB, freshly mmap'd and munmap'd per batch and per worker.
+    # munmap at 32 concurrent workers means TLB-shootdown IPIs to every
+    # core — a contention that GROWS with core count, which is how the
+    # signature stage ended up INVERSE-scaling on the boilerplate corpus
+    # (kernel-only 301s @32c vs 156s @8c; BENCH/SKEW.md). Steady state now
+    # allocates nothing bigger than _batch_minhash's 256 KB tile.
+    cap = max(_SLICE_WINDOWS, int(counts.max()))
+    u = _worker_buf("posw_u", cap)
+    tmp = _worker_buf("posw_tmp", cap)
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        while d1 < n_docs and bounds[d1 + 1] - bounds[d0] <= cap:
+            d1 += 1
+        base = int(bounds[d0])
+        for d in range(d0, d1):
+            s, e = int(offs[d]), int(offs[d + 1])
+            if e == s:
+                continue
+            o = int(bounds[d]) - base
+            if e - s <= k:
+                with np.errstate(over="ignore"):
+                    u[o] = data[s:e].astype(np.uint64) @ _poly_powers(e - s)
+            else:
+                _window_hashes_into(data, s, e, k, u, o, tmp)
+        nw = int(bounds[d1]) - base
+        minhash[:, d0:d1] = _batch_minhash(
+            u[:nw], bounds[d0 : d1 + 1] - base, counts[d0:d1], a, b
+        )
+        d0 = d1
+    return counts, minhash
 
 
 def _char_batch_kernel(
@@ -294,9 +385,10 @@ def _char_batch_kernel(
     data: uint8 concatenation of every doc's UTF-8 bytes; offs: int64
     (n_docs+1) boundaries into it — exactly Arrow's string-array layout, so
     the Spark path feeds this zero-copy. Bit-identical to the per-doc
-    kernels (property-tested): the k-window polynomial hash is ONE matmul
-    over the concatenated bytes (windows crossing doc boundaries are simply
-    never sliced out), np.unique per doc, and MinHash runs as L2-resident
+    kernels (property-tested): the k-window polynomial hash is one CHUNKED
+    Horner pass over the concatenated bytes (windows crossing doc
+    boundaries are simply never sliced out; see _batch_window_hashes for
+    why chunked), np.unique per doc, and MinHash runs as L2-resident
     (perm-group × position-block) tiles with np.minimum.reduceat folding
     doc boundaries — measured 2.4× the per-doc kernel single-threaded and,
     more importantly, ~50× fewer numpy dispatches per document.
@@ -305,12 +397,13 @@ def _char_batch_kernel(
     simhash[n]); empty docs get 0 shingles / all-max minhash / simhash 0.
     """
     n_docs = offs.size - 1
-    arr = data.astype(np.uint64)
-    with np.errstate(over="ignore"):
-        if arr.size >= k:
-            H = np.lib.stride_tricks.sliding_window_view(arr, k) @ _poly_powers(k)
-        else:
-            H = np.empty(0, dtype=np.uint64)
+    # per-doc window hashes into a REUSED buffer, then np.unique (whose
+    # output is required anyway — it becomes the returned shingle arrays);
+    # the former full-batch uint64 inflation + window-hash array was the
+    # allocation churn that anti-scales (see _char_batch_positional_minhash)
+    max_w = int(np.max(offs[1:] - offs[:-1])) if n_docs else 0
+    hbuf = _worker_buf("setw_h", max(max_w, 1))
+    tmp = _worker_buf("setw_tmp", max(max_w, 1))
 
     uniqs: list[np.ndarray] = []
     for d in range(n_docs):
@@ -319,9 +412,13 @@ def _char_batch_kernel(
             uniqs.append(np.empty(0, dtype=np.uint64))
         elif e - s <= k:  # short doc: whole content is the single shingle
             with np.errstate(over="ignore"):
-                uniqs.append(np.atleast_1d(arr[s:e] @ _poly_powers(e - s)))
+                uniqs.append(
+                    np.atleast_1d(data[s:e].astype(np.uint64) @ _poly_powers(e - s))
+                )
         else:
-            uniqs.append(np.unique(H[s : e - (k - 1)]))
+            nw = e - s - (k - 1)
+            _window_hashes_into(data, s, e, k, hbuf, 0, tmp)
+            uniqs.append(np.unique(hbuf[:nw]))
     sizes = np.fromiter((u.size for u in uniqs), dtype=np.int64, count=n_docs)
     starts = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(sizes, out=starts[1:])
