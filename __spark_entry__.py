@@ -562,6 +562,53 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters_with_singletons(comp, files).withColumnRenamed("file_id", "doc_id")
 
 
+# the synthetic documents' quality lands in [0.07, 0.34] (low unique-token
+# ratios); 0.25 sits just below the median — a genuinely discriminative floor
+CURATION_MIN_QUALITY = 0.25
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation — the composition a 100 TB corpus
+    prep actually runs: exact+near-dup clusters over the WHOLE corpus (the
+    same recall-1.0 pair derivation as near_dup_clusters, shared via the
+    gate-level pair cache), then ONE kept doc per cluster — the highest-
+    quality member (tie: min doc_id) — and clusters whose best member falls
+    below the quality floor are dropped entirely (boilerplate/junk clusters
+    vanish). Cluster-then-filter: every doc is deduped against every other
+    BEFORE quality filtering, so a high-quality doc still absorbs its
+    low-quality near-copies instead of both surviving.
+
+    Scale shape: one shuffle on cluster_id; the representative election is
+    a max_by aggregate (no window sort), quality is pure JVM expressions."""
+    from data_deduplication_service_spark.operators.components import (
+        clusters_with_singletons,
+        connected_components,
+    )
+
+    files = _doc_files(spark, sf_dir)
+    pairs = _exact_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs.select("a", "b"))
+    clusters = clusters_with_singletons(comp, files).withColumnRenamed("file_id", "doc_id")
+    quality = _docs(spark, sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    members = clusters.join(quality, "doc_id")
+    best = members.groupBy("cluster_id").agg(
+        F.max_by(
+            F.struct(F.col("doc_id"), F.col("quality")),
+            # lexicographic max: quality DESC, then doc_id ASC (-id max)
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("_nid")),
+        ).alias("best"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+    return best.filter(F.col("best.quality") >= CURATION_MIN_QUALITY).select(
+        "cluster_id",
+        F.col("best.doc_id").alias("doc_id"),
+        F.col("best.quality").alias("quality"),
+        "n_members",
+    )
+
+
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (operators/similarity.py:
     cosine_near_dup_pairs): hyperplane-LSH candidates + exact cosine ≥ 0.35.
@@ -769,6 +816,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "near_dup_clusters": q_near_dup_clusters,
+        "corpus_curation": q_corpus_curation,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
 }
@@ -1296,6 +1344,47 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
             )
             SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+        """,
+        # curation = the near_dup_clusters labeling + the quality_scores
+        # formula + per-cluster argmax(quality, tie min doc_id), clusters
+        # below the quality floor dropped — same CTEs, composed
+        "corpus_curation": _gh_cte()
+        + _PAIRS_FROM_GH
+        + f"""
+            , edges AS (
+                SELECT a AS u, b AS v FROM pr
+                UNION
+                SELECT b AS u, a AS v FROM pr
+            ),
+            reach AS (
+                SELECT doc_id AS u, doc_id AS v FROM documents
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+            tq AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       string_split(text, ' ') AS toks
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id,
+                       round(least(n_chars / 500.0, 1.0)
+                             * (len(list_distinct(toks)) * 1.0 / len(toks))
+                             * (CASE WHEN list_sum(list_transform(toks, x -> length(x)))
+                                          * 1.0 / len(toks) BETWEEN 3 AND 12
+                                     THEN 1.0 ELSE 0.5 END), 4) AS quality
+                FROM tq
+            ),
+            m AS (
+                SELECT cl.cluster_id, cl.doc_id, q.quality,
+                       count(*) OVER (PARTITION BY cl.cluster_id) AS nm,
+                       row_number() OVER (PARTITION BY cl.cluster_id
+                                          ORDER BY q.quality DESC, cl.doc_id ASC) AS rk
+                FROM cl JOIN q USING (doc_id)
+            )
+            SELECT cluster_id, doc_id, quality, CAST(nm AS BIGINT) AS n_members
+            FROM m WHERE rk = 1 AND quality >= {CURATION_MIN_QUALITY}
         """,
         "embedding_near_dup_pairs": """
             SELECT x.vec_id AS a, y.vec_id AS b,
