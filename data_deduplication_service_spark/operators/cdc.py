@@ -60,26 +60,61 @@ def gear_table() -> np.ndarray:
     return _GEAR
 
 
+_POW2_CACHE: dict[int, np.ndarray] = {}
+
+_CDC_CHUNK = 1 << 20  # positions per Horner chunk (~8 MB uint64, reused)
+
+
 def _pow2_desc(window: int) -> np.ndarray:
-    """[2^(window-1), ..., 2^1, 2^0] as uint64."""
-    return (np.uint64(1) << np.arange(window - 1, -1, -1, dtype=np.uint64)).astype(
-        np.uint64
-    )
+    """[2^(window-1), ..., 2^1, 2^0] as uint64 (memoized, read-only)."""
+    cached = _POW2_CACHE.get(window)
+    if cached is None:
+        cached = (np.uint64(1) << np.arange(window - 1, -1, -1, dtype=np.uint64)).astype(
+            np.uint64
+        )
+        cached.flags.writeable = False
+        _POW2_CACHE[window] = cached
+    return cached
 
 
 def gear_hashes(data: bytes, window: int = CDC_WINDOW) -> np.ndarray:
-    """H[i] for every byte position i (see module docstring): one
-    sliding-window matmul over the gear-mapped bytes, left-padded so early
-    positions hash their true (shorter) prefix."""
+    """H[i] for every byte position i (see module docstring), left-padded so
+    early positions hash their true (shorter) prefix.
+
+    Returns a VIEW into a reused per-worker buffer — valid until the next
+    gear_hashes call in this process (cdc_cut_ends consumes it immediately).
+
+    Computed as a chunked Horner accumulation over the gear-mapped bytes
+    with persistent per-worker buffers — the obvious one-liner,
+    ``sliding_window_view(padded, 64) @ pow2``, makes the integer matmul
+    materialize a contiguous (n, 64) uint64 copy (~512 bytes per input
+    byte) in fresh mmap'd temporaries every batch, the exact
+    munmap-TLB-shootdown shape that made the signature kernel INVERSE-scale
+    at 32 workers (CLAUDE.md measurement rule 11, BENCH/SKEW.md)."""
+    from data_deduplication_service_spark.functions.signatures import _worker_buf
+
     b = np.frombuffer(data, dtype=np.uint8)
-    if b.size == 0:
+    n = b.size
+    if n == 0:
         return np.empty(0, dtype=np.uint64)
-    g = gear_table()[b]
-    padded = np.concatenate([np.zeros(window - 1, dtype=np.uint64), g])
+    pw = _pow2_desc(window)
+    pad = window - 1
+    # gear-mapped bytes with a zero warmup prefix: H[i] = Σ_j gpad[i+j]·pw[j]
+    gpad = _worker_buf("cdc_gpad", n + pad)[: n + pad]
+    gpad[:pad] = 0
+    np.take(gear_table(), b, out=gpad[pad:])
+    H = _worker_buf("cdc_H", n)[:n]
+    tmp = _worker_buf("cdc_tmp", min(_CDC_CHUNK, n))
     with np.errstate(over="ignore"):
-        return np.lib.stride_tricks.sliding_window_view(padded, window) @ _pow2_desc(
-            window
-        )
+        for s in range(0, n, _CDC_CHUNK):
+            e = min(s + _CDC_CHUNK, n)
+            acc = H[s:e]
+            t = tmp[: e - s]
+            np.multiply(gpad[s : s + (e - s)], pw[0], out=acc, casting="unsafe")
+            for j in range(1, window):
+                np.multiply(gpad[s + j : e + j], pw[j], out=t, casting="unsafe")
+                acc += t
+    return H
 
 
 def cdc_cut_ends(

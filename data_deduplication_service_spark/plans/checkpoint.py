@@ -326,8 +326,12 @@ class StageStore:
         # anchored to the snapshot dir (the second-to-last path segment) so
         # an unlucky warehouse path containing "__s<digits>/" can't confuse it
         gen = F.regexp_extract(F.input_file_name(), "__s([0-9]+)/[^/]*$", 1).cast("long")
+        # sum() widens (int→bigint, float→double); cast back so load() keeps
+        # the committed schema stable — otherwise the NEXT save_merge's
+        # fragment-vs-parent schema check rejects a well-typed fragment and
+        # compact() would silently persist the widened type
         aggs = [
-            F.sum(f.name).alias(f.name)
+            F.sum(f.name).cast(f.dataType).alias(f.name)
             if isinstance(f.dataType, T.NumericType)
             else F.max_by(f.name, "_gen").alias(f.name)
             for f in df.schema.fields
@@ -514,13 +518,28 @@ class IcebergStageStore:
         columns add, others take the incoming value; unmatched keys
         insert — the in-place form of the parquet store's merge-on-read
         fragments."""
-        from pyspark.sql import types as T
+        from pyspark.sql import functions as F, types as T
 
         tbl = self.table_name(stage)
+        # pre-reconcile duplicate keys WITHIN the increments (the parquet
+        # backend's read-side groupBy does this implicitly) — MERGE INTO
+        # aborts with MERGE_CARDINALITY_VIOLATION when two source rows
+        # match one target row
+        aggs = [
+            F.sum(f.name).cast(f.dataType).alias(f.name)
+            if isinstance(f.dataType, T.NumericType)
+            else F.any_value(f.name).alias(f.name)
+            for f in increments.schema.fields
+            if f.name not in keys
+        ]
+        order = [f.name for f in increments.schema.fields]
+        increments = increments.groupBy(*keys).agg(*aggs).select(*order)
         increments.createOrReplaceTempView("_merge_increments")
         on = " AND ".join(f"t.{k} = d.{k}" for k in keys)
+        # coalesce chain == null-skipping sum, matching the parquet
+        # backend's F.sum semantics (NULL + 5 → 5, NULL + NULL → NULL)
         sets = ", ".join(
-            f"t.{f.name} = t.{f.name} + d.{f.name}"
+            f"t.{f.name} = coalesce(t.{f.name} + d.{f.name}, t.{f.name}, d.{f.name})"
             if isinstance(f.dataType, T.NumericType)
             else f"t.{f.name} = d.{f.name}"
             for f in increments.schema.fields

@@ -162,7 +162,7 @@ def _skew_tail(seed: int, owner: int, n_lines: int = 120) -> list[str]:
 
 def _make_skew_row(seed: int, i: int, hot_pct: int, boiler: str) -> tuple[str, str, str, str, str]:
     """recipe classes (i % 100):
-      0,1   planted NEAR-DUP pair (i-1, i): same boiler, tails differ in 3/60 lines
+      0,1   planted NEAR-DUP pair (i-1, i): same boiler, tails differ in 6/120 lines
       2,3   planted EXACT-DUP pair (i-1, i): identical content
       4..hot_pct-1   hot: boiler + unique tail
       hot_pct..99    the uniform generator's recipes (_make_row)

@@ -56,14 +56,52 @@ def _one_batch(seed: int, n_docs: int, mode: str = "batch") -> int:
     return acc
 
 
+def _one_cdc_batch(seed: int, n_docs: int, mode: str) -> int:
+    """CDC boundary scan over a batch of ~10 KB docs (the size class that
+    exposed measurement rule 11). mode='cdc' is the shipped chunked-Horner
+    kernel; mode='cdc-matmul' re-creates the retired sliding_window_view @
+    pow2 shape whose integer matmul materializes a contiguous (n, 64)
+    uint64 copy (~512 bytes per input byte) in fresh mmap'd temporaries."""
+    import numpy as np
+
+    from data_deduplication_service_spark.operators.cdc import (
+        CDC_WINDOW,
+        _pow2_desc,
+        cdc_cut_ends,
+        gear_table,
+    )
+
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(8000, 12000, size=n_docs)
+    data = rng.integers(32, 127, size=int(lens.sum()), dtype=np.uint8)
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    acc = 0
+    if mode == "cdc-matmul":
+        pw = _pow2_desc(CDC_WINDOW)
+        thr = np.uint64(1) << np.uint64(64 - 11)
+        for d in range(n_docs):
+            g = gear_table()[data[offs[d] : offs[d + 1]]]
+            padded = np.concatenate([np.zeros(CDC_WINDOW - 1, dtype=np.uint64), g])
+            with np.errstate(over="ignore"):
+                H = np.lib.stride_tricks.sliding_window_view(padded, CDC_WINDOW) @ pw
+            acc += int((H < thr).sum())
+        return acc
+    for d in range(n_docs):
+        ends = cdc_cut_ends(data[offs[d] : offs[d + 1]].tobytes(), mask_bits=11)
+        acc += int(ends.size)
+    return acc
+
+
 def run_level(procs: int, batches: int, n_docs: int, mode: str = "batch") -> float:
+    fn = _one_cdc_batch if mode.startswith("cdc") else _one_batch
     ctx = mp.get_context("spawn")
     with ctx.Pool(procs) as pool:
         # warm up workers/imports
-        pool.starmap(_one_batch, [(s, n_docs, mode) for s in range(2)], chunksize=1)
+        pool.starmap(fn, [(s, n_docs, mode) for s in range(2)], chunksize=1)
         work = [(s, n_docs, mode) for s in range(100, 100 + batches)]
         t0 = time.monotonic()
-        pool.starmap(_one_batch, work, chunksize=1)
+        pool.starmap(fn, work, chunksize=1)
         dt = time.monotonic() - t0
     return batches / dt
 
@@ -72,7 +110,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=96)
     ap.add_argument("--docs", type=int, default=1000)
-    ap.add_argument("--mode", choices=("batch", "perdoc"), default="batch")
+    ap.add_argument(
+        "--mode", choices=("batch", "perdoc", "cdc", "cdc-matmul"), default="batch"
+    )
     args = ap.parse_args()
     r8 = run_level(8, args.batches, args.docs, args.mode)
     r32 = run_level(32, args.batches, args.docs, args.mode)
@@ -80,7 +120,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "kernel": f"{args.mode} (hash+unique+minhash, simhash off)",
+                "kernel": (
+                    f"{args.mode} (gear boundary scan, ~10KB docs)"
+                    if args.mode.startswith("cdc")
+                    else f"{args.mode} (hash+unique+minhash, simhash off)"
+                ),
                 "batches": args.batches,
                 "docs_per_batch": args.docs,
                 "batches_per_sec_8_procs": round(r8, 3),

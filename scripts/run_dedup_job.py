@@ -130,6 +130,15 @@ def main() -> None:
     if args.delta:
         from data_deduplication_service_spark.plans.incremental import run_delta_ingest
 
+        delta_store = None
+        if args.iceberg_catalog:
+            # route the ingest's commits to the native backend (fast-append
+            # snapshots + MERGE INTO) instead of the parquet default
+            from data_deduplication_service_spark.plans.checkpoint import make_stage_store
+
+            delta_store = make_stage_store(
+                spark, args.warehouse, cfg, iceberg_catalog=args.iceberg_catalog
+            )
         summary = run_delta_ingest(
             spark,
             corpus,
@@ -137,6 +146,7 @@ def main() -> None:
             args.warehouse,
             assume_new_ids=not args.replace,
             exact_verify=not args.no_exact_verify,
+            store=delta_store,
             incremental_commit=not args.full_commit,
             compact_over=args.compact_over,
         )

@@ -270,7 +270,7 @@ def write_md(path: str, s: dict, best: dict, legs: tuple[int, ...]) -> None:
         f"best-of-{s['repeats']}, identical outputs asserted across every run.",
         "",
         "| corpus | cores | total sec | files/sec | " + " | ".join(r0["stages_sec"]) + " | pairs | overflow buckets (rows) | planted recall |",
-        "|---" * (8 + len(r0["stages_sec"])) + "|",
+        "|---" * (7 + len(r0["stages_sec"])) + "|",
     ]
     for c in legs:
         r = sk[c]

@@ -121,6 +121,30 @@ def test_contract_merge_commit(any_store, spark):
     }
 
 
+def test_contract_merge_duplicate_keys_nulls_narrow_types(any_store, spark):
+    """Increment edge cases must behave identically on both backends:
+    duplicate keys WITHIN one increments batch reconcile (sum) instead of
+    aborting MERGE INTO; NULL numerics add null-skippingly (NULL+3 → 3,
+    like F.sum); and a narrow (int) count column keeps its committed type
+    across merges — sum() widening must not leak into load()'s schema, or
+    the NEXT merge's well-typed int fragment would fail the schema guard."""
+    any_store.save(
+        "mgx", spark.createDataFrame([("a", 2), ("b", None)], "k string, n int")
+    )
+    inc = spark.createDataFrame(
+        [("a", 1), ("a", 4), ("b", 3), ("c", None)], "k string, n int"
+    )
+    out = any_store.save_merge("mgx", inc, ["k"])
+    assert dict(out.dtypes)["n"] == "int"
+    assert {(r.k, r.n) for r in out.collect()} == {("a", 7), ("b", 3), ("c", None)}
+    # second int fragment: the schema guard must accept it (no widening leaked)
+    out2 = any_store.save_merge(
+        "mgx", spark.createDataFrame([("c", 5)], "k string, n int"), ["k"]
+    )
+    assert dict(out2.dtypes)["n"] == "int"
+    assert {(r.k, r.n) for r in out2.collect()} == {("a", 7), ("b", 3), ("c", 5)}
+
+
 def test_contract_fingerprint_isolation(any_store, spark, tmp_path, request):
     """A config change must get fresh stage state (fingerprint keying) while
     the old fingerprint's commit stays loadable."""
