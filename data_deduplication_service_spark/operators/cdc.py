@@ -62,9 +62,6 @@ def gear_table() -> np.ndarray:
 
 _POW2_CACHE: dict[int, np.ndarray] = {}
 
-_CDC_CHUNK = 1 << 20  # positions per Horner chunk (~8 MB uint64, reused)
-
-
 def _pow2_desc(window: int) -> np.ndarray:
     """[2^(window-1), ..., 2^1, 2^0] as uint64 (memoized, read-only)."""
     cached = _POW2_CACHE.get(window)
@@ -78,42 +75,40 @@ def _pow2_desc(window: int) -> np.ndarray:
 
 
 def gear_hashes(data: bytes, window: int = CDC_WINDOW) -> np.ndarray:
-    """H[i] for every byte position i (see module docstring), left-padded so
-    early positions hash their true (shorter) prefix.
+    """H[i] for every byte position i (see module docstring): one
+    sliding-window matmul over the gear-mapped bytes, left-padded so early
+    positions hash their true (shorter) prefix.
 
     Returns a VIEW into a reused per-worker buffer — valid until the next
     gear_hashes call in this process (cdc_cut_ends consumes it immediately).
 
-    Computed as a chunked Horner accumulation over the gear-mapped bytes
-    with persistent per-worker buffers — the obvious one-liner,
-    ``sliding_window_view(padded, 64) @ pow2``, makes the integer matmul
-    materialize a contiguous (n, 64) uint64 copy (~512 bytes per input
-    byte) in fresh mmap'd temporaries every batch, the exact
-    munmap-TLB-shootdown shape that made the signature kernel INVERSE-scale
-    at 32 workers (CLAUDE.md measurement rule 11, BENCH/SKEW.md)."""
+    Measured note (kernel_scaling.py cdc vs cdc-matmul modes): numpy's
+    integer matmul iterates the strided window view in place — it does NOT
+    materialize an (n, window) copy (verified by RSS high-water at n=50M),
+    so this shape is exempt from measurement rule 11's mmap-churn pathology
+    and beat a chunked-Horner buffer-reuse variant at both 10KB and 1MB
+    docs, 8 and 32 workers (the Horner form streams ~2× the DRAM bytes —
+    window passes over the data — and inverse-scales harder at 32p). Input
+    and output still come from reused per-worker buffers so per-doc heap
+    churn stays zero."""
     from data_deduplication_service_spark.functions.signatures import _worker_buf
 
     b = np.frombuffer(data, dtype=np.uint8)
     n = b.size
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    pw = _pow2_desc(window)
     pad = window - 1
     # gear-mapped bytes with a zero warmup prefix: H[i] = Σ_j gpad[i+j]·pw[j]
     gpad = _worker_buf("cdc_gpad", n + pad)[: n + pad]
     gpad[:pad] = 0
     np.take(gear_table(), b, out=gpad[pad:])
     H = _worker_buf("cdc_H", n)[:n]
-    tmp = _worker_buf("cdc_tmp", min(_CDC_CHUNK, n))
     with np.errstate(over="ignore"):
-        for s in range(0, n, _CDC_CHUNK):
-            e = min(s + _CDC_CHUNK, n)
-            acc = H[s:e]
-            t = tmp[: e - s]
-            np.multiply(gpad[s : s + (e - s)], pw[0], out=acc, casting="unsafe")
-            for j in range(1, window):
-                np.multiply(gpad[s + j : e + j], pw[j], out=t, casting="unsafe")
-                acc += t
+        np.matmul(
+            np.lib.stride_tricks.sliding_window_view(gpad, window),
+            _pow2_desc(window),
+            out=H,
+        )
     return H
 
 

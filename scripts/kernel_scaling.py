@@ -57,11 +57,16 @@ def _one_batch(seed: int, n_docs: int, mode: str = "batch") -> int:
 
 
 def _one_cdc_batch(seed: int, n_docs: int, mode: str) -> int:
-    """CDC boundary scan over a batch of ~10 KB docs (the size class that
-    exposed measurement rule 11). mode='cdc' is the shipped chunked-Horner
-    kernel; mode='cdc-matmul' re-creates the retired sliding_window_view @
-    pow2 shape whose integer matmul materializes a contiguous (n, 64)
-    uint64 copy (~512 bytes per input byte) in fresh mmap'd temporaries."""
+    """CDC boundary scan over a batch of docs (mode suffix ':<kb>' sets the
+    doc size, default ~10 KB — the class that exposed measurement rule 11).
+    mode='cdc' is the shipped gear_hashes kernel (strided-view matmul into
+    reused per-worker buffers); mode='cdc-matmul' is the plain-allocation
+    matmul (fresh g/padded/H per doc); mode='cdc-ends' runs the full
+    cdc_cut_ends boundary scan including min/max shaping. A chunked-Horner
+    variant was A/B'd here and REJECTED: numpy's integer matmul iterates
+    the strided window view without materializing an (n, window) copy, so
+    the Horner form only added ~2× DRAM traffic (window passes) and
+    inverse-scaled harder at 32 procs."""
     import numpy as np
 
     from data_deduplication_service_spark.operators.cdc import (
@@ -71,15 +76,19 @@ def _one_cdc_batch(seed: int, n_docs: int, mode: str) -> int:
         gear_table,
     )
 
+    doc_kb = 10
+    if ":" in mode:
+        mode, kb = mode.split(":", 1)
+        doc_kb = int(kb)
     rng = np.random.default_rng(seed)
-    lens = rng.integers(8000, 12000, size=n_docs)
+    lens = rng.integers(doc_kb * 800, doc_kb * 1200, size=n_docs)
     data = rng.integers(32, 127, size=int(lens.sum()), dtype=np.uint8)
     offs = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     acc = 0
+    thr = np.uint64(1) << np.uint64(64 - 11)
     if mode == "cdc-matmul":
         pw = _pow2_desc(CDC_WINDOW)
-        thr = np.uint64(1) << np.uint64(64 - 11)
         for d in range(n_docs):
             g = gear_table()[data[offs[d] : offs[d + 1]]]
             padded = np.concatenate([np.zeros(CDC_WINDOW - 1, dtype=np.uint64), g])
@@ -87,9 +96,19 @@ def _one_cdc_batch(seed: int, n_docs: int, mode: str) -> int:
                 H = np.lib.stride_tricks.sliding_window_view(padded, CDC_WINDOW) @ pw
             acc += int((H < thr).sum())
         return acc
+    if mode == "cdc-ends":
+        # the full shipped boundary scan (Horner H + min/max shaping)
+        for d in range(n_docs):
+            ends = cdc_cut_ends(data[offs[d] : offs[d + 1]].tobytes(), mask_bits=11)
+            acc += int(ends.size)
+        return acc
+    # mode == "cdc": the shipped Horner H-scan alone, apples-to-apples with
+    # cdc-matmul (same threshold count, no cut shaping)
+    from data_deduplication_service_spark.operators.cdc import gear_hashes
+
     for d in range(n_docs):
-        ends = cdc_cut_ends(data[offs[d] : offs[d + 1]].tobytes(), mask_bits=11)
-        acc += int(ends.size)
+        H = gear_hashes(data[offs[d] : offs[d + 1]].tobytes())
+        acc += int((H < thr).sum())
     return acc
 
 
@@ -110,9 +129,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=96)
     ap.add_argument("--docs", type=int, default=1000)
-    ap.add_argument(
-        "--mode", choices=("batch", "perdoc", "cdc", "cdc-matmul"), default="batch"
-    )
+    # cdc modes accept a ':<kb>' doc-size suffix, e.g. cdc-matmul:1024
+    ap.add_argument("--mode", default="batch")
     args = ap.parse_args()
     r8 = run_level(8, args.batches, args.docs, args.mode)
     r32 = run_level(32, args.batches, args.docs, args.mode)
@@ -121,7 +139,7 @@ def main() -> None:
         json.dumps(
             {
                 "kernel": (
-                    f"{args.mode} (gear boundary scan, ~10KB docs)"
+                    f"{args.mode} (gear boundary scan)"
                     if args.mode.startswith("cdc")
                     else f"{args.mode} (hash+unique+minhash, simhash off)"
                 ),
