@@ -609,6 +609,63 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic benchmark split for the decontamination gate: every doc with
+# doc_id ≡ 7 (mod 10) plays the evaluation set, the rest is the training corpus
+BENCH_MOD, BENCH_REM = 10, 7
+
+
+def q_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination (operators/decontaminate.py): training
+    docs whose shingle-set Jaccard vs ANY benchmark doc reaches the
+    near-dup threshold, each with its best benchmark match.
+
+    Correctness-tier config: rows_per_band=1 (LSH1) and the corpus-side
+    bucket cap disabled, so candidates ⊇ all true cross pairs and after
+    exact verification the output EQUALS brute-force cross Jaccard ≥ t —
+    which the oracle computes over the bit-identical HUGEINT shingle
+    hashes, argmax per doc (ties → min bench_id, both sides)."""
+    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.operators.decontaminate import (
+        contaminated_docs,
+        decontamination_pairs,
+    )
+
+    files = _doc_files(spark, sf_dir)
+    bench = files.filter(F.col("file_id") % BENCH_MOD == BENCH_REM)
+    corpus = files.filter(F.col("file_id") % BENCH_MOD != BENCH_REM)
+    pairs = decontamination_pairs(
+        signature_table(corpus, LSH1, keep_shingles=True),
+        signature_table(bench, LSH1, keep_shingles=True),
+        LSH1,
+        max_bucket_size=-1,  # explicit uncapped opt-out (provably complete)
+    )
+    return contaminated_docs(pairs).select(
+        "doc_id", "bench_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_source_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level duplication rollup (operators/repos.py): source pairs
+    sharing verbatim 64-byte segments, with Jaccard over each source's
+    distinct segment-hash set — the fork/mirror/vendored-copy detector one
+    level above the reference's per-file dedup.
+
+    Oracle-complete config: max_sources_per_hash=None (no hot-hash cap),
+    so the output is exactly the pairwise Jaccard of the per-source
+    distinct segment sets, which DuckDB recomputes in the hex domain."""
+    from data_deduplication_service_spark.operators.repos import source_overlap_pairs
+
+    segs = _doc_segments(spark, sf_dir)
+    sources = _docs(spark, sf_dir).select(F.col("doc_id").alias("file_id"), "source")
+    out = source_overlap_pairs(segs, sources, max_sources_per_hash=None)
+    return out.select(
+        "source_a",
+        "source_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (operators/similarity.py:
     cosine_near_dup_pairs): hyperplane-LSH candidates + exact cosine ≥ 0.35.
@@ -817,6 +874,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "simhash_pairs": q_simhash_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "corpus_curation": q_corpus_curation,
+        "benchmark_overlap": q_benchmark_overlap,
+        "source_segment_overlap": q_source_segment_overlap,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
 }
@@ -1385,6 +1444,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster_id, doc_id, quality, CAST(nm AS BIGINT) AS n_members
             FROM m WHERE rk = 1 AND quality >= {CURATION_MIN_QUALITY}
+        """,
+        # decontamination: brute-force CROSS Jaccard (corpus × benchmark
+        # split by doc_id mod), argmax benchmark match per contaminated doc
+        "benchmark_overlap": _gh_cte()
+        + f"""
+            , sz AS (SELECT doc_id, count(*) AS sz FROM gh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS bench, count(*) AS c
+                FROM gh x JOIN gh y USING (hv)
+                WHERE x.doc_id % {BENCH_MOD} <> {BENCH_REM}
+                  AND y.doc_id % {BENCH_MOD} = {BENCH_REM}
+                GROUP BY 1, 2
+            ),
+            pr AS (
+                SELECT a, bench, c * 1.0 / (sa.sz + sb.sz - c) AS jaccard
+                FROM inter
+                JOIN sz sa ON sa.doc_id = a
+                JOIN sz sb ON sb.doc_id = bench
+                WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {_T}
+            ),
+            ranked AS (
+                SELECT a, bench, jaccard, row_number() OVER (
+                    PARTITION BY a ORDER BY jaccard DESC, bench ASC) AS rk
+                FROM pr
+            )
+            SELECT a AS doc_id, bench AS bench_id, round(jaccard, 6) AS jaccard
+            FROM ranked WHERE rk = 1
+        """,
+        # repo rollup: Jaccard over per-source DISTINCT segment sets, in
+        # the byte-exact hex domain (same equivalence classes as the
+        # engine's sha256 segment hashes)
+        "source_segment_overlap": _SEGS_CTE
+        + """
+            , ss AS (
+                SELECT DISTINCT d.source, s.seg
+                FROM segs s JOIN documents d USING (doc_id)
+            ),
+            szs AS (SELECT source, count(*) AS sz FROM ss GROUP BY source),
+            inter AS (
+                SELECT x.source AS source_a, y.source AS source_b, count(*) AS c
+                FROM ss x JOIN ss y USING (seg)
+                WHERE x.source < y.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b,
+                   CAST(c AS BIGINT) AS n_shared,
+                   round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM inter
+            JOIN szs sa ON sa.source = source_a
+            JOIN szs sb ON sb.source = source_b
         """,
         "embedding_near_dup_pairs": """
             SELECT x.vec_id AS a, y.vec_id AS b,

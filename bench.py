@@ -106,6 +106,46 @@ def _scale_near_dup_queries():
         )
         return repeated_substrings_global(files, min_len=100, max_anchor_members=8)
 
+    def benchmark_overlap_scalecfg(spark, sf_dir):
+        # production config for cross-corpus decontamination: finite
+        # corpus-side bucket cap + broadcast benchmark bands (the gate
+        # query runs the uncapped rows_per_band=1 completeness tier)
+        from data_deduplication_service_spark.functions.signatures import (
+            signature_table as sig_tbl,
+        )
+        from data_deduplication_service_spark.operators.decontaminate import (
+            contaminated_docs,
+            decontamination_pairs,
+        )
+
+        files = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+        )
+        bench_side = files.filter(F.col("file_id") % 10 == 7)
+        corpus_side = files.filter(F.col("file_id") % 10 != 7)
+        pairs = decontamination_pairs(
+            sig_tbl(corpus_side, cfg, keep_shingles=True),
+            sig_tbl(bench_side, cfg, keep_shingles=True),
+            cfg,
+        )
+        return contaminated_docs(pairs)
+
+    def source_overlap_scalecfg(spark, sf_dir):
+        # production config for the repo rollup: finite hot-hash cap
+        from data_deduplication_service_spark.operators.repos import (
+            source_overlap_pairs,
+        )
+        from data_deduplication_service_spark.operators.segmentation import (
+            segment_files,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        files = docs.select(F.col("doc_id").alias("file_id"), F.col("text").alias("content"))
+        sources = docs.select(F.col("doc_id").alias("file_id"), "source")
+        return source_overlap_pairs(
+            segment_files(files, cfg), sources, max_sources_per_hash=256
+        )
+
     def substring_containment_scalecfg(spark, sf_dir):
         # production config for the containment tier: finite doc-freq cap +
         # grouped-by-outer verify (the entry-query variant runs uncapped to
@@ -128,6 +168,9 @@ def _scale_near_dup_queries():
         "near_dup_clusters_scalecfg": near_dup_clusters_scalecfg,
         "global_repeats_scalecfg": global_repeats_scalecfg,
         "substring_containment_scalecfg": substring_containment_scalecfg,
+        # added r5 (new operators; pre-existing keys unchanged)
+        "benchmark_overlap_scalecfg": benchmark_overlap_scalecfg,
+        "source_overlap_scalecfg": source_overlap_scalecfg,
     }
 
 

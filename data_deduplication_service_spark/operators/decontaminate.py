@@ -1,0 +1,186 @@
+"""Cross-corpus decontamination: flag training docs that near-duplicate a
+benchmark / evaluation set.
+
+No reference analog (the reference dedups one corpus against itself,
+lib/dbCommon.cpp:204-229); this is the asymmetric variant every LLM
+training-data pipeline runs before training: given the training corpus C
+and a benchmark suite B (|B| ≪ |C| — typically 10^4-10^6 eval documents vs
+10^9-10^12 training docs), remove from C every document whose shingle-set
+Jaccard against ANY benchmark document reaches the near-dup threshold
+(test-set contamination).
+
+Scale shape — everything is sized by |B|, never by |C|:
+
+  1. The benchmark's band table (|B|·bands narrow rows) is BROADCAST; the
+     corpus band table is immediately semi-joined against it, so the only
+     corpus rows that go anywhere are bands whose key also occurs in the
+     benchmark — a sliver proportional to the contamination rate, not to
+     |C|. The corpus band table itself never shuffles.
+  2. Hot-bucket cap: a boilerplate band key (license header, prompt
+     template) can occur in b benchmark docs × c corpus docs → b·c
+     candidates with c unbounded. Keys whose CORPUS-side count exceeds
+     ``max_bucket_size`` are dropped from candidate generation and
+     reported via :func:`decontamination_overflow_keys` — the same
+     capped-but-observable contract as every other cap in this engine.
+     (Members still reach candidates through their other, more selective
+     bands, exactly like the symmetric LSH path.)
+  3. Verification is exact Jaccard over shingle-hash sets: corpus shingle
+     arrays are semi-join-pruned to candidate docs only, benchmark shingle
+     arrays ride the broadcast. Content bytes never move at all.
+
+At the correctness-tier config (rows_per_band=1, cap=None) candidates are
+a superset of all true cross pairs with J ≥ t (any pair sharing one
+shingle shares a band), so after exact verification the output EQUALS
+brute-force cross-corpus Jaccard — the DuckDB oracle for the
+``benchmark_overlap`` gate query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_deduplication_service_spark.cache import persist_scoped
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.operators.lsh import band_table
+
+
+def _cross_candidates(
+    corpus_bands: DataFrame,
+    bench_bands: DataFrame,
+    max_bucket_size: int | None,
+    broadcast_benchmark: bool,
+) -> DataFrame:
+    """(doc_id, bench_id) distinct candidates from shared band keys.
+
+    ``broadcast_benchmark`` pins the small side. NOTE the ceiling: the
+    broadcast is ~24 bytes per benchmark band row (|B|·bands rows) — fine
+    to |B| ≈ 10^7; above that pass False for a shuffle-hash plan.
+    """
+    bench = bench_bands.select(
+        "band_id", "band_hash", F.col("file_id").alias("bench_id")
+    )
+    bench_side = F.broadcast(bench) if broadcast_benchmark else bench.hint("shuffle_hash")
+    # semi-join first: corpus band rows whose key never occurs in the
+    # benchmark generate nothing — prune them BEFORE any counting so the
+    # cap aggregation runs on the contamination sliver, not on |C|·bands
+    keys = bench.select("band_id", "band_hash").distinct()
+    keys_side = F.broadcast(keys) if broadcast_benchmark else keys
+    sliver = corpus_bands.join(keys_side, ["band_id", "band_hash"], "left_semi")
+    if max_bucket_size is not None:
+        sliver = persist_scoped(sliver)  # feeds the count AND the join
+        ok = (
+            sliver.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") <= max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        ok_side = F.broadcast(ok) if broadcast_benchmark else ok
+        sliver = sliver.join(ok_side, ["band_id", "band_hash"], "left_semi")
+    return (
+        sliver.select("band_id", "band_hash", F.col("file_id").alias("doc_id"))
+        .join(bench_side, ["band_id", "band_hash"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+
+
+def decontamination_pairs(
+    corpus_sig: DataFrame,
+    benchmark_sig: DataFrame,
+    cfg: DedupConfig,
+    max_bucket_size: int | None = None,
+    broadcast_benchmark: bool = True,
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """All (doc_id, bench_id, jaccard) cross pairs with exact J ≥ threshold.
+
+    Both inputs are signature tables (``signature_table(...,
+    keep_shingles=True)``) keyed by ``file_id``; the two id namespaces may
+    overlap (``exclude_same_id=True`` drops identity pairs when the
+    benchmark is drawn from the corpus itself).
+
+    ``max_bucket_size`` caps the CORPUS-side members per band key
+    (default: ``cfg.max_bucket_size``; pass ``None`` explicitly via the
+    gate query for the provably-complete uncapped tier — this operator's
+    default is the PRODUCTION cap because a boilerplate key is unbounded
+    on the corpus side).
+    """
+    if max_bucket_size is None:
+        max_bucket_size = cfg.max_bucket_size
+    elif max_bucket_size <= 0:  # explicit uncapped opt-out
+        max_bucket_size = None
+    cands = _cross_candidates(
+        band_table(corpus_sig, cfg),
+        band_table(benchmark_sig, cfg),
+        max_bucket_size,
+        broadcast_benchmark,
+    )
+    if exclude_same_id:
+        cands = cands.filter(F.col("doc_id") != F.col("bench_id"))
+    cands = persist_scoped(cands)
+
+    # exact verify: corpus shingles pruned to candidate docs (semi-join —
+    # the ONLY corpus-sized column that moves, and only for flagged docs);
+    # benchmark shingles ride the same broadcast decision as the bands
+    involved = cands.select(F.col("doc_id").alias("file_id")).distinct()
+    csh = corpus_sig.join(involved, "file_id", "left_semi").select(
+        F.col("file_id").alias("doc_id"), F.col("shingles").alias("_sc")
+    )
+    bsh = benchmark_sig.select(
+        F.col("file_id").alias("bench_id"), F.col("shingles").alias("_sb")
+    )
+    bsh_side = F.broadcast(bsh) if broadcast_benchmark else bsh
+    inter = F.size(F.array_intersect("_sc", "_sb"))
+    return (
+        cands.join(csh, "doc_id")
+        .join(bsh_side, "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.try_divide(inter, F.size("_sc") + F.size("_sb") - inter)
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= cfg.jaccard_threshold)
+    )
+
+
+def contaminated_docs(pairs: DataFrame) -> DataFrame:
+    """One row per contaminated corpus doc: its best benchmark match.
+
+    max_by aggregate (no window sort): highest jaccard, ties broken by the
+    LOWEST bench_id — deterministic across partitionings.
+    """
+    return pairs.groupBy("doc_id").agg(
+        F.max_by(
+            F.struct(F.col("bench_id"), F.col("jaccard")),
+            F.struct(F.col("jaccard"), (-F.col("bench_id")).alias("_nb")),
+        ).alias("m")
+    ).select("doc_id", F.col("m.bench_id").alias("bench_id"), F.col("m.jaccard").alias("jaccard"))
+
+
+def decontaminate(corpus: DataFrame, pairs: DataFrame, id_col: str = "file_id") -> DataFrame:
+    """Corpus minus contaminated docs (left-anti on the flagged ids)."""
+    flagged = pairs.select(F.col("doc_id").alias(id_col)).distinct()
+    return corpus.join(flagged, id_col, "left_anti")
+
+
+def decontamination_overflow_keys(
+    corpus_sig: DataFrame,
+    benchmark_sig: DataFrame,
+    cfg: DedupConfig,
+    max_bucket_size: int | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The band keys the corpus-side cap excluded — logged, never silent."""
+    if max_bucket_size is None:
+        max_bucket_size = cfg.max_bucket_size
+    keys = band_table(benchmark_sig, cfg).select("band_id", "band_hash").distinct()
+    keys_side = F.broadcast(keys) if broadcast_benchmark else keys
+    return (
+        band_table(corpus_sig, cfg)
+        .join(keys_side, ["band_id", "band_hash"], "left_semi")
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("corpus_bucket_size"))
+        .filter(F.col("corpus_bucket_size") > max_bucket_size)
+    )

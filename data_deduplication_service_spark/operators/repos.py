@@ -1,0 +1,120 @@
+"""Repo-level duplication rollup: which repository pairs share content.
+
+The reference's unit of dedup is the file (lib/dbCommon.cpp:204-229); on a
+source-code corpus (repo, path, content) the question one level up is
+cross-REPO redundancy — forks, mirrors, vendored copies — measured as
+Jaccard over each repo's distinct SEGMENT-hash set (the same segment store
+the exact tier builds, so "shared" means shared verbatim 64-byte blocks,
+robust to file renames and partial copies).
+
+Scale shape:
+
+  1. ``(source, segment_hash)`` is deduped FIRST (one shuffle, map-side
+     combined) — within-repo repetition never inflates the join.
+  2. Hot-hash cap: a segment present in more than ``max_sources_per_hash``
+     repos (license boilerplate, empty-ish blocks — at corpus scale a
+     single hot hash across 10^6 repos would emit 5·10^11 pairs from one
+     key) is excluded from pair generation and reported via
+     :func:`source_overlap_overflow_hashes`, never silently dropped.
+     Members still co-occur through their less-common shared segments.
+  3. Pair generation is the map-side expansion used by the LSH candidate
+     path: collect the (cap-bounded) sorted source list per hash, expand
+     (a < b) pairs in whole-stage codegen, count per pair — no self-join
+     of the exploded table, ONE logical shuffle of the deduped rows.
+  4. Per-repo set sizes join in at the very end, on the (already tiny)
+     pair table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_deduplication_service_spark.cache import persist_scoped
+
+
+def source_overlap_pairs(
+    segments: DataFrame,
+    file_sources: DataFrame,
+    max_sources_per_hash: int | None = 256,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(source_a, source_b, n_shared, jaccard) for repo pairs sharing segments.
+
+    ``segments``: (file_id, segment_hash) — the exact tier's mapping table.
+    ``file_sources``: (file_id, source) — file→repo.
+    ``max_sources_per_hash``: drop hashes hotter than this many repos
+    (``None`` = uncapped, the provably-complete oracle tier).
+    ``min_shared``: noise floor on shared distinct segments per pair.
+
+    jaccard = |A∩B| / |A∪B| over the two repos' distinct segment-hash
+    sets. n_shared/jaccard are computed over CAP-SURVIVING hashes on both
+    the intersection and the sizes, so the ratio stays a true Jaccard of
+    the filtered sets (mixing capped intersections with uncapped sizes
+    would bias it low).
+    """
+    sh = (
+        segments.join(file_sources, "file_id")
+        .select("source", "segment_hash")
+        .distinct()
+    )
+    if max_sources_per_hash is not None:
+        sh = persist_scoped(sh)  # feeds the df count and the gather
+        ok = (
+            sh.groupBy("segment_hash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_sources_per_hash)
+            .select("segment_hash")
+        )
+        sh = sh.join(ok, "segment_hash", "left_semi")
+    sh = persist_scoped(sh)  # sizes + pair gather share one computation
+
+    sizes = sh.groupBy("source").agg(F.count("*").alias("_sz"))
+    members = (
+        sh.groupBy("segment_hash")
+        .agg(F.sort_array(F.collect_list("source")).alias("_m"))
+        .filter(F.size("_m") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size("_m")),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    shared = (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.select(F.col("source").alias("source_a"), F.col("_sz").alias("_sa")), "source_a")
+        .join(sizes.select(F.col("source").alias("source_b"), F.col("_sz").alias("_sb")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.try_divide(F.col("n_shared"), F.col("_sa") + F.col("_sb") - F.col("n_shared"))
+            .cast("double")
+            .alias("jaccard"),
+        )
+    )
+
+
+def source_overlap_overflow_hashes(
+    segments: DataFrame,
+    file_sources: DataFrame,
+    max_sources_per_hash: int = 256,
+) -> DataFrame:
+    """Segment hashes the repo-df cap excluded — logged, never silent."""
+    return (
+        segments.join(file_sources, "file_id")
+        .select("source", "segment_hash")
+        .distinct()
+        .groupBy("segment_hash")
+        .agg(F.count("*").alias("n_sources"))
+        .filter(F.col("n_sources") > max_sources_per_hash)
+    )

@@ -1,0 +1,133 @@
+"""Cross-corpus decontamination (operators/decontaminate.py).
+
+The completeness claim under test: at rows_per_band=1 with the cap
+disabled, the flagged set EQUALS brute-force cross-corpus Jaccard ≥ t
+(the pure-Python oracle). Production-config tests pin the cap + overflow
+contract and broadcast/shuffle plan parity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.functions.signatures import signature_table
+from data_deduplication_service_spark.operators.decontaminate import (
+    contaminated_docs,
+    decontaminate,
+    decontamination_overflow_keys,
+    decontamination_pairs,
+)
+from data_deduplication_service_spark.sources import synthesize_corpus, with_file_identity
+from tests.oracle import true_near_dup_pairs
+
+CFG1 = DedupConfig(bands=128, rows_per_band=1, min_band_collisions=1, max_bucket_size=10**9)
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    files = with_file_identity(synthesize_corpus(spark, 400, seed=7)).cache()
+    bench = files.filter(F.col("file_id") % 5 == 0)
+    corpus = files.filter(F.col("file_id") % 5 != 0)
+    contents = {r.file_id: r.content for r in files.collect()}
+    truth = {
+        (a, b) if a % 5 != 0 else (b, a): j
+        for a, b, j in true_near_dup_pairs(contents, CFG1.shingle_k, CFG1.jaccard_threshold)
+        if (a % 5 == 0) != (b % 5 == 0)
+    }  # keyed (corpus_doc, bench_doc)
+    sig_c = signature_table(corpus, CFG1, keep_shingles=True).cache()
+    sig_b = signature_table(bench, CFG1, keep_shingles=True).cache()
+    return corpus, sig_c, sig_b, truth
+
+
+def test_pairs_equal_bruteforce_cross_jaccard(split_corpus):
+    _, sig_c, sig_b, truth = split_corpus
+    assert len(truth) >= 5, "fixture must contain real cross-split near-dups"
+    got = {
+        (r.doc_id, r.bench_id): r.jaccard
+        for r in decontamination_pairs(sig_c, sig_b, CFG1, max_bucket_size=-1).collect()
+    }
+    assert set(got) == set(truth)
+    for k, j in truth.items():
+        assert abs(got[k] - j) < 1e-9, k
+
+
+def test_contaminated_docs_argmax_and_ties(spark):
+    pairs = spark.createDataFrame(
+        [
+            (1, 10, 0.8), (1, 11, 0.9),        # higher jaccard wins
+            (2, 20, 0.75), (2, 12, 0.75),      # tie → LOWER bench_id
+        ],
+        "doc_id long, bench_id long, jaccard double",
+    )
+    got = {r.doc_id: (r.bench_id, r.jaccard) for r in contaminated_docs(pairs).collect()}
+    assert got == {1: (11, 0.9), 2: (12, 0.75)}
+
+
+def test_decontaminate_removes_exactly_flagged(split_corpus):
+    corpus, sig_c, sig_b, truth = split_corpus
+    pairs = decontamination_pairs(sig_c, sig_b, CFG1, max_bucket_size=-1)
+    clean = decontaminate(corpus, pairs)
+    flagged = {a for (a, _) in truth}
+    kept = {r.file_id for r in clean.select("file_id").collect()}
+    all_ids = {r.file_id for r in corpus.select("file_id").collect()}
+    assert kept == all_ids - flagged
+
+
+def test_shuffle_plan_parity(split_corpus):
+    """broadcast_benchmark=False (the |B| ≳ 10^7 path) → identical rows."""
+    _, sig_c, sig_b, truth = split_corpus
+    got = {
+        (r.doc_id, r.bench_id)
+        for r in decontamination_pairs(
+            sig_c, sig_b, CFG1, max_bucket_size=-1, broadcast_benchmark=False
+        ).collect()
+    }
+    assert got == set(truth)
+
+
+def test_benchmark_side_is_broadcast(split_corpus):
+    _, sig_c, sig_b, _ = split_corpus
+    plan = decontamination_pairs(sig_c, sig_b, CFG1)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # the full corpus band table must NOT be exchanged before its semi-join
+    # prune: every corpus-side shuffle in this plan operates on the
+    # contamination sliver (post-semi-join), which plan text can't show —
+    # but the broadcast of the benchmark side is the load-bearing assert.
+
+
+def test_hot_key_cap_and_overflow_report(spark):
+    """A shared boilerplate block floods one band key; the cap drops it,
+    the report names it, and a genuinely near-dup pair still surfaces via
+    its other (selective) bands."""
+    boiler = "".join(f"license header line {i % 7}; " for i in range(60))
+    rows = [(i, boiler + f"wildly distinct payload {i} " * 20 + f"tail{i}") for i in range(30)]
+    # 100/101: true near-dups of each other (and not of the boilerplate-only crowd)
+    rows.append((100, boiler + "shared unique payload " * 30 + "alpha"))
+    rows.append((101, boiler + "shared unique payload " * 30 + "beta"))
+    bench = spark.createDataFrame(rows[-1:], "file_id long, content string")
+    corpus = spark.createDataFrame(rows[:-1], "file_id long, content string")
+    cfg = CFG1
+    sig_c = signature_table(corpus, cfg, keep_shingles=True)
+    sig_b = signature_table(bench, cfg, keep_shingles=True)
+
+    uncapped = decontamination_pairs(sig_c, sig_b, cfg, max_bucket_size=-1)
+    capped = decontamination_pairs(sig_c, sig_b, cfg, max_bucket_size=5)
+    got_u = {(r.doc_id, r.bench_id) for r in uncapped.collect()}
+    got_c = {(r.doc_id, r.bench_id) for r in capped.collect()}
+    assert (100, 101) in got_u
+    assert got_c <= got_u  # the cap can only drop candidates, never invent
+    assert (100, 101) in got_c, "selective bands must survive the hot-key cap"
+    over = decontamination_overflow_keys(sig_c, sig_b, cfg, max_bucket_size=5)
+    assert over.count() > 0, "the flooded keys must be reported, not silent"
+
+
+def test_same_id_exclusion(spark):
+    rows = [(1, "identical content " * 30), (2, "other text entirely " * 30)]
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    sig = signature_table(df, CFG1, keep_shingles=True)
+    with_self = decontamination_pairs(sig, sig, CFG1, max_bucket_size=-1)
+    assert {(r.doc_id, r.bench_id) for r in with_self.collect()} == {(1, 1), (2, 2)}
+    without = decontamination_pairs(sig, sig, CFG1, max_bucket_size=-1, exclude_same_id=True)
+    assert without.count() == 0

@@ -78,6 +78,8 @@ _DOC_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "near_dup_clusters",
+    "benchmark_overlap",
+    "source_segment_overlap",
 ]
 
 

@@ -1,0 +1,149 @@
+"""Repo-level duplication rollup (operators/repos.py)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.operators.repos import (
+    source_overlap_overflow_hashes,
+    source_overlap_pairs,
+)
+from data_deduplication_service_spark.operators.segmentation import segment_files
+
+SEG = 64
+
+
+def _segment_set(content: str) -> set[bytes]:
+    b = content.encode("utf-8")
+    return {b[i : i + SEG] for i in range(0, len(b), SEG)}
+
+
+def _python_overlap(docs: list[tuple[int, str, str]], cap: int | None = None):
+    """(source_a, source_b) → (n_shared, jaccard) from first principles."""
+    per_source: dict[str, set[bytes]] = {}
+    for _, content, source in docs:
+        per_source.setdefault(source, set()).update(_segment_set(content))
+    if cap is not None:
+        hot = {
+            s
+            for s in set().union(*per_source.values())
+            if sum(s in v for v in per_source.values()) > cap
+        }
+        per_source = {k: v - hot for k, v in per_source.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(per_source), 2):
+        inter = len(per_source[a] & per_source[b])
+        if inter:
+            out[(a, b)] = (inter, inter / len(per_source[a] | per_source[b]))
+    return out
+
+
+def _spark_inputs(spark, docs):
+    files = spark.createDataFrame(
+        [(i, c) for i, c, _ in docs], "file_id long, content string"
+    )
+    sources = spark.createDataFrame(
+        [(i, s) for i, _, s in docs], "file_id long, source string"
+    )
+    segs = segment_files(files, DedupConfig())
+    return segs, sources
+
+
+def _docs_fixture():
+    # tag-unique filler: no two DIFFERENT tags can ever share a segment,
+    # and within one block the 64-byte windows land on distinct phases of
+    # the repeating pattern (pattern length is coprime-ish to 64), so each
+    # block contributes exactly n distinct segments
+    block = lambda tag, n: (f"{tag} block contents filler " * (SEG * n))[: SEG * n]  # noqa: E731
+    shared_ab = block("AB", 3)           # 3 segments shared by repo a and b
+    shared_all = block("ALL", 1)         # 1 segment in every repo (hot)
+    return [
+        (1, shared_ab + shared_all + block("a1", 2), "repo_a"),
+        (2, shared_ab + block("b1", 1), "repo_b"),
+        (3, shared_all + block("b2", 2), "repo_b"),   # within-repo variety
+        (4, shared_all + block("c1", 4), "repo_c"),
+        (5, block("d1", 2), "repo_d"),                # overlaps nobody
+    ]
+
+
+def test_matches_python_oracle(spark):
+    docs = _docs_fixture()
+    segs, sources = _spark_inputs(spark, docs)
+    got = {
+        (r.source_a, r.source_b): (r.n_shared, r.jaccard)
+        for r in source_overlap_pairs(segs, sources, max_sources_per_hash=None).collect()
+    }
+    exp = _python_overlap(docs)
+    assert set(got) == set(exp)
+    for k, (n, j) in exp.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - j) < 1e-9, k
+
+
+def test_within_repo_repeats_do_not_inflate(spark):
+    """The same segment appearing in 5 files of one repo counts ONCE."""
+    seg = "Z" * SEG
+    docs = [(i, seg, "repo_x") for i in range(5)] + [(99, seg, "repo_y")]
+    segs, sources = _spark_inputs(spark, docs)
+    rows = source_overlap_pairs(segs, sources, max_sources_per_hash=None).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b, r.n_shared, r.jaccard) == ("repo_x", "repo_y", 1, 1.0)
+
+
+def test_hot_hash_cap_filters_both_sides_of_the_ratio(spark):
+    """Capped hashes leave the intersection AND the set sizes — the
+    reported jaccard is a true Jaccard of the filtered sets."""
+    docs = _docs_fixture()
+    segs, sources = _spark_inputs(spark, docs)
+    got = {
+        (r.source_a, r.source_b): (r.n_shared, r.jaccard)
+        for r in source_overlap_pairs(segs, sources, max_sources_per_hash=2).collect()
+    }
+    exp = _python_overlap(docs, cap=2)  # drops the 3-repo shared_all segment
+    assert set(got) == set(exp)
+    for k, (n, j) in exp.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - j) < 1e-9, k
+    over = source_overlap_overflow_hashes(segs, sources, max_sources_per_hash=2)
+    assert over.count() == 1  # exactly the shared_all segment
+    assert over.collect()[0].n_sources == 3
+
+
+def test_min_shared_floor(spark):
+    docs = _docs_fixture()
+    segs, sources = _spark_inputs(spark, docs)
+    rows = source_overlap_pairs(segs, sources, max_sources_per_hash=None, min_shared=2).collect()
+    exp = {k for k, (n, _) in _python_overlap(docs).items() if n >= 2}
+    assert {(r.source_a, r.source_b) for r in rows} == exp
+
+
+def test_pair_expansion_is_map_side(spark):
+    """Plan shape: no self-join of the exploded (source, hash) table — the
+    pair expansion must come from the collected member array (one
+    aggregate + Generate explode), mirroring the LSH candidate path.
+
+    Counted on the ANALYZED logical plan: the optimized/physical strings
+    re-embed cached-relation child plans, double-counting joins."""
+    import re
+
+    docs = _docs_fixture()
+    segs, sources = _spark_inputs(spark, docs)
+    plan = (
+        source_overlap_pairs(segs, sources, max_sources_per_hash=None)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    # joins exist on file_id (source attach) and source_a/source_b (sizes),
+    # but NONE may be keyed on the segment hash — that would be the exploded
+    # self-join this operator exists to avoid. (Join-node COUNTS are not
+    # assertable: the analyzed tree inlines the shared subtree per branch.)
+    bad = [
+        m.group(0)
+        for m in re.finditer(r"Join \w+[^\n]*", plan)
+        if "segment_hash" in m.group(0)
+    ]
+    assert not bad, bad
+    assert "explode" in plan, "map-side pair expansion missing"
