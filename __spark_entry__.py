@@ -624,7 +624,6 @@ def q_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verification the output EQUALS brute-force cross Jaccard ≥ t —
     which the oracle computes over the bit-identical HUGEINT shingle
     hashes, argmax per doc (ties → min bench_id, both sides)."""
-    from data_deduplication_service_spark.functions.signatures import signature_table
     from data_deduplication_service_spark.operators.decontaminate import (
         contaminated_docs,
         decontamination_pairs,
@@ -634,8 +633,8 @@ def q_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = files.filter(F.col("file_id") % BENCH_MOD == BENCH_REM)
     corpus = files.filter(F.col("file_id") % BENCH_MOD != BENCH_REM)
     pairs = decontamination_pairs(
-        signature_table(corpus, LSH1, keep_shingles=True),
-        signature_table(bench, LSH1, keep_shingles=True),
+        corpus,
+        bench,
         LSH1,
         max_bucket_size=-1,  # explicit uncapped opt-out (provably complete)
     )

@@ -110,9 +110,6 @@ def _scale_near_dup_queries():
         # production config for cross-corpus decontamination: finite
         # corpus-side bucket cap + broadcast benchmark bands (the gate
         # query runs the uncapped rows_per_band=1 completeness tier)
-        from data_deduplication_service_spark.functions.signatures import (
-            signature_table as sig_tbl,
-        )
         from data_deduplication_service_spark.operators.decontaminate import (
             contaminated_docs,
             decontamination_pairs,
@@ -123,12 +120,7 @@ def _scale_near_dup_queries():
         )
         bench_side = files.filter(F.col("file_id") % 10 == 7)
         corpus_side = files.filter(F.col("file_id") % 10 != 7)
-        pairs = decontamination_pairs(
-            sig_tbl(corpus_side, cfg, keep_shingles=True),
-            sig_tbl(bench_side, cfg, keep_shingles=True),
-            cfg,
-        )
-        return contaminated_docs(pairs)
+        return contaminated_docs(decontamination_pairs(corpus_side, bench_side, cfg))
 
     def source_overlap_scalecfg(spark, sf_dir):
         # production config for the repo rollup: finite hot-hash cap

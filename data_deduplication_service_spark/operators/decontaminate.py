@@ -9,14 +9,24 @@ and a benchmark suite B (|B| ≪ |C| — typically 10^4-10^6 eval documents vs
 Jaccard against ANY benchmark document reaches the near-dup threshold
 (test-set contamination).
 
-Scale shape — everything is sized by |B|, never by |C|:
+Scale shape — everything downstream of one lean corpus scan is sized by
+|B| and the contamination rate, never by |C|:
 
-  1. The benchmark's band table (|B|·bands narrow rows) is BROADCAST; the
-     corpus band table is immediately semi-joined against it, so the only
-     corpus rows that go anywhere are bands whose key also occurs in the
-     benchmark — a sliver proportional to the contamination rate, not to
-     |C|. The corpus band table itself never shuffles.
-  2. Hot-bucket cap: a boilerplate band key (license header, prompt
+  1. The corpus-side signature kernel runs in the LEAN layout (minhash
+     only, no shingle retention — ~16× narrower rows) and EXACTLY ONCE:
+     the shingle sets needed for verification are re-derived later from
+     content, but only for docs that actually appear in a candidate pair
+     (the kernel's input is semi-join-pruned BEFORE it runs, so the second
+     pass is sized by the contamination rate). Taking a precomputed
+     signature table here instead would force the full-corpus kernel to
+     run once per plan branch — the join cannot push below an Arrow UDF.
+  2. The benchmark's band table (|B|·bands 24-byte rows) is BROADCAST;
+     the corpus band table is immediately semi-joined against it, so the
+     only corpus band rows that go anywhere are keys the benchmark owns —
+     a sliver. The corpus band table itself never shuffles. The benchmark
+     SIGNATURE table (one kernel pass over B) is persisted and feeds all
+     three of its consumers (bands, key set, verify shingles).
+  3. Hot-bucket cap: a boilerplate band key (license header, prompt
      template) can occur in b benchmark docs × c corpus docs → b·c
      candidates with c unbounded. Keys whose CORPUS-side count exceeds
      ``max_bucket_size`` are dropped from candidate generation and
@@ -24,12 +34,13 @@ Scale shape — everything is sized by |B|, never by |C|:
      capped-but-observable contract as every other cap in this engine.
      (Members still reach candidates through their other, more selective
      bands, exactly like the symmetric LSH path.)
-  3. Verification is exact Jaccard over shingle-hash sets: corpus shingle
-     arrays are semi-join-pruned to candidate docs only, benchmark shingle
-     arrays ride the broadcast. Content bytes never move at all.
+  4. Verification is exact Jaccard over shingle-hash sets; both sides are
+     involvement-pruned first. Only 24-byte band rows are ever broadcast —
+     shingle arrays (~8 B × |doc| windows each) never are, on either
+     side. Content bytes never cross a shuffle at all.
 
-At the correctness-tier config (rows_per_band=1, cap=None) candidates are
-a superset of all true cross pairs with J ≥ t (any pair sharing one
+At the correctness-tier config (rows_per_band=1, cap disabled) candidates
+are a superset of all true cross pairs with J ≥ t (any pair sharing one
 shingle shares a band), so after exact verification the output EQUALS
 brute-force cross-corpus Jaccard — the DuckDB oracle for the
 ``benchmark_overlap`` gate query.
@@ -41,6 +52,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from data_deduplication_service_spark.cache import persist_scoped
 from data_deduplication_service_spark.config import DedupConfig
+from data_deduplication_service_spark.functions.signatures import signature_table
 from data_deduplication_service_spark.operators.lsh import band_table
 
 
@@ -85,8 +97,8 @@ def _cross_candidates(
 
 
 def decontamination_pairs(
-    corpus_sig: DataFrame,
-    benchmark_sig: DataFrame,
+    corpus_files: DataFrame,
+    benchmark_files: DataFrame,
     cfg: DedupConfig,
     max_bucket_size: int | None = None,
     broadcast_benchmark: bool = True,
@@ -94,46 +106,55 @@ def decontamination_pairs(
 ) -> DataFrame:
     """All (doc_id, bench_id, jaccard) cross pairs with exact J ≥ threshold.
 
-    Both inputs are signature tables (``signature_table(...,
-    keep_shingles=True)``) keyed by ``file_id``; the two id namespaces may
+    Both inputs are (file_id, content) tables; the two id namespaces may
     overlap (``exclude_same_id=True`` drops identity pairs when the
     benchmark is drawn from the corpus itself).
 
     ``max_bucket_size`` caps the CORPUS-side members per band key
-    (default: ``cfg.max_bucket_size``; pass ``None`` explicitly via the
-    gate query for the provably-complete uncapped tier — this operator's
-    default is the PRODUCTION cap because a boilerplate key is unbounded
-    on the corpus side).
+    (default ``None`` → ``cfg.max_bucket_size``; any value ≤ 0 is the
+    explicit UNCAPPED opt-out for the provably-complete oracle tier —
+    the default is the production cap because a boilerplate key is
+    unbounded on the corpus side).
     """
     if max_bucket_size is None:
         max_bucket_size = cfg.max_bucket_size
     elif max_bucket_size <= 0:  # explicit uncapped opt-out
         max_bucket_size = None
+    # ONE kernel pass over the benchmark, persisted: bands, the key set,
+    # and the verify shingles all read the cached rows
+    bench_sig = persist_scoped(
+        signature_table(benchmark_files, cfg, keep_shingles=True, with_simhash=False)
+    )
+    # ONE lean kernel pass over the corpus (the only full-|C| work here)
+    corpus_bands = band_table(
+        signature_table(corpus_files, cfg, keep_shingles=False, with_simhash=False), cfg
+    )
     cands = _cross_candidates(
-        band_table(corpus_sig, cfg),
-        band_table(benchmark_sig, cfg),
-        max_bucket_size,
-        broadcast_benchmark,
+        corpus_bands, band_table(bench_sig, cfg), max_bucket_size, broadcast_benchmark
     )
     if exclude_same_id:
         cands = cands.filter(F.col("doc_id") != F.col("bench_id"))
     cands = persist_scoped(cands)
 
-    # exact verify: corpus shingles pruned to candidate docs (semi-join —
-    # the ONLY corpus-sized column that moves, and only for flagged docs);
-    # benchmark shingles ride the same broadcast decision as the bands
+    # exact verify: corpus shingles re-derived from CONTENT, but the kernel
+    # input is semi-join-pruned to candidate docs BEFORE it runs — this
+    # second pass is sized by the contamination rate, not |C|. Benchmark
+    # shingles come from the persisted pass, involvement-pruned likewise.
     involved = cands.select(F.col("doc_id").alias("file_id")).distinct()
-    csh = corpus_sig.join(involved, "file_id", "left_semi").select(
-        F.col("file_id").alias("doc_id"), F.col("shingles").alias("_sc")
-    )
-    bsh = benchmark_sig.select(
+    csh = signature_table(
+        corpus_files.join(involved, "file_id", "left_semi"),
+        cfg,
+        keep_shingles=True,
+        with_simhash=False,
+    ).select(F.col("file_id").alias("doc_id"), F.col("shingles").alias("_sc"))
+    hit_bench = cands.select(F.col("bench_id").alias("file_id")).distinct()
+    bsh = bench_sig.join(hit_bench, "file_id", "left_semi").select(
         F.col("file_id").alias("bench_id"), F.col("shingles").alias("_sb")
     )
-    bsh_side = F.broadcast(bsh) if broadcast_benchmark else bsh
     inter = F.size(F.array_intersect("_sc", "_sb"))
     return (
         cands.join(csh, "doc_id")
-        .join(bsh_side, "bench_id")
+        .join(bsh, "bench_id")
         .select(
             "doc_id",
             "bench_id",
@@ -166,8 +187,8 @@ def decontaminate(corpus: DataFrame, pairs: DataFrame, id_col: str = "file_id") 
 
 
 def decontamination_overflow_keys(
-    corpus_sig: DataFrame,
-    benchmark_sig: DataFrame,
+    corpus_files: DataFrame,
+    benchmark_files: DataFrame,
     cfg: DedupConfig,
     max_bucket_size: int | None = None,
     broadcast_benchmark: bool = True,
@@ -175,11 +196,16 @@ def decontamination_overflow_keys(
     """The band keys the corpus-side cap excluded — logged, never silent."""
     if max_bucket_size is None:
         max_bucket_size = cfg.max_bucket_size
-    keys = band_table(benchmark_sig, cfg).select("band_id", "band_hash").distinct()
+    bench_bands = band_table(
+        signature_table(benchmark_files, cfg, keep_shingles=False, with_simhash=False), cfg
+    )
+    corpus_bands = band_table(
+        signature_table(corpus_files, cfg, keep_shingles=False, with_simhash=False), cfg
+    )
+    keys = bench_bands.select("band_id", "band_hash").distinct()
     keys_side = F.broadcast(keys) if broadcast_benchmark else keys
     return (
-        band_table(corpus_sig, cfg)
-        .join(keys_side, ["band_id", "band_hash"], "left_semi")
+        corpus_bands.join(keys_side, ["band_id", "band_hash"], "left_semi")
         .groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("corpus_bucket_size"))
         .filter(F.col("corpus_bucket_size") > max_bucket_size)

@@ -61,7 +61,9 @@ def main() -> None:
         job and report only in their own sections below."""
         return (r.get("n_global_repeat_pairs", -1) < 0
                 and r.get("n_containment_pairs", -1) < 0
-                and r.get("n_cluster_repeat_pairs", -1) < 0)
+                and r.get("n_cluster_repeat_pairs", -1) < 0
+                and r.get("n_decontaminated_docs", -1) < 0
+                and r.get("n_source_overlap_pairs", -1) < 0)
 
     lean = [r for r in runs
             if not r.get("fused") and r.get("n_files") == 1_600_000 and is_base_job(r)]
@@ -276,6 +278,71 @@ def main() -> None:
         "94.4s at 32 cores, 166.7s at 8 cores (16g heap, campaign harness).",
         "",
     ]
+
+    dc = [r for r in runs if r.get("n_decontaminated_docs", -1) >= 0]
+    if dc:
+        lines += [
+            "## Cross-corpus decontamination on the measured scale path",
+            "",
+            "`decontamination_pairs` + `contaminated_docs` (production cap,",
+            "benchmark-band broadcast) with 10% of the corpus (file_id ≡ 7",
+            "mod 10) as the benchmark suite — the asymmetric benchmark-overlap",
+            "removal every training run needs (identical-output invariant",
+            "asserted per corpus size):",
+            "",
+        ]
+        for nf in sorted({r["n_files"] for r in dc}):
+            rows = [r for r in dc if r["n_files"] == nf]
+            n_dc = {r["n_decontaminated_docs"] for r in rows}
+            assert len(n_dc) == 1, f"decontamination outputs differ at {nf}: {n_dc}"
+            lines += [
+                f"{nf:,}-file corpus — **{n_dc.pop():,} contaminated docs flagged,",
+                "identical at every parallelism level:**",
+                "",
+                "| session | rep | cores | decontamination sec | job total sec |",
+                "|---|---|---|---|---|",
+            ]
+            for r in rows:
+                lines.append(
+                    f"| {r['session']} | {r['rep']} | {r['cores']} | "
+                    f"{r['stages_sec'].get('decontamination', '-')} | {r['total_sec']} |"
+                )
+            lines.append("")
+            eff = stage_eff_line(rows, "decontamination")
+            if eff:
+                lines += [eff, ""]
+
+    so = [r for r in runs if r.get("n_source_overlap_pairs", -1) >= 0]
+    if so:
+        lines += [
+            "## Repo-level duplication rollup on the measured scale path",
+            "",
+            "`source_overlap_pairs` (hot-hash cap 256) over synthetic repos of",
+            "~100 files (source = file_id mod n_repos) — cross-repo shared-",
+            "segment Jaccard, the fork/mirror detector (identical-output",
+            "invariant asserted per corpus size):",
+            "",
+        ]
+        for nf in sorted({r["n_files"] for r in so}):
+            rows = [r for r in so if r["n_files"] == nf]
+            n_so = {r["n_source_overlap_pairs"] for r in rows}
+            assert len(n_so) == 1, f"source-overlap outputs differ at {nf}: {n_so}"
+            lines += [
+                f"{nf:,}-file corpus — **{n_so.pop():,} repo pairs sharing segments,",
+                "identical at every parallelism level:**",
+                "",
+                "| session | rep | cores | source_overlap sec | job total sec |",
+                "|---|---|---|---|---|",
+            ]
+            for r in rows:
+                lines.append(
+                    f"| {r['session']} | {r['rep']} | {r['cores']} | "
+                    f"{r['stages_sec'].get('source_overlap', '-')} | {r['total_sec']} |"
+                )
+            lines.append("")
+            eff = stage_eff_line(rows, "source_overlap")
+            if eff:
+                lines += [eff, ""]
 
     if fused:
         lines += [

@@ -57,6 +57,8 @@ def worker(
     with_global_repeats: bool = False,
     with_containment: bool = False,
     with_cluster_repeats: bool = False,
+    with_decontamination: bool = False,
+    with_source_overlap: bool = False,
     containment_cap: int = 50,
 ) -> None:
     from pyspark.sql import SparkSession
@@ -203,6 +205,44 @@ def worker(
         n_containment = cp.count()
         t["containment"] = time.monotonic() - tc
 
+    n_decontaminated = -1
+    if with_decontamination:
+        # cross-corpus decontamination on the measured path: 10% of the
+        # corpus (file_id ≡ 7 mod 10) plays the benchmark suite, production
+        # cap + benchmark-band broadcast; flags = contaminated corpus docs
+        from data_deduplication_service_spark.operators.decontaminate import (
+            contaminated_docs,
+            decontamination_pairs,
+        )
+
+        td = time.monotonic()
+        bench_files = files.filter(F.col("file_id") % 10 == 7)
+        corp_files = files.filter(F.col("file_id") % 10 != 7)
+        flags = contaminated_docs(decontamination_pairs(corp_files, bench_files, cfg))
+        n_decontaminated = flags.count()
+        t["decontamination"] = time.monotonic() - td
+
+    n_source_overlap = -1
+    if with_source_overlap:
+        # repo rollup on the measured path: synthetic repos of ~100 files
+        # (source = file_id mod n_repos — deterministic, same at every
+        # parallelism level), production hot-hash cap 256
+        from data_deduplication_service_spark.operators.repos import (
+            source_overlap_pairs,
+        )
+
+        ts = time.monotonic()
+        n_repos = max(n_files // 100, 1)
+        sources = files.select(
+            "file_id",
+            F.concat(F.lit("repo_"), (F.col("file_id") % n_repos)).alias("source"),
+        )
+        so = source_overlap_pairs(
+            segment_files(files, cfg), sources, max_sources_per_hash=256
+        )
+        n_source_overlap = so.count()
+        t["source_overlap"] = time.monotonic() - ts
+
     n_repeats = -1
     if with_global_repeats:
         # the suffix tier on the measured path (capped exemplar config):
@@ -230,6 +270,8 @@ def worker(
                 "n_global_repeat_pairs": n_repeats,
                 "n_containment_pairs": n_containment,
                 "n_cluster_repeat_pairs": n_cluster_repeats,
+                "n_decontaminated_docs": n_decontaminated,
+                "n_source_overlap_pairs": n_source_overlap,
                 "stages_sec": {k: round(v, 2) for k, v in t.items()},
                 "total_sec": round(total, 2),
                 "files_per_sec": round(n_files / total, 1),
@@ -248,6 +290,8 @@ def orchestrate(
     with_global_repeats: bool = False,
     with_containment: bool = False,
     with_cluster_repeats: bool = False,
+    with_decontamination: bool = False,
+    with_source_overlap: bool = False,
     containment_cap: int = 50,
     legs: tuple[int, ...] = (8, 32),
 ) -> None:
@@ -294,6 +338,10 @@ def orchestrate(
             ) + (
                 ["--with-cluster-repeats"] if with_cluster_repeats else []
             ) + (
+                ["--with-decontamination"] if with_decontamination else []
+            ) + (
+                ["--with-source-overlap"] if with_source_overlap else []
+            ) + (
                 ["--with-containment", "--containment-cap", str(containment_cap)]
                 if with_containment else []
             )
@@ -321,6 +369,8 @@ def orchestrate(
                 or prev.get("n_global_repeat_pairs", -1) != r.get("n_global_repeat_pairs", -1)
                 or prev.get("n_containment_pairs", -1) != r.get("n_containment_pairs", -1)
                 or prev.get("n_cluster_repeat_pairs", -1) != r.get("n_cluster_repeat_pairs", -1)
+                or prev.get("n_decontaminated_docs", -1) != r.get("n_decontaminated_docs", -1)
+                or prev.get("n_source_overlap_pairs", -1) != r.get("n_source_overlap_pairs", -1)
             ):
                 raise RuntimeError(f"outputs differ across runs at {cores} cores: {prev} vs {r}")
             if prev is None or r["files_per_sec"] > prev["files_per_sec"]:
@@ -412,6 +462,12 @@ def main() -> None:
     ap.add_argument("--with-cluster-repeats", action="store_true",
                     help="also measure repeated_substrings_by_cluster over "
                          "the pipeline's own components (anchor route)")
+    ap.add_argument("--with-decontamination", action="store_true",
+                    help="also measure the cross-corpus decontamination tier "
+                         "(10%% of the corpus as the benchmark suite)")
+    ap.add_argument("--with-source-overlap", action="store_true",
+                    help="also measure the repo rollup (synthetic ~100-file "
+                         "repos, hot-hash cap 256)")
     ap.add_argument("--containment-cap", type=int, default=50,
                     help="max_shingle_doc_freq for the containment leg "
                          "(50 = the published 400k protocol)")
@@ -425,6 +481,8 @@ def main() -> None:
                with_global_repeats=args.with_global_repeats,
                with_containment=args.with_containment,
                with_cluster_repeats=args.with_cluster_repeats,
+               with_decontamination=args.with_decontamination,
+               with_source_overlap=args.with_source_overlap,
                containment_cap=args.containment_cap)
     else:
         orchestrate(args.n_files, args.out, repeats=args.repeats,
@@ -432,6 +490,8 @@ def main() -> None:
                     with_global_repeats=args.with_global_repeats,
                     with_containment=args.with_containment,
                     with_cluster_repeats=args.with_cluster_repeats,
+                    with_decontamination=args.with_decontamination,
+                    with_source_overlap=args.with_source_overlap,
                     containment_cap=args.containment_cap,
                     legs=tuple(int(x) for x in args.legs.split(",")))
 

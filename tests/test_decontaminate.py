@@ -12,7 +12,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_deduplication_service_spark.config import DedupConfig
-from data_deduplication_service_spark.functions.signatures import signature_table
 from data_deduplication_service_spark.operators.decontaminate import (
     contaminated_docs,
     decontaminate,
@@ -36,17 +35,15 @@ def split_corpus(spark):
         for a, b, j in true_near_dup_pairs(contents, CFG1.shingle_k, CFG1.jaccard_threshold)
         if (a % 5 == 0) != (b % 5 == 0)
     }  # keyed (corpus_doc, bench_doc)
-    sig_c = signature_table(corpus, CFG1, keep_shingles=True).cache()
-    sig_b = signature_table(bench, CFG1, keep_shingles=True).cache()
-    return corpus, sig_c, sig_b, truth
+    return corpus, bench, truth
 
 
 def test_pairs_equal_bruteforce_cross_jaccard(split_corpus):
-    _, sig_c, sig_b, truth = split_corpus
+    corpus, bench, truth = split_corpus
     assert len(truth) >= 5, "fixture must contain real cross-split near-dups"
     got = {
         (r.doc_id, r.bench_id): r.jaccard
-        for r in decontamination_pairs(sig_c, sig_b, CFG1, max_bucket_size=-1).collect()
+        for r in decontamination_pairs(corpus, bench, CFG1, max_bucket_size=-1).collect()
     }
     assert set(got) == set(truth)
     for k, j in truth.items():
@@ -66,8 +63,8 @@ def test_contaminated_docs_argmax_and_ties(spark):
 
 
 def test_decontaminate_removes_exactly_flagged(split_corpus):
-    corpus, sig_c, sig_b, truth = split_corpus
-    pairs = decontamination_pairs(sig_c, sig_b, CFG1, max_bucket_size=-1)
+    corpus, bench, truth = split_corpus
+    pairs = decontamination_pairs(corpus, bench, CFG1, max_bucket_size=-1)
     clean = decontaminate(corpus, pairs)
     flagged = {a for (a, _) in truth}
     kept = {r.file_id for r in clean.select("file_id").collect()}
@@ -77,19 +74,19 @@ def test_decontaminate_removes_exactly_flagged(split_corpus):
 
 def test_shuffle_plan_parity(split_corpus):
     """broadcast_benchmark=False (the |B| ≳ 10^7 path) → identical rows."""
-    _, sig_c, sig_b, truth = split_corpus
+    corpus, bench, truth = split_corpus
     got = {
         (r.doc_id, r.bench_id)
         for r in decontamination_pairs(
-            sig_c, sig_b, CFG1, max_bucket_size=-1, broadcast_benchmark=False
+            corpus, bench, CFG1, max_bucket_size=-1, broadcast_benchmark=False
         ).collect()
     }
     assert got == set(truth)
 
 
 def test_benchmark_side_is_broadcast(split_corpus):
-    _, sig_c, sig_b, _ = split_corpus
-    plan = decontamination_pairs(sig_c, sig_b, CFG1)._jdf.queryExecution().executedPlan().toString()
+    corpus, bench, _ = split_corpus
+    plan = decontamination_pairs(corpus, bench, CFG1)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
     # the full corpus band table must NOT be exchanged before its semi-join
     # prune: every corpus-side shuffle in this plan operates on the
@@ -109,25 +106,22 @@ def test_hot_key_cap_and_overflow_report(spark):
     bench = spark.createDataFrame(rows[-1:], "file_id long, content string")
     corpus = spark.createDataFrame(rows[:-1], "file_id long, content string")
     cfg = CFG1
-    sig_c = signature_table(corpus, cfg, keep_shingles=True)
-    sig_b = signature_table(bench, cfg, keep_shingles=True)
 
-    uncapped = decontamination_pairs(sig_c, sig_b, cfg, max_bucket_size=-1)
-    capped = decontamination_pairs(sig_c, sig_b, cfg, max_bucket_size=5)
+    uncapped = decontamination_pairs(corpus, bench, cfg, max_bucket_size=-1)
+    capped = decontamination_pairs(corpus, bench, cfg, max_bucket_size=5)
     got_u = {(r.doc_id, r.bench_id) for r in uncapped.collect()}
     got_c = {(r.doc_id, r.bench_id) for r in capped.collect()}
     assert (100, 101) in got_u
     assert got_c <= got_u  # the cap can only drop candidates, never invent
     assert (100, 101) in got_c, "selective bands must survive the hot-key cap"
-    over = decontamination_overflow_keys(sig_c, sig_b, cfg, max_bucket_size=5)
+    over = decontamination_overflow_keys(corpus, bench, cfg, max_bucket_size=5)
     assert over.count() > 0, "the flooded keys must be reported, not silent"
 
 
 def test_same_id_exclusion(spark):
     rows = [(1, "identical content " * 30), (2, "other text entirely " * 30)]
     df = spark.createDataFrame(rows, "file_id long, content string")
-    sig = signature_table(df, CFG1, keep_shingles=True)
-    with_self = decontamination_pairs(sig, sig, CFG1, max_bucket_size=-1)
+    with_self = decontamination_pairs(df, df, CFG1, max_bucket_size=-1)
     assert {(r.doc_id, r.bench_id) for r in with_self.collect()} == {(1, 1), (2, 2)}
-    without = decontamination_pairs(sig, sig, CFG1, max_bucket_size=-1, exclude_same_id=True)
+    without = decontamination_pairs(df, df, CFG1, max_bucket_size=-1, exclude_same_id=True)
     assert without.count() == 0
