@@ -408,11 +408,11 @@ def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hotter than the cap) would silently fail the gate on data the sf
     tiers merely happen not to contain. The scale path keeps the operator's
     finite default cap + containment_overflow_docs observability."""
-    from data_deduplication_service_spark.functions.signatures import signature_table
+    from data_deduplication_service_spark.functions.signatures import shingle_table
     from data_deduplication_service_spark.operators.suffix import substring_containment_pairs
 
     files = _doc_files(spark, sf_dir)
-    sig = signature_table(files, CFG, keep_shingles=True)
+    sig = shingle_table(files, CFG)  # containment consumes ONLY the shingle sets
     out = substring_containment_pairs(files, sig, min_len_bytes=12, max_shingle_doc_freq=None)
     return out.select(
         F.col("inner").alias("inner_doc"), F.col("outer").alias("outer_doc"), "inner_len"

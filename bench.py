@@ -141,10 +141,9 @@ def _scale_near_dup_queries():
     def substring_containment_scalecfg(spark, sf_dir):
         # production config for the containment tier: finite doc-freq cap +
         # grouped-by-outer verify (the entry-query variant runs uncapped to
-        # equal its brute-force oracle)
-        from data_deduplication_service_spark.functions.signatures import (
-            signature_table as sig_tbl,
-        )
+        # equal its brute-force oracle); shingle_table — the operator never
+        # reads minhash, so the 128-perm kernel would be pure waste here
+        from data_deduplication_service_spark.functions.signatures import shingle_table
         from data_deduplication_service_spark.operators.suffix import (
             substring_containment_pairs,
         )
@@ -152,8 +151,7 @@ def _scale_near_dup_queries():
         files = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.col("doc_id").alias("file_id"), F.col("text").alias("content")
         )
-        sig = sig_tbl(files, cfg, keep_shingles=True, with_simhash=False)
-        return substring_containment_pairs(files, sig)
+        return substring_containment_pairs(files, shingle_table(files, cfg))
 
     return {
         "minhash_lsh_pairs_scalecfg": minhash_lsh_pairs_scalecfg,

@@ -397,10 +397,33 @@ def _char_batch_kernel(
     simhash[n]); empty docs get 0 shingles / all-max minhash / simhash 0.
     """
     n_docs = offs.size - 1
-    # per-doc window hashes into a REUSED buffer, then np.unique (whose
-    # output is required anyway — it becomes the returned shingle arrays);
-    # the former full-batch uint64 inflation + window-hash array was the
-    # allocation churn that anti-scales (see _char_batch_positional_minhash)
+    sizes, u, starts, uniqs = _char_batch_shingle_sets(data, offs, k)
+
+    minhash = _batch_minhash(u, starts, sizes, a, b)
+
+    ne = np.nonzero(sizes)[0]
+    simhash = np.zeros(n_docs, dtype=np.int64)
+    if want_simhash:
+        for d in ne:
+            simhash[d] = simhash_from_shingles(uniqs[d])
+    return sizes, u, starts, minhash, simhash
+
+
+def _char_batch_shingle_sets(
+    data: np.ndarray, offs: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Per-doc DISTINCT k-window shingle-hash sets for a whole Arrow batch.
+
+    The set half of the char kernel, shared by :func:`signature_table`
+    (which follows it with the L2-tiled MinHash) and :func:`shingle_table`
+    (which does not). Per-doc window hashes go into a REUSED buffer, then
+    np.unique (whose output is required anyway — it becomes the returned
+    shingle arrays); a full-batch window-hash array here was the
+    allocation churn that anti-scales (see _char_batch_positional_minhash).
+
+    Returns (sizes[n], uniq_concat, starts[n+1], per-doc unique arrays).
+    """
+    n_docs = offs.size - 1
     max_w = int(np.max(offs[1:] - offs[:-1])) if n_docs else 0
     hbuf = _worker_buf("setw_h", max(max_w, 1))
     tmp = _worker_buf("setw_tmp", max(max_w, 1))
@@ -423,15 +446,7 @@ def _char_batch_kernel(
     starts = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(sizes, out=starts[1:])
     u = np.concatenate(uniqs) if n_docs else np.empty(0, dtype=np.uint64)
-
-    minhash = _batch_minhash(u, starts, sizes, a, b)
-
-    ne = np.nonzero(sizes)[0]
-    simhash = np.zeros(n_docs, dtype=np.int64)
-    if want_simhash:
-        for d in ne:
-            simhash[d] = simhash_from_shingles(uniqs[d])
-    return sizes, u, starts, minhash, simhash
+    return sizes, u, starts, uniqs
 
 
 def _batch_minhash(
@@ -641,6 +656,69 @@ def signature_table(
 
     return files.select("file_id", "content").mapInPandas(
         compute, schema=signature_schema(cfg, lean)
+    )
+
+
+def shingle_table(files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(file_id, content) → (file_id, shingles) — the distinct shingle-hash
+    sets ALONE, bit-identical to ``signature_table(...).select("file_id",
+    "shingles")`` (same window-hash + np.unique kernel, property-tested).
+
+    Exists because several verify paths (substring containment's shingle
+    postings, decontamination's exact-Jaccard pass) consume ONLY the
+    shingle sets: ``signature_table`` would additionally run the L2-tiled
+    128-permutation MinHash over every window — the single most expensive
+    kernel in the engine — and throw it away. On those paths this is the
+    difference between one cheap pass and one expensive one over the same
+    bytes. char mode runs the zero-copy Arrow batch kernel; word/segment
+    modes fall back to the signature path (not scale surfaces).
+    """
+    if cfg.shingle_mode != "char":
+        return signature_table(files, cfg, keep_shingles=True, with_simhash=False).select(
+            "file_id", "shingles"
+        )
+    import pyarrow as pa
+
+    k = cfg.shingle_k
+
+    def compute(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            fid = batch.column(batch.schema.get_field_index("file_id"))
+            content = batch.column(batch.schema.get_field_index("content"))
+            data, offs = _utf8_view(content)
+            base = int(offs[0])
+            _sizes, u, starts, _uniqs = _char_batch_shingle_sets(
+                data[base : int(offs[-1])], offs - base, k
+            )
+
+            def emit(lo: int, hi: int) -> pa.RecordBatch:
+                s0, s1 = int(starts[lo]), int(starts[hi])
+                shingles = pa.ListArray.from_arrays(
+                    pa.array((starts[lo : hi + 1] - s0).astype(np.int32), type=pa.int32()),
+                    pa.array(u[s0:s1].view(np.int64)),
+                )
+                return pa.RecordBatch.from_arrays(
+                    [fid.slice(lo, hi - lo), shingles], names=["file_id", "shingles"]
+                )
+
+            if int(starts[-1]) <= _I32_SAFE:
+                yield emit(0, n)
+            else:
+                # split at doc boundaries when the batch's total shingle
+                # count would overflow int32 ListArray offsets (same guard
+                # as the signature path)
+                lo = 0
+                while lo < n:
+                    hi = int(np.searchsorted(starts, starts[lo] + _I32_SAFE, side="right")) - 1
+                    hi = min(max(hi, lo + 1), n)
+                    yield emit(lo, hi)
+                    lo = hi
+
+    return files.select("file_id", "content").mapInArrow(
+        compute, schema="file_id long, shingles array<long>"
     )
 
 

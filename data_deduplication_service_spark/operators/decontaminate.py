@@ -52,7 +52,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from data_deduplication_service_spark.cache import persist_scoped
 from data_deduplication_service_spark.config import DedupConfig
-from data_deduplication_service_spark.functions.signatures import signature_table
+from data_deduplication_service_spark.functions.signatures import (
+    shingle_table,
+    signature_table,
+)
 from data_deduplication_service_spark.operators.lsh import band_table
 
 
@@ -141,11 +144,8 @@ def decontamination_pairs(
     # second pass is sized by the contamination rate, not |C|. Benchmark
     # shingles come from the persisted pass, involvement-pruned likewise.
     involved = cands.select(F.col("doc_id").alias("file_id")).distinct()
-    csh = signature_table(
-        corpus_files.join(involved, "file_id", "left_semi"),
-        cfg,
-        keep_shingles=True,
-        with_simhash=False,
+    csh = shingle_table(
+        corpus_files.join(involved, "file_id", "left_semi"), cfg
     ).select(F.col("file_id").alias("doc_id"), F.col("shingles").alias("_sc"))
     hit_bench = cands.select(F.col("bench_id").alias("file_id")).distinct()
     bsh = bench_sig.join(hit_bench, "file_id", "left_semi").select(

@@ -193,12 +193,15 @@ def worker(
         # the containment suffix tier on the measured path: rarest-shingle
         # posting probes (one per inner doc), doc-freq cap = the published
         # 400k protocol (BENCH/BASELINE.md), grouped-by-outer verify
+        from data_deduplication_service_spark.functions.signatures import shingle_table
         from data_deduplication_service_spark.operators.suffix import (
             substring_containment_pairs,
         )
 
         tc = time.monotonic()
-        sigc = signature_table(files, cfg, keep_shingles=True, with_simhash=False)
+        # shingle_table, not signature_table: containment reads ONLY the
+        # shingle sets — the 128-perm minhash kernel was pure waste here
+        sigc = shingle_table(files, cfg)
         cp = substring_containment_pairs(
             files, sigc, min_len_bytes=12, max_shingle_doc_freq=containment_cap
         )

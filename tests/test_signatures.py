@@ -138,6 +138,52 @@ def test_keep_shingles_batch_split_on_offset_ceiling(spark, monkeypatch):
     assert got == want
 
 
+def test_shingle_table_bit_identical_to_signature_table(spark, small_corpus):
+    """shingle_table (the minhash-free verify-pass kernel) must return the
+    EXACT shingle arrays signature_table computes — same window hashing,
+    same per-doc np.unique — including the edge shapes: empty docs, docs
+    shorter than k (whole-content single shingle), multi-byte UTF-8."""
+    from data_deduplication_service_spark.sources import with_file_identity
+
+    cfg = DedupConfig()
+    files = with_file_identity(small_corpus).limit(40)
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, "ab"), (9003, "x" * cfg.shingle_k),
+         (9004, "дедупликация 🚀 данных " * 7)],
+        "file_id long, content string",
+    )
+    both = files.select("file_id", "content").unionByName(edge)
+    want = {
+        r.file_id: tuple(r.shingles)
+        for r in S.signature_table(both, cfg, keep_shingles=True).collect()
+    }
+    got = {r.file_id: tuple(r.shingles) for r in S.shingle_table(both, cfg).collect()}
+    assert got == want
+
+
+def test_shingle_table_batch_split_on_offset_ceiling(spark, monkeypatch):
+    """Same int32 ListArray offset guard as the signature path."""
+    rows = [(i, f"document body number {i} with plenty of distinct text " * 6) for i in range(12)]
+    files = spark.createDataFrame(rows, "file_id long, content string").coalesce(1)
+    cfg = DedupConfig()
+    want = {r.file_id: tuple(r.shingles) for r in S.shingle_table(files, cfg).collect()}
+    monkeypatch.setattr(S, "_I32_SAFE", 400)  # force multi-slice emission
+    got = {r.file_id: tuple(r.shingles) for r in S.shingle_table(files, cfg).collect()}
+    assert got == want
+
+
+def test_shingle_table_word_mode_fallback(spark):
+    cfg = DedupConfig(shingle_mode="word", shingle_k=3)
+    rows = [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two")]
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    want = {
+        r.file_id: tuple(r.shingles)
+        for r in S.signature_table(files, cfg, keep_shingles=True).collect()
+    }
+    got = {r.file_id: tuple(r.shingles) for r in S.shingle_table(files, cfg).collect()}
+    assert got == want
+
+
 @pytest.mark.parametrize("mode", ["char", "word", "segment"])
 def test_lean_layout_exposes_n_windows_not_n_shingles(spark, mode):
     """The lean scale layout (keep_shingles=False, with_simhash=False) names
