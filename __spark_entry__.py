@@ -697,6 +697,79 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine_sim")
 
 
+# IVF ANN gate config: 8 inverted lists (centroids = the vec_id<8
+# embeddings — deterministic; production trains them via lloyd_refine),
+# 2 probed lists per query
+IVF_K, IVF_NPROBE = 8, 2
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantization ANN (operators/similarity.py:ivf_topk) — the
+    inverted-list scale path beside the hyperplane-LSH tier: corpus assigned
+    map-side to the broadcast codebook (zero shuffle), queries probe their
+    nprobe nearest lists, exact re-rank on probed members only.
+
+    Algorithm-parity oracle: unlike the LSH gates (run at provably-complete
+    configs so output EQUALS brute force), this gate pins the ALGORITHM —
+    the oracle replays the identical assignment (rounded-cosine argmax,
+    min-centroid-id tie), the identical probe set, and the identical
+    re-rank in SQL, so inverted-list membership itself is verified, not
+    just final ranks."""
+    from data_deduplication_service_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries, cents, k=5, nprobe=IVF_NPROBE)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine_sim"
+    )
+
+
+# token-budget mixture gate: per-lang budgets sized so every stratum's rate
+# lands strictly inside (0, 1) at sf0.001/sf0.01 (per-lang totals run
+# ~3.5k-12k tokens there) — the gate exercises the rate derivation AND the
+# 60-bit hash threshold on every stratum
+MIXTURE_BUDGETS = {"de": 2000, "en": 6000, "es": 2500, "fr": 2500, "zh": 2000}
+MIXTURE_SEED = 42
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget mixture (operators/sampling.py): per-lang
+    keep-rates = min(1, budget/total_tokens), then hash-threshold sampling
+    (first 60 bits of sha256("doc_id:seed") < floor(rate·2^60)) — the
+    training-mixture step after curation. Zero shuffle on the corpus side
+    (rates broadcast, sample is a scan filter); replay-stable and nested
+    across budget changes. The oracle recomputes the identical 60-bit hash
+    from DuckDB's sha256 hex and the identical int64 threshold."""
+    from data_deduplication_service_spark.operators.sampling import mixture_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    budgets = spark.createDataFrame(
+        sorted(MIXTURE_BUDGETS.items()), "lang string, budget long"
+    )
+    rates, sampled = mixture_sample(
+        docs, budgets, ["lang"], "n_tokens", key_col="doc_id", seed=MIXTURE_SEED
+    )
+    kept = sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs_kept"), F.sum("n_tokens").alias("kept_tokens")
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        F.col("total_weight").cast("long").alias("total_tokens"),
+        F.col("budget").cast("long").alias("budget"),
+        F.round("rate", 6).alias("sample_rate"),
+        F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+    )
+
+
 # ---- incremental / delta-fold queries (plans/incremental.py) --------------
 
 def _delta_split_files(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -876,6 +949,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "benchmark_overlap": q_benchmark_overlap,
         "source_segment_overlap": q_source_segment_overlap,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "mixture_sample": q_mixture_sample,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
 }
 
@@ -920,6 +995,16 @@ from data_deduplication_service_spark.operators.cdc import (  # noqa: E402
 )
 _POW2_ROWS = ", ".join(
     f"({d}, {1 << d}::HUGEINT, {1 << (64 - d)}::HUGEINT)" for d in range(64)
+)
+
+# sampling oracle constants — imported so the oracle can never drift from
+# the operator's hash-threshold formula (60-bit prefix of sha256)
+from data_deduplication_service_spark.operators.sampling import (  # noqa: E402
+    SAMPLE_HEX_CHARS as _S_HEX,
+    SAMPLE_SPACE as _S_SPACE,
+)
+_POW16_ROWS = ", ".join(
+    f"({i}, {16 ** (_S_HEX - i)}::BIGINT)" for i in range(1, _S_HEX + 1)
 )
 
 
@@ -1355,6 +1440,88 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine_sim
             FROM ranked WHERE rank <= 5
+        """,
+        # IVF ANN, algorithm-parity oracle: the IDENTICAL assignment
+        # (rounded-cosine argmax over the vec_id<K codebook, min-id tie),
+        # the identical nprobe probe lists per query, and the identical
+        # exact re-rank — inverted-list membership is verified, not just
+        # the final ranks
+        "ivf_topk": f"""
+            WITH c AS (
+                SELECT vec_id AS cid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                FROM embeddings WHERE vec_id < {IVF_K}
+            ), e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), asg AS (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cid ASC) AS rk
+                FROM e, c
+            ), a1 AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            pr AS (
+                SELECT query_id, cid, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cid ASC) AS rk
+                FROM q, c
+            ), probes AS (SELECT query_id, cid FROM pr WHERE rk <= {IVF_NPROBE}),
+            cand AS (
+                SELECT p.query_id, a.vec_id
+                FROM probes p JOIN a1 a USING (cid)
+                WHERE a.vec_id != p.query_id
+            ), scored AS (
+                SELECT cand.query_id, cand.vec_id,
+                       round(list_cosine_similarity(q.qv, e.v), 4) AS cosine_sim
+                FROM cand JOIN q USING (query_id) JOIN e USING (vec_id)
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine_sim
+            FROM ranked WHERE rank <= 5
+        """,
+        # token-budget mixture: identical rate derivation (int64/int64 →
+        # double, least(1.0, ·)) and the identical 60-bit hash threshold —
+        # h and floor(rate·2^60) compared as INTEGERS on both sides (a
+        # double-side compare would round the 60-bit hash)
+        "mixture_sample": f"""
+            WITH tok AS (
+                SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+                FROM documents
+            ), b(lang, budget) AS (VALUES {", ".join(
+                f"('{lg}', {bd})" for lg, bd in sorted(MIXTURE_BUDGETS.items())
+            )}),
+            tot AS (
+                SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+                FROM tok GROUP BY lang
+            ), r AS (
+                SELECT tot.lang, tot.total_tokens, b.budget,
+                       least(1.0, b.budget / tot.total_tokens) AS rate
+                FROM tot JOIN b USING (lang)
+            ), p(i, v) AS (VALUES {_POW16_ROWS}),
+            hv AS (
+                SELECT doc_id, lang, n_tokens,
+                       sum((strpos('0123456789abcdef',
+                            substring(sha256(doc_id::VARCHAR || ':{MIXTURE_SEED}'),
+                                      p.i, 1)) - 1) * p.v) AS h
+                FROM tok, p
+                GROUP BY doc_id, lang, n_tokens
+            ), kept AS (
+                SELECT hv.lang, count(*) AS n_docs_kept,
+                       CAST(sum(hv.n_tokens) AS BIGINT) AS kept_tokens
+                FROM hv JOIN r USING (lang)
+                WHERE hv.h < CAST(floor(r.rate * {_S_SPACE}) AS BIGINT)
+                GROUP BY hv.lang
+            )
+            SELECT r.lang, r.total_tokens, CAST(r.budget AS BIGINT) AS budget,
+                   round(r.rate, 6) AS sample_rate,
+                   CAST(coalesce(kept.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+                   CAST(coalesce(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens
+            FROM r LEFT JOIN kept USING (lang)
         """,
         "minhash_lsh_pairs": _gh_cte()
         + _PAIRS_FROM_GH

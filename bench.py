@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "quality_scores",
     "delete_gc_histogram",
     "cdc_segment_stats",  # added r5 (new operator; pre-existing keys unchanged)
+    "mixture_sample",  # added r5 (new operator; pre-existing keys unchanged)
     "q1_pricing_summary",
     "revenue_topk",
     "events_hourly",
@@ -153,6 +154,21 @@ def _scale_near_dup_queries():
         )
         return substring_containment_pairs(files, shingle_table(files, cfg))
 
+    def ivf_topk_scalecfg(spark, sf_dir):
+        # production config for the IVF ANN tier: trained-ish codebook
+        # proxy (first 64 ids), matmul assignment kernel, nprobe=8 — the
+        # gate query runs the K=8 expression path its oracle replays
+        from data_deduplication_service_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = emb.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+        )
+        queries = emb.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return ivf_topk(emb, queries, cents, k=10, nprobe=8, use_kernel=True)
+
     return {
         "minhash_lsh_pairs_scalecfg": minhash_lsh_pairs_scalecfg,
         "near_dup_clusters_scalecfg": near_dup_clusters_scalecfg,
@@ -161,6 +177,7 @@ def _scale_near_dup_queries():
         # added r5 (new operators; pre-existing keys unchanged)
         "benchmark_overlap_scalecfg": benchmark_overlap_scalecfg,
         "source_overlap_scalecfg": source_overlap_scalecfg,
+        "ivf_topk_scalecfg": ivf_topk_scalecfg,
     }
 
 

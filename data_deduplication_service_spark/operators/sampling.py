@@ -1,0 +1,129 @@
+"""Deterministic sampling and token-budget mixture weighting.
+
+The training-data prep step downstream of dedup: after clusters are
+collapsed, a run rarely keeps everything — it targets per-stratum token
+budgets (so much code, so much of each natural language) and needs the
+sample to be DETERMINISTIC so retries, resumed stages, and re-runs on a
+grown corpus keep/drop the same rows (a `rand()` sample breaks
+resumability and lineage; see plans/checkpoint.py).
+
+Mechanism: hash-threshold sampling. Each row's key is hashed to a uniform
+60-bit integer (the first 15 hex chars of sha256("key:seed") — JVM-side
+`sha2`/`conv`, no Python) and kept iff hash < floor(rate * 2^60).
+Properties this buys at 100 TB:
+
+  * zero shuffle — the sample is a pure filter over the scan, pushed to
+    the parquet reader's row-group loop; stratum rates arrive via one
+    broadcast of a tiny rates dim.
+  * nested samples — rate r1 < r2 implies sample(r1) ⊆ sample(r2), so a
+    budget cut reuses yesterday's sample rather than resampling the world.
+  * replay-stable — the same (key, seed) keeps the same rows across
+    retries, executors, and partitionings.
+
+The integer comparison (not a double one) matters: 60-bit hashes don't fit
+a double, so `hash < threshold` is computed in int64 on both the engine
+and the DuckDB oracle — a double-side comparison would round the hash and
+flip boundary rows.
+
+Budget semantics mirror the reference's size-report shape
+(lib/FileService.cpp:55-75 reports per-store byte totals): `budget_rates`
+turns per-stratum weight totals plus a budgets dim into keep-rates
+(min(1, budget/total)); strata without a budget row keep everything.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SAMPLE_HEX_CHARS = 15  # 60 bits of the sha256 digest — fits int64 exactly
+SAMPLE_SPACE = 1 << (4 * SAMPLE_HEX_CHARS)
+
+
+def sample_hash(key: Column, seed: int = 42) -> Column:
+    """Uniform 60-bit int64 from sha256("key:seed") — pure JVM expressions."""
+    digest = F.sha2(F.concat(key.cast("string"), F.lit(f":{seed}")), 256)
+    return F.conv(F.substring(digest, 1, SAMPLE_HEX_CHARS), 16, 10).cast("long")
+
+
+def rate_threshold(rate: Column) -> Column:
+    """floor(rate * 2^60) as int64. 2^60 is exactly representable as a
+    double, and rate=1.0 yields 2^60 itself (> every 60-bit hash), so the
+    endpoints are exact; the multiply+floor is the same IEEE computation
+    the oracle runs."""
+    return F.floor(rate * F.lit(float(SAMPLE_SPACE))).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str = "file_id", seed: int = 42
+) -> DataFrame:
+    """Keep a deterministic `rate` fraction of rows, keyed by `key_col`."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    thr = math.floor(rate * SAMPLE_SPACE)
+    return df.filter(sample_hash(F.col(key_col), seed) < F.lit(thr))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    strata_cols: Sequence[str],
+    key_col: str = "file_id",
+    seed: int = 42,
+    rate_col: str = "rate",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling.
+
+    `rates` is a small dim ((strata..., rate)) — broadcast, so the sample
+    stays a map-side filter over the corpus scan. Strata absent from
+    `rates` fall back to `default_rate` (keep-everything by default).
+    """
+    dim = F.broadcast(rates.select(*strata_cols, rate_col))
+    joined = df.join(dim, list(strata_cols), "left")
+    thr = rate_threshold(F.coalesce(F.col(rate_col), F.lit(float(default_rate))))
+    return joined.filter(sample_hash(F.col(key_col), seed) < thr).drop(rate_col)
+
+
+def budget_rates(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    weight_col: str,
+    budgets: DataFrame,
+    budget_col: str = "budget",
+) -> DataFrame:
+    """(strata..., total_weight, budget, rate): rate = min(1, budget/total).
+
+    One tiny aggregate (|strata| rows) plus a broadcast of the budgets dim;
+    a null budget (stratum not in the dim) means keep everything. The
+    division is int64/int64 → double in both engines, so the oracle's rate
+    is bit-identical.
+    """
+    totals = df.groupBy(*strata_cols).agg(F.sum(weight_col).alias("total_weight"))
+    joined = totals.join(F.broadcast(budgets), list(strata_cols), "left")
+    rate = F.when(F.col(budget_col).isNull(), F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.col(budget_col) / F.col("total_weight"))
+    )
+    return joined.select(
+        *strata_cols, "total_weight", F.col(budget_col).alias("budget"), rate.alias("rate")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: DataFrame,
+    strata_cols: Sequence[str],
+    weight_col: str,
+    key_col: str = "file_id",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """(rates, sampled): derive per-stratum rates from token budgets, then
+    deterministically sample the corpus down to them — the end-to-end
+    mixture step a training run executes after curation."""
+    rates = budget_rates(df, strata_cols, weight_col, budgets)
+    sampled = stratified_sample(
+        df, rates.select(*strata_cols, "rate"), strata_cols, key_col=key_col, seed=seed
+    )
+    return rates, sampled

@@ -167,6 +167,256 @@ def cosine_near_dup_pairs(
     return scored.filter(F.col("cosine_sim") >= threshold)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file / coarse-quantization) ANN — the bucketed scale path
+# that complements the hyperplane-LSH tier: a small centroid codebook
+# partitions the corpus into K inverted lists; queries probe only the
+# nprobe nearest lists. At 100 TB the corpus is scanned ONCE map-side for
+# assignment (the codebook is a broadcast constant — no N×K shuffle), the
+# probe join broadcasts Q×nprobe rows, and only probed-list members reach
+# the exact re-rank.
+# ---------------------------------------------------------------------------
+
+
+def collect_codebook(
+    centroids: DataFrame, id_col: str = "centroid_id", vec_col: str = "centroid_vec"
+) -> list[tuple[int, list[float]]]:
+    """Centroid codebook as a driver-side constant, sorted by centroid id.
+
+    Small by construction (K ≈ √N lists even at extreme scale is ~10^6×dim
+    floats; typical K is 2^8..2^16) — the same footprint every IVF engine
+    broadcasts. Sorting by id pins the argmax tie rule (min centroid id)
+    for both the expression and the numpy kernel paths."""
+    rows = centroids.select(id_col, vec_col).collect()
+    return sorted(((int(r[0]), [float(x) for x in r[1]]) for r in rows), key=lambda t: t[0])
+
+
+def _centroid_scores(vec: Column, codebook: list[tuple[int, list[float]]], round_digits: int):
+    """Array of struct(cos, -cid) per row — lexicographic max/sort over it
+    implements (cosine DESC, centroid_id ASC) exactly like the oracle's
+    row_number ordering. Cosine uses the same JVM fold as brute_force_topk
+    (proven ≡ DuckDB's list_cosine_similarity under rounding by the
+    embedding_topk gate)."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(cosine(vec, F.array(*[F.lit(x) for x in cv])), round_digits).alias("c"),
+                F.lit(-cid).cast("long").alias("nid"),
+            )
+            for cid, cv in codebook
+        ]
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(vec_id, centroid_id): nearest codebook entry by rounded cosine
+    (tie: min centroid id). Pure projection — zero shuffle, whole-stage
+    codegen; the correctness-tier path the oracle replays exactly."""
+    best = F.array_max(_centroid_scores(F.col(vec_col), codebook, round_digits))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), (-best["nid"]).cast("long").alias("centroid_id")
+    )
+
+
+def ivf_assign_kernel(
+    embeddings: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The scale path for large K: one (B, dim) @ (dim, K) matmul per Arrow
+    batch instead of K expression folds per row. Still zero shuffle. The
+    per-batch transients are O(B·K) floats — batches are row-bounded by
+    Arrow config, and no batch-lifetime buffer grows with the corpus
+    (measurement rule 11). Pytest-pinned ≡ ivf_assign on the test corpus."""
+    cids = np.array([cid for cid, _ in codebook], dtype=np.int64)
+    mat = np.array([cv for _, cv in codebook], dtype=np.float64)  # (K, dim)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = np.round(vn @ matn.T, round_digits)  # (B, K)
+            # argmax returns the FIRST max — codebook is cid-sorted, so the
+            # tie rule (min centroid id) matches ivf_assign
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "centroid_id": cids[np.argmax(sims, axis=1)]}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema="vec_id long, centroid_id long"
+    )
+
+
+def ivf_probes(
+    queries: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    nprobe: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, centroid_id): each query's nprobe nearest inverted lists
+    (rounded cosine DESC, centroid id ASC) — a pure projection over the
+    (small) query side."""
+    ranked = F.slice(
+        F.sort_array(_centroid_scores(F.col("query_vec"), codebook, round_digits), asc=False),
+        1,
+        nprobe,
+    )
+    return queries.select(
+        "query_id", F.explode(ranked).alias("_s")
+    ).select("query_id", (-F.col("_s.nid")).cast("long").alias("centroid_id"))
+
+
+def ivf_probes_kernel(
+    queries: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    nprobe: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kernel twin of ivf_probes for large K: the expression path's cost is
+    per-PLAN (K × dim literal nodes through the cosine folds — Catalyst
+    analysis/codegen grows with K, ~10s at K=64), so past toy K the probe
+    side moves to the same one-matmul-per-batch shape as the assignment.
+    Stable argsort over (-rounded sim) with a cid-sorted codebook keeps the
+    (cosine DESC, centroid id ASC) tie rule."""
+    cids = np.array([cid for cid, _ in codebook], dtype=np.int64)
+    mat = np.array([cv for _, cv in codebook], dtype=np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    take = min(nprobe, len(cids))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf["query_vec"].to_numpy()).astype(np.float64)
+            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = np.round(vn @ matn.T, round_digits)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :take]  # (B, take)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["query_id"].to_numpy(), take),
+                    "centroid_id": cids[order].ravel(),
+                }
+            )
+
+    return queries.select("query_id", "query_vec").mapInPandas(
+        probe, schema="query_id long, centroid_id long"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    round_digits: int = 4,
+    assign_round_digits: int = 6,
+    use_kernel: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to inverted lists, probe
+    each query's nprobe nearest lists, exact-cosine re-rank the probed
+    members only. nprobe=K degenerates to brute_force_topk (pytest-pinned).
+
+    centroids: (centroid_id, centroid_vec) — kmeans output (lloyd_refine)
+    or any deterministic seed set. Collected driver-side as the broadcast
+    codebook constant (see collect_codebook)."""
+    codebook = collect_codebook(centroids)
+    assigner = ivf_assign_kernel if use_kernel else ivf_assign
+    prober = ivf_probes_kernel if use_kernel else ivf_probes
+    assigned = assigner(
+        embeddings, codebook, id_col=id_col, vec_col=vec_col, round_digits=assign_round_digits
+    )
+    probes = prober(queries, codebook, nprobe, round_digits=assign_round_digits)
+    cands = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cands.join(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("query_vec"), F.col("_v")), round_digits).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+    )
+
+
+def lloyd_refine(
+    embeddings: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means refinement of an IVF codebook, the treeAggregate
+    shape: each iteration scans the corpus ONCE map-side (matmul-kernel
+    assignment fused with per-batch partial sums — no shuffle at all) and
+    collects only per-batch (centroid, count, sum-vector) partials, O(K·dim)
+    each; the mean/renormalize finish is a driver-side numpy step on that
+    tiny matrix, exactly how MLlib's KMeans aggregates. Empty lists keep
+    their previous centroid (standard Lloyd convention)."""
+    cids = np.array([cid for cid, _ in codebook], dtype=np.int64)
+    mat = np.array([cv for _, cv in codebook], dtype=np.float64)
+    k, dim = mat.shape
+    for _ in range(n_iters):
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+        def partials(batches: Iterator[pd.DataFrame], _m=matn) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+                asg = np.argmax(vn @ _m.T, axis=1)  # (B,)
+                sums = np.zeros((k, dim), dtype=np.float64)
+                np.add.at(sums, asg, vn)
+                cnts = np.bincount(asg, minlength=k)
+                nz = np.flatnonzero(cnts)
+                yield pd.DataFrame(
+                    {"ci": nz, "cnt": cnts[nz], "s": [sums[i].tolist() for i in nz]}
+                )
+
+        rows = (
+            embeddings.select(id_col, vec_col)
+            .mapInPandas(partials, schema="ci int, cnt long, s array<double>")
+            .collect()
+        )
+        sums = np.zeros((k, dim), dtype=np.float64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["ci"]] += np.asarray(r["s"])
+            cnts[r["ci"]] += r["cnt"]
+        nz = cnts > 0
+        mat = mat.copy()
+        mat[nz] = sums[nz] / cnts[nz, None]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+    return [(int(c), mat[i].tolist()) for i, c in enumerate(cids)]
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,129 @@
+"""Deterministic sampling / token-budget mixture (operators/sampling.py).
+
+The strong test is the pure-Python oracle: the kept set must equal, row
+for row, a hashlib recomputation of the 60-bit threshold rule — any drift
+in the hash input format, prefix width, or threshold rounding flips it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.operators.sampling import (
+    SAMPLE_SPACE,
+    budget_rates,
+    deterministic_sample,
+    mixture_sample,
+    sample_hash,
+    stratified_sample,
+)
+
+
+def _py_hash(key, seed: int = 42) -> int:
+    digest = hashlib.sha256(f"{key}:{seed}".encode()).hexdigest()
+    return int(digest[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(500).select(
+        F.col("id").alias("file_id"),
+        (F.col("id") % 4).cast("string").alias("stratum"),
+        (F.col("id") % 7 + 1).alias("weight"),
+    ).cache()
+
+
+def test_sample_hash_matches_hashlib(spark, keyed):
+    rows = keyed.select("file_id", sample_hash(F.col("file_id"), 42).alias("h")).collect()
+    for r in rows:
+        assert r.h == _py_hash(r.file_id), r.file_id
+
+
+def test_deterministic_sample_equals_python_oracle(spark, keyed):
+    for rate in (0.0, 0.25, 0.5, 1.0):
+        got = {r.file_id for r in deterministic_sample(keyed, rate).collect()}
+        thr = math.floor(rate * SAMPLE_SPACE)
+        exp = {i for i in range(500) if _py_hash(i) < thr}
+        assert got == exp, rate
+    assert len({r.file_id for r in deterministic_sample(keyed, 1.0).collect()}) == 500
+
+
+def test_samples_are_nested_across_rates(spark, keyed):
+    """rate r1 < r2 ⇒ sample(r1) ⊆ sample(r2) — the property that lets a
+    budget cut reuse yesterday's sample instead of resampling the corpus."""
+    prev: set = set()
+    for rate in (0.1, 0.3, 0.6, 0.9):
+        cur = {r.file_id for r in deterministic_sample(keyed, rate).collect()}
+        assert prev <= cur, rate
+        prev = cur
+
+
+def test_sample_rate_is_calibrated(spark, keyed):
+    n = deterministic_sample(keyed, 0.5).count()
+    assert 200 <= n <= 300  # binomial(500, .5), ±4.5σ
+
+
+def test_different_seeds_differ(spark, keyed):
+    a = {r.file_id for r in keyed.filter(sample_hash(F.col("file_id"), 1) < SAMPLE_SPACE // 2).collect()}
+    b = {r.file_id for r in keyed.filter(sample_hash(F.col("file_id"), 2) < SAMPLE_SPACE // 2).collect()}
+    assert a != b
+
+
+def test_stratified_sample_per_stratum_rates_and_default(spark, keyed):
+    rates = spark.createDataFrame(
+        [("0", 0.0), ("1", 1.0), ("2", 0.5)], "stratum string, rate double"
+    )
+    # stratum 3 has no rate row → default_rate=1.0 keeps it whole
+    got = stratified_sample(keyed, rates, ["stratum"], key_col="file_id").collect()
+    by_stratum: dict[str, set] = {}
+    for r in got:
+        by_stratum.setdefault(r.stratum, set()).add(r.file_id)
+    assert "0" not in by_stratum
+    assert by_stratum["1"] == {i for i in range(500) if i % 4 == 1}
+    assert by_stratum["3"] == {i for i in range(500) if i % 4 == 3}
+    thr = math.floor(0.5 * SAMPLE_SPACE)
+    assert by_stratum["2"] == {i for i in range(500) if i % 4 == 2 and _py_hash(i) < thr}
+    assert "rate" not in stratified_sample(keyed, rates, ["stratum"]).columns
+
+
+def test_budget_rates_formula(spark, keyed):
+    budgets = spark.createDataFrame(
+        [("0", 10**9), ("1", 100)], "stratum string, budget long"
+    )
+    rows = {r.stratum: r for r in budget_rates(keyed, ["stratum"], "weight", budgets).collect()}
+    totals = {
+        r.stratum: r.t
+        for r in keyed.groupBy("stratum").agg(F.sum("weight").alias("t")).collect()
+    }
+    assert rows["0"].rate == 1.0  # budget >> total → capped at 1
+    assert rows["1"].rate == 100 / totals["1"]
+    assert rows["2"].rate == 1.0 and rows["2"].budget is None  # no budget row
+    for s, r in rows.items():
+        assert r.total_weight == totals[s]
+
+
+def test_mixture_sample_end_to_end_equals_python(spark, keyed):
+    budgets = spark.createDataFrame([("2", 200)], "stratum string, budget long")
+    rates, sampled = mixture_sample(keyed, budgets, ["stratum"], "weight")
+    rate2 = {r.stratum: r.rate for r in rates.collect()}["2"]
+    thr = math.floor(rate2 * SAMPLE_SPACE)
+    got = {r.file_id for r in sampled.collect()}
+    exp = {
+        i for i in range(500)
+        if i % 4 != 2 or _py_hash(i) < thr  # other strata kept whole
+    }
+    assert got == exp
+
+
+def test_sample_is_a_scan_filter_no_shuffle(spark, keyed):
+    """The corpus side must stay map-side: no Exchange in the sampled plan
+    (the rates dim arrives by broadcast)."""
+    rates = spark.createDataFrame([("1", 0.5)], "stratum string, rate double")
+    plan = stratified_sample(
+        keyed, rates, ["stratum"], key_col="file_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan

@@ -73,3 +73,153 @@ def test_cosine_column_function(spark):
     )
     got = [round(r.c, 6) for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
     assert got == [1.0, 0.0, round(1 / np.sqrt(2), 6)]
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) tier
+# ---------------------------------------------------------------------------
+
+from data_deduplication_service_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk as _bft,
+    collect_codebook,
+    ivf_assign,
+    ivf_assign_kernel,
+    ivf_probes,
+    ivf_topk,
+    lloyd_refine,
+)
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    ).cache()
+
+
+def _numpy_assign(emb_rows, codebook, digits=6):
+    """First-principles argmax: rounded cosine DESC, centroid id ASC."""
+    out = {}
+    for vid, v in emb_rows:
+        v = np.asarray(v, dtype=np.float64)
+        best = min(
+            (
+                (-round(float(v @ np.asarray(cv) / (np.linalg.norm(v) * np.linalg.norm(cv))), digits), cid)
+                for cid, cv in codebook
+            )
+        )
+        out[vid] = best[1]
+    return out
+
+
+def test_ivf_assign_matches_numpy(spark, emb, centroids):
+    cb = collect_codebook(centroids)
+    got = {r.vec_id: r.centroid_id for r in ivf_assign(emb, cb).collect()}
+    rows = [(r.vec_id, r.embedding) for r in emb.collect()]
+    assert got == _numpy_assign(rows, cb)
+
+
+def test_ivf_kernel_matches_expression_path(spark, emb, centroids):
+    """The matmul scale kernel and the JVM expression path must agree on
+    every vector (same rounding, same min-id tie)."""
+    cb = collect_codebook(centroids)
+    a = {r.vec_id: r.centroid_id for r in ivf_assign(emb, cb).collect()}
+    b = {r.vec_id: r.centroid_id for r in ivf_assign_kernel(emb, cb).collect()}
+    assert a == b
+
+
+def test_ivf_probes_are_the_nprobe_nearest_lists(spark, emb, centroids):
+    cb = collect_codebook(centroids)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {}
+    for r in ivf_probes(queries, cb, nprobe=3).collect():
+        got.setdefault(r.query_id, set()).add(r.centroid_id)
+    for qid, v in [(r.vec_id, r.embedding) for r in emb.filter(F.col("vec_id") < 5).collect()]:
+        v = np.asarray(v, dtype=np.float64)
+        ranked = sorted(
+            (
+                (-round(float(v @ np.asarray(cv) / (np.linalg.norm(v) * np.linalg.norm(cv))), 6), cid)
+                for cid, cv in cb
+            )
+        )
+        assert got[qid] == {cid for _, cid in ranked[:3]}, qid
+
+
+def test_ivf_topk_with_full_probe_equals_brute_force(spark, emb, centroids):
+    """nprobe = K probes every inverted list → IVF degenerates to exact
+    brute force (same ranks, same rounded sims)."""
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine_sim)
+        for r in ivf_topk(emb, queries, centroids, k=5, nprobe=8).collect()
+    )
+    exp = sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine_sim)
+        for r in _bft(emb, queries, k=5).collect()
+    )
+    assert got == exp
+
+
+def test_ivf_topk_kernel_path_matches_expression_path(spark, emb, centroids):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, ivf_topk(emb, queries, centroids, k=5, nprobe=2).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries, centroids, k=5, nprobe=2, use_kernel=True).collect()))
+    assert a == b
+
+
+def test_ivf_assign_is_shuffle_free(spark, emb, centroids):
+    """Assignment must stay a pure projection over the scan — the codebook
+    is a broadcast constant, so no Exchange belongs in either path."""
+    cb = collect_codebook(centroids)
+    for path in (ivf_assign(emb, cb), ivf_assign_kernel(emb, cb)):
+        plan = path._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+def test_lloyd_refine_matches_numpy_and_improves_objective(spark, emb, centroids):
+    cb = collect_codebook(centroids)
+    rows = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64)) for r in emb.collect()]
+    vn = np.stack([v / np.linalg.norm(v) for _, v in rows])
+
+    def objective(mat):
+        m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return float(np.max(vn @ m.T, axis=1).sum())
+
+    mat0 = np.array([cv for _, cv in cb], dtype=np.float64)
+
+    # numpy reference Lloyd (spherical), identical init/tie rule
+    mat = mat0.copy()
+    for _ in range(3):
+        m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        asg = np.argmax(vn @ m.T, axis=1)
+        nxt = mat.copy()
+        for i in range(len(cb)):
+            members = vn[asg == i]
+            if len(members):
+                nxt[i] = members.mean(axis=0)
+        nxt = nxt / np.maximum(np.linalg.norm(nxt, axis=1, keepdims=True), 1e-300)
+        mat = nxt
+
+    got = lloyd_refine(emb, cb, n_iters=3)
+    got_mat = np.array([cv for _, cv in got])
+    assert [cid for cid, _ in got] == [cid for cid, _ in cb]
+    np.testing.assert_allclose(got_mat, mat, rtol=0, atol=1e-9)
+    assert objective(got_mat) >= objective(mat0) - 1e-9
+
+
+def test_ivf_probes_kernel_matches_expression_path(spark, emb, centroids):
+    from data_deduplication_service_spark.operators.similarity import ivf_probes_kernel
+
+    cb = collect_codebook(centroids)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, ivf_probes(queries, cb, nprobe=3).collect()))
+    b = sorted(map(tuple, ivf_probes_kernel(queries, cb, nprobe=3).collect()))
+    assert a == b
