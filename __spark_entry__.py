@@ -643,6 +643,36 @@ def q_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# gate config for the verbatim-gram tier: n=4 sized to the ~50-token
+# synthetic docs so the gate has body (73-87 pairs at the sf tiers);
+# the operator's production default is the published 13
+VERBATIM_GRAM_N = 4
+
+
+def q_verbatim_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim token-n-gram decontamination (operators/decontaminate.py:
+    verbatim_gram_overlap) — the GPT-3/Llama-style 13-gram rule beside the
+    Jaccard tier: every (training doc, benchmark doc) pair sharing ≥1
+    verbatim n-token gram, with the distinct shared-gram count.
+
+    Oracle-complete config: max_bench_docs_per_gram=None (no benchmark-side
+    df cap), so the output is exactly the distinct-gram intersection counts,
+    which DuckDB computes by the same gram join."""
+    from data_deduplication_service_spark.operators.decontaminate import (
+        verbatim_gram_overlap,
+    )
+
+    files = _doc_files(spark, sf_dir)
+    bench = files.filter(F.col("file_id") % BENCH_MOD == BENCH_REM)
+    corpus = files.filter(F.col("file_id") % BENCH_MOD != BENCH_REM)
+    out = verbatim_gram_overlap(
+        corpus, bench, n_tokens=VERBATIM_GRAM_N, max_bench_docs_per_gram=None
+    )
+    return out.select(
+        "doc_id", "bench_id", F.col("n_shared_grams").cast("long").alias("n_shared_grams")
+    )
+
+
 def q_source_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-level duplication rollup (operators/repos.py): source pairs
     sharing verbatim 64-byte segments, with Jaccard over each source's
@@ -947,6 +977,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "near_dup_clusters": q_near_dup_clusters,
         "corpus_curation": q_corpus_curation,
         "benchmark_overlap": q_benchmark_overlap,
+        "verbatim_ngram_overlap": q_verbatim_ngram_overlap,
         "source_segment_overlap": q_source_segment_overlap,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -1637,6 +1668,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, bench AS bench_id, round(jaccard, 6) AS jaccard
             FROM ranked WHERE rk = 1
+        """,
+        # verbatim-gram decontamination: the same whitespace tokens as
+        # token_stats, n-token windows joined across the mod-10 split —
+        # grams are per-doc DISTINCT so count(*) is the intersection size
+        "verbatim_ngram_overlap": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[s.i:s.i+{VERBATIM_GRAM_N - 1}], ' ') AS gram
+                FROM toks,
+                     unnest(generate_series(1, len(t) - {VERBATIM_GRAM_N} + 1)) AS s(i)
+                WHERE len(t) >= {VERBATIM_GRAM_N}
+            )
+            SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+                   count(*) AS n_shared_grams
+            FROM g c JOIN g b USING (gram)
+            WHERE c.doc_id % {BENCH_MOD} <> {BENCH_REM}
+              AND b.doc_id % {BENCH_MOD} = {BENCH_REM}
+            GROUP BY 1, 2
         """,
         # repo rollup: Jaccard over per-source DISTINCT segment sets, in
         # the byte-exact hex domain (same equivalence classes as the

@@ -186,6 +186,93 @@ def decontaminate(corpus: DataFrame, pairs: DataFrame, id_col: str = "file_id") 
     return corpus.join(flagged, id_col, "left_anti")
 
 
+def token_grams(
+    files: DataFrame, n_tokens: int, id_col: str = "file_id", text_col: str = "content"
+) -> DataFrame:
+    """(file_id, gram): DISTINCT whitespace-token n-grams per doc — pure
+    JVM expressions (split/sequence/slice/array_join), no Python. Docs
+    shorter than n tokens contribute nothing (the published convention)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n_tokens,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n_tokens + 1),
+            lambda i: F.array_join(F.slice(toks, i, n_tokens), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    return files.select(
+        F.col(id_col).alias("file_id"), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
+def verbatim_gram_overlap(
+    corpus_files: DataFrame,
+    benchmark_files: DataFrame,
+    n_tokens: int = 13,
+    max_bench_docs_per_gram: int | None = 64,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared_grams): the OTHER standard decontamination
+    flavor — verbatim token-n-gram overlap (GPT-3 appendix C / Llama-style
+    13-gram rule) beside the Jaccard tier above. A training doc is flagged
+    against every benchmark doc it shares ≥1 verbatim n-token gram with,
+    with the count of distinct shared grams for thresholding.
+
+    Scale shape mirrors decontamination_pairs — sized by |B|, never |C|:
+    the benchmark gram table is broadcast and corpus grams are generated
+    map-side from the scan straight into the broadcast inner join, so no
+    corpus gram ever shuffles — only the matched sliver reaches the count
+    aggregation (ONE exchange in the whole uncapped plan). With
+    ``broadcast_benchmark=False`` (benchmark too big for one executor) the
+    corpus grams are first pruned by a semi-join against the distinct
+    benchmark gram keys before the shuffle-hash join. ``n_tokens=13`` is
+    the published default; short-doc corpora want smaller n (docs under n
+    tokens are invisible to this tier).
+
+    ``max_bench_docs_per_gram`` caps the BENCHMARK-side doc-frequency of a
+    gram (a prompt-template gram in b bench docs × c corpus docs emits b·c
+    rows with c unbounded); dropped grams are observable via
+    :func:`verbatim_overflow_grams`. ``None`` = the explicit uncapped
+    opt-out for the provably-complete oracle tier."""
+    bg = token_grams(benchmark_files, n_tokens).select(
+        F.col("file_id").alias("bench_id"), "gram"
+    )
+    if max_bench_docs_per_gram is not None:
+        bg = persist_scoped(bg)  # feeds the df count AND the join
+        ok = (
+            bg.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_bench_docs_per_gram)
+            .select("gram")
+        )
+        bg = bg.join(F.broadcast(ok) if broadcast_benchmark else ok, "gram", "left_semi")
+    cg = token_grams(corpus_files, n_tokens).select(F.col("file_id").alias("doc_id"), "gram")
+    if broadcast_benchmark:
+        # the broadcast inner join filters corpus grams map-side already;
+        # a separate semi-join prefilter would add nothing but an exchange
+        matched = cg.join(F.broadcast(bg), "gram")
+    else:
+        keys = bg.select("gram").distinct()
+        sliver = cg.join(keys, "gram", "left_semi")
+        matched = sliver.join(bg.hint("shuffle_hash"), "gram")
+    return (
+        matched.groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared_grams"))  # grams are per-doc distinct
+    )
+
+
+def verbatim_overflow_grams(
+    benchmark_files: DataFrame, n_tokens: int = 13, max_bench_docs_per_gram: int = 64
+) -> DataFrame:
+    """The benchmark grams the df cap excluded — logged, never silent."""
+    return (
+        token_grams(benchmark_files, n_tokens)
+        .groupBy("gram")
+        .agg(F.count("*").alias("bench_doc_freq"))
+        .filter(F.col("bench_doc_freq") > max_bench_docs_per_gram)
+    )
+
+
 def decontamination_overflow_keys(
     corpus_files: DataFrame,
     benchmark_files: DataFrame,

@@ -125,3 +125,107 @@ def test_same_id_exclusion(spark):
     assert {(r.doc_id, r.bench_id) for r in with_self.collect()} == {(1, 1), (2, 2)}
     without = decontamination_pairs(df, df, CFG1, max_bucket_size=-1, exclude_same_id=True)
     assert without.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# verbatim token-n-gram tier
+# ---------------------------------------------------------------------------
+
+from data_deduplication_service_spark.operators.decontaminate import (  # noqa: E402
+    token_grams,
+    verbatim_gram_overlap,
+    verbatim_overflow_grams,
+)
+
+
+def _py_grams(text: str, n: int) -> set[str]:
+    t = text.split(" ")
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)} if len(t) >= n else set()
+
+
+@pytest.fixture(scope="module")
+def gram_corpus(spark):
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "x y a b c d q r"),          # shares the 4-gram "a b c d" with 0
+        (2, "one two three"),            # shorter than n=4 → invisible
+        (3, "a b c d e f g h"),          # exact dup of 0
+        (4, "p q r s t u v w"),
+        (5, "hot hot hot hot hot hot"),  # repeated gram — distinctness test
+    ]
+    return spark.createDataFrame(rows, "file_id long, content string"), dict(rows)
+
+
+def test_token_grams_matches_python(spark, gram_corpus):
+    df, rows = gram_corpus
+    got: dict[int, set] = {}
+    for r in token_grams(df, 4).collect():
+        got.setdefault(r.file_id, set()).add(r.gram)
+    for fid, text in rows.items():
+        assert got.get(fid, set()) == _py_grams(text, 4), fid
+
+
+def test_verbatim_overlap_matches_python_brute_force(spark, gram_corpus):
+    df, rows = gram_corpus
+    bench = df.filter(F.col("file_id") % 2 == 0)
+    corpus = df.filter(F.col("file_id") % 2 == 1)
+    got = {
+        (r.doc_id, r.bench_id): r.n_shared_grams
+        for r in verbatim_gram_overlap(
+            corpus, bench, n_tokens=4, max_bench_docs_per_gram=None
+        ).collect()
+    }
+    exp = {}
+    for cid, ct in rows.items():
+        if cid % 2 != 1:
+            continue
+        for bid, bt in rows.items():
+            if bid % 2 != 0:
+                continue
+            shared = len(_py_grams(ct, 4) & _py_grams(bt, 4))
+            if shared:
+                exp[(cid, bid)] = shared
+    assert got == exp
+
+
+def test_verbatim_repeated_gram_counts_once(spark, gram_corpus):
+    df, _ = gram_corpus
+    bench = df.filter(F.col("file_id") == 5)   # "hot"*6 → ONE distinct 4-gram
+    corpus = df.filter(F.col("file_id") == 5).select(
+        (F.col("file_id") + 100).alias("file_id"), "content"
+    )
+    [r] = verbatim_gram_overlap(corpus, bench, n_tokens=4, max_bench_docs_per_gram=None).collect()
+    assert (r.doc_id, r.bench_id, r.n_shared_grams) == (105, 5, 1)
+
+
+def test_verbatim_bench_df_cap_and_overflow_report(spark):
+    # the gram "t t t t" occurs in 3 bench docs; cap 2 must drop it from
+    # candidates and surface it in the overflow report
+    bench = spark.createDataFrame(
+        [(0, "t t t t x"), (2, "t t t t y"), (4, "t t t t z"), (6, "u v w q a")],
+        "file_id long, content string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "t t t t k"), (3, "u v w q b")], "file_id long, content string"
+    )
+    capped = verbatim_gram_overlap(corpus, bench, n_tokens=4, max_bench_docs_per_gram=2)
+    got = {(r.doc_id, r.bench_id) for r in capped.collect()}
+    assert got == {(3, 6)}  # the hot gram's pairs are gone, the cold one stays
+    over = verbatim_overflow_grams(bench, n_tokens=4, max_bench_docs_per_gram=2).collect()
+    assert [(r.gram, r.bench_doc_freq) for r in over] == [("t t t t", 3)]
+    # uncapped opt-out restores the hot pairs
+    full = verbatim_gram_overlap(corpus, bench, n_tokens=4, max_bench_docs_per_gram=None)
+    assert {(r.doc_id, r.bench_id) for r in full.collect()} == {(3, 6), (1, 0), (1, 2), (1, 4)}
+
+
+def test_verbatim_corpus_grams_never_shuffle(spark, gram_corpus):
+    """Uncapped plan: the ONLY hash exchange is the final count groupBy on
+    the matched sliver — corpus grams reach the benchmark key set by
+    broadcast semi-join, map-side."""
+    df, _ = gram_corpus
+    bench = df.filter(F.col("file_id") % 2 == 0)
+    corpus = df.filter(F.col("file_id") % 2 == 1)
+    plan = verbatim_gram_overlap(
+        corpus, bench, n_tokens=4, max_bench_docs_per_gram=None
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
