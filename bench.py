@@ -224,9 +224,20 @@ def main() -> None:
     qs.update(_scale_near_dup_queries())
     timings: dict[str, float] = {}
 
+    # SPARK_GRAFT_ONLY_QUERIES=a,b,c restricts the run to those keys. The
+    # A/B harness pins BOTH legs to their key INTERSECTION with this: a
+    # round's added queries otherwise still RUN in the newer leg (extra GC
+    # and page-cache pressure ahead of the shared tail — pipeline_full runs
+    # last), which read as a 1.55× pipeline_full "regression" in the r5
+    # campaign that an interleaved same-workload stage profile disproved.
+    only_env = os.environ.get("SPARK_GRAFT_ONLY_QUERIES")
+    only = set(only_env.split(",")) if only_env else None
+
     cal = calibration(spark)  # box-tenancy probe, excluded from the total
 
     for name in BENCH_QUERIES + list(_scale_near_dup_queries()):
+        if only is not None and name not in only:
+            continue
         t0 = time.monotonic()
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
@@ -238,15 +249,17 @@ def main() -> None:
 
     corpus = with_file_identity(corpus_from_documents(spark, sf_dir))
     n_files = corpus.count()
-    warehouse = tempfile.mkdtemp(prefix="dedup_bench_wh_")
-    t0 = time.monotonic()
-    result = run_pipeline(
-        spark, corpus, DedupConfig(minhash_bits=32), warehouse, force=True, collect_lineage=False
-    )
-    result.clusters.count()
-    pipeline_sec = round(time.monotonic() - t0, 3)
-    timings["pipeline_full"] = pipeline_sec
-    shutil.rmtree(warehouse, ignore_errors=True)
+    pipeline_sec = 0.0
+    if only is None or "pipeline_full" in only:
+        warehouse = tempfile.mkdtemp(prefix="dedup_bench_wh_")
+        t0 = time.monotonic()
+        result = run_pipeline(
+            spark, corpus, DedupConfig(minhash_bits=32), warehouse, force=True, collect_lineage=False
+        )
+        result.clusters.count()
+        pipeline_sec = round(time.monotonic() - t0, 3)
+        timings["pipeline_full"] = pipeline_sec
+        shutil.rmtree(warehouse, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -258,7 +271,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_files": n_files,
-                "files_per_sec": round(n_files / pipeline_sec, 1),
+                "files_per_sec": round(n_files / pipeline_sec, 1) if pipeline_sec else None,
                 "cores": cpus,
                 # tenancy normalization (see calibration()): compare
                 # value_normalized across rounds, not raw value

@@ -61,8 +61,10 @@ def run_calibration(cpus: int) -> float:
     raise RuntimeError(f"calibration failed: {proc.stderr[-2000:]}")
 
 
-def run_bench(repo_dir: str, sf_dir: str, cpus: int) -> dict:
+def run_bench(repo_dir: str, sf_dir: str, cpus: int, only: "list[str] | None") -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    if only is not None:
+        env["SPARK_GRAFT_ONLY_QUERIES"] = ",".join(only)
     proc = subprocess.run(
         [sys.executable, "bench.py"], cwd=repo_dir, env=env,
         capture_output=True, text=True, timeout=3600,
@@ -71,6 +73,24 @@ def run_bench(repo_dir: str, sf_dir: str, cpus: int) -> dict:
     if not lines:
         raise RuntimeError(f"bench in {repo_dir} produced no JSON: {proc.stderr[-2000:]}")
     return json.loads(lines[-1])
+
+
+def bench_keys(repo_dir: str) -> "set[str] | None":
+    """The bench key set a checkout would run (no Spark started). None if
+    the checkout predates the discovery hook (then no filtering happens)."""
+    code = (
+        "import bench; print('QKEYS ' + ','.join(sorted("
+        "set(bench.BENCH_QUERIES) | set(bench._scale_near_dup_queries()) "
+        "| {'pipeline_full'})))"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo_dir,
+        capture_output=True, text=True, timeout=300,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("QKEYS "):
+            return set(line.split(" ", 1)[1].split(","))
+    return None
 
 
 def main() -> None:
@@ -94,6 +114,16 @@ def main() -> None:
         )
 
     legs = {"ref": wt, "head": REPO}
+    # Pin BOTH legs to their key INTERSECTION so they run IDENTICAL work.
+    # Reporting the intersection is not enough: a round's added queries
+    # still executing in the newer leg load the JVM (GC, page cache) ahead
+    # of the shared tail — the r5 campaign read a 1.55× pipeline_full
+    # "regression" out of exactly that, disproved by an interleaved
+    # same-workload stage profile. A ref checkout that predates the
+    # SPARK_GRAFT_ONLY_QUERIES hook ignores the filter; queries it alone
+    # runs are then excluded from comparison by the intersection below.
+    kh, kr = bench_keys(REPO), bench_keys(wt)
+    common = sorted(kh & kr) if (kh and kr) else None
     runs: list[dict] = []
     log_path = os.path.join(
         REPO, "BENCH", f"ab_runs_{time.strftime('%Y-%m-%d')}.jsonl"
@@ -102,7 +132,7 @@ def main() -> None:
     for rep in range(args.repeats):
         for leg, repo_dir in legs.items():
             cal = run_calibration(args.cpus)
-            r = run_bench(repo_dir, args.sf_dir, args.cpus)
+            r = run_bench(repo_dir, args.sf_dir, args.cpus, common)
             rec = {
                 "rep": rep, "leg": leg,
                 "commit": args.ref if leg == "ref" else head,
