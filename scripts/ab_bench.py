@@ -100,6 +100,13 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "AB.md"))
+    ap.add_argument(
+        "--only",
+        help="comma-separated bench keys: restrict BOTH legs to (intersection"
+        " ∩ this list). For targeted follow-ups on one noisy query — a fresh"
+        " JVM per leg with a single query removes the shared-tail workload"
+        " context entirely, isolating that query's like-for-like cost.",
+    )
     args = ap.parse_args()
 
     head = subprocess.run(
@@ -124,6 +131,12 @@ def main() -> None:
     # runs are then excluded from comparison by the intersection below.
     kh, kr = bench_keys(REPO), bench_keys(wt)
     common = sorted(kh & kr) if (kh and kr) else None
+    if args.only:
+        want = set(args.only.split(","))
+        pool = set(common) if common is not None else ((kh or set()) & want)
+        common = sorted(pool & want)
+        if not common:
+            raise SystemExit(f"--only {args.only!r} matches no shared bench key")
     runs: list[dict] = []
     log_path = os.path.join(
         REPO, "BENCH", f"ab_runs_{time.strftime('%Y-%m-%d')}.jsonl"
