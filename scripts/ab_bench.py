@@ -10,8 +10,10 @@ scaling harness's discipline:
   * legs are INTERLEAVED (ref, head, ref, head, ...) in one session so
     both sample the same tenancy distribution;
   * a fixed JVM calibration kernel runs immediately before every leg in
-    its own process — each leg's total is also reported normalized by its
-    calibration, factoring the box out;
+    its own process — recorded so a leg's total can be compared across
+    SESSIONS; the within-session verdict uses the raw interleaved
+    best-of-N ratio (the cal kernel's own 2.5× spread would only add
+    noise to a same-session comparison);
   * best-of-N per leg, raw runs appended to BENCH/ab_runs_*.jsonl,
     verdict written to --out (default BENCH/AB.md).
 
@@ -72,6 +74,23 @@ def run_bench(repo_dir: str, sf_dir: str, cpus: int, only: "list[str] | None") -
     lines = [l for l in proc.stdout.splitlines() if l.startswith('{"metric"')]
     if not lines:
         raise RuntimeError(f"bench in {repo_dir} produced no JSON: {proc.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def run_targeted(repo_dir: str, sf_dir: str, cpus: int, only: "list[str]") -> dict:
+    """Both legs through scripts/ab_query_runner.py (the HEAD copy — shared
+    timing loop, per-leg measured code): a ref checkout that predates the
+    SPARK_GRAFT_ONLY_QUERIES hook would otherwise run its FULL bench, putting
+    the target query in a loaded-JVM context the head leg doesn't share
+    (rule 12)."""
+    runner = os.path.join(REPO, "scripts", "ab_query_runner.py")
+    proc = subprocess.run(
+        [sys.executable, runner, repo_dir, sf_dir, str(cpus), ",".join(only)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith('{"metric"')]
+    if not lines:
+        raise RuntimeError(f"runner in {repo_dir} produced no JSON: {proc.stderr[-2000:]}")
     return json.loads(lines[-1])
 
 
@@ -145,10 +164,15 @@ def main() -> None:
     for rep in range(args.repeats):
         for leg, repo_dir in legs.items():
             cal = run_calibration(args.cpus)
-            r = run_bench(repo_dir, args.sf_dir, args.cpus, common)
+            if args.only:
+                r = run_targeted(repo_dir, args.sf_dir, args.cpus, common)
+            else:
+                r = run_bench(repo_dir, args.sf_dir, args.cpus, common)
             rec = {
                 "rep": rep, "leg": leg,
                 "commit": args.ref if leg == "ref" else head,
+                "targeted": bool(args.only),
+                "sf_dir": args.sf_dir, "cpus": args.cpus,
                 "cal_sec": cal, "total_sec": r["value"],
                 "normalized_sec": round(r["value"] / cal, 3),
                 "queries": r["queries"],
@@ -182,11 +206,24 @@ def main() -> None:
         )
         for q in qkeys
     }
+    # Verdict uses the RAW best-of-N ratio: interleaved legs already sample
+    # the same tenancy distribution, and dividing by the ~0.5s calibration
+    # kernel ADDS variance (its own spread was 0.535-1.376s within one
+    # campaign — 2.5×, noisier than any query it divides). cal_sec stays
+    # recorded for CROSS-session comparison of bench outputs, not for the
+    # within-session A/B verdict.
+    spread = {
+        leg: (
+            min(r["comp_total_sec"] for r in runs if r["leg"] == leg),
+            max(r["comp_total_sec"] for r in runs if r["leg"] == leg),
+        )
+        for leg in legs
+    }
     verdict = (
         "HEAD is like-for-like "
-        + ("NEUTRAL" if 0.93 <= ratio_norm <= 1.07
-           else ("FASTER" if ratio_norm < 0.93 else "SLOWER"))
-        + f" vs {args.ref} (normalized best-of-{args.repeats} ratio {ratio_norm:.3f})"
+        + ("NEUTRAL" if 0.93 <= ratio_raw <= 1.07
+           else ("FASTER" if ratio_raw < 0.93 else "SLOWER"))
+        + f" vs {args.ref} (raw interleaved best-of-{args.repeats} ratio {ratio_raw:.3f})"
     )
 
     lines = [
@@ -200,14 +237,19 @@ def main() -> None:
         "Totals below cover the key INTERSECTION (new-round queries excluded"
         " so additions never read as regressions).",
         "",
-        "| leg | best comparable total (s) | best cal (s) | best normalized (total/cal) |",
-        "|---|---|---|---|",
+        "| leg | best comparable total (s) | within-leg spread (s) | best cal (s) | best normalized (total/cal) |",
+        "|---|---|---|---|---|",
         f"| ref {args.ref} | {braw_r['comp_total_sec']} | "
+        f"{spread['ref'][0]}–{spread['ref'][1]} | "
         f"{min(r['cal_sec'] for r in runs if r['leg'] == 'ref')} | {bnorm_r['comp_normalized_sec']} |",
         f"| head {head} | {braw_h['comp_total_sec']} | "
+        f"{spread['head'][0]}–{spread['head'][1]} | "
         f"{min(r['cal_sec'] for r in runs if r['leg'] == 'head')} | {bnorm_h['comp_normalized_sec']} |",
         "",
-        f"Raw comparable-total ratio head/ref: {ratio_raw:.3f}; normalized: {ratio_norm:.3f}.",
+        f"Raw comparable-total ratio head/ref: {ratio_raw:.3f} (the verdict metric; "
+        f"interleaving equalizes tenancy). Calibration-normalized: {ratio_norm:.3f} "
+        f"(cross-session context only — the ~0.5s cal kernel's own spread exceeds "
+        f"per-query noise within a session).",
         "",
         "Per-query best-of-N (s):",
         "",

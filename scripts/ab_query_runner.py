@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Symmetric single-query bench runner for ab_bench --only campaigns.
+
+Why this exists: a REF checkout that predates bench.py's
+SPARK_GRAFT_ONLY_QUERIES hook ignores the filter and runs its FULL query
+list — so a targeted --only campaign would compare a fresh-JVM head leg
+against a ref leg whose query executes after ~19 others (loaded heap,
+warm page cache): exactly the non-identical-workload trap measurement
+rule 12 forbids. This runner is the fix: BOTH legs execute the SAME
+40-line timing loop below, while every measured artifact — the query
+callables, the engine code, get_spark, materialize, the per-query
+release_scoped() — is imported from the LEG'S OWN checkout (argv[1] is
+prepended to sys.path and made the cwd). The loop body mirrors
+bench.main's per-query loop verbatim (materialize → timing →
+release_scoped); `pipeline_full` is not a plain query key there and is
+not supported here.
+
+Usage: python ab_query_runner.py <repo_dir> <sf_dir> <cpus> <k1,k2,...>
+Prints ONE JSON line shaped like bench.py's ({"queries": {...}, "value": total}).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    repo_dir, sf_dir, cpus, keys_csv = sys.argv[1:5]
+    keys = keys_csv.split(",")
+    if "pipeline_full" in keys:
+        raise SystemExit("pipeline_full is not a plain query key; use the full-bench path")
+    os.chdir(repo_dir)
+    sys.path.insert(0, repo_dir)
+
+    import bench  # the LEG's bench module — its queries, its engine code
+    from data_deduplication_service_spark import get_spark
+    from data_deduplication_service_spark.cache import release_scoped
+
+    spark = get_spark(
+        "ab-query-runner", master=f"local[{cpus}]", shuffle_partitions=max(int(cpus), 4)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    qs.update(bench._scale_near_dup_queries())
+    missing = [k for k in keys if k not in qs]
+    if missing:
+        raise SystemExit(f"unknown bench keys in this checkout: {missing}")
+
+    timings: dict[str, float] = {}
+    # same fixed order as bench.main so multi-key campaigns sequence
+    # identically in both legs
+    order = list(bench.BENCH_QUERIES) + list(bench._scale_near_dup_queries())
+    for name in order:
+        if name not in keys:
+            continue
+        t0 = time.monotonic()
+        bench.materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+        release_scoped()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_engine_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
