@@ -760,6 +760,32 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup gate: τ low enough that the synthetic embeddings (true cosines
+# run ~0.26-0.5) form non-trivial duplicate groups inside the K=8 lists
+SEMDEDUP_TAU = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py:
+    semantic_dedup): IVF-assign every vector to its nearest codebook entry
+    (map-side, zero shuffle), pair same-list vectors with rounded cosine
+    ≥ τ, label duplicate groups via connected components, keep the minimum
+    vec_id per group — the embedding-space curation step that prunes
+    paraphrases sharing no shingles (Abbas et al. 2023).
+
+    Algorithm-parity oracle at an oracle-complete config (max_list_size
+    uncapped): DuckDB replays the identical assignment argmax + tie rule,
+    the identical same-list pair relation, and the recursive
+    min-reachable-id components."""
+    from data_deduplication_service_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return semantic_dedup(emb, cents, threshold=SEMDEDUP_TAU, max_list_size=10**9)
+
+
 # token-budget mixture gate: per-lang budgets sized so every stratum's rate
 # lands strictly inside (0, 1) at sf0.001/sf0.01 (per-lang totals run
 # ~3.5k-12k tokens there) — the gate exercises the rate derivation AND the
@@ -981,6 +1007,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "source_segment_overlap": q_source_segment_overlap,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         "mixture_sample": q_mixture_sample,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
 }
@@ -1514,6 +1541,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine_sim
             FROM ranked WHERE rank <= 5
+        """,
+        # SemDeDup, algorithm-parity oracle: the IDENTICAL codebook
+        # assignment as the ivf_topk oracle, the identical same-list
+        # rounded-cosine ≥ τ pair relation, recursive min-reachable-id
+        # duplicate groups, keep = min vec_id per group
+        "semantic_dedup": f"""
+            WITH RECURSIVE c AS (
+                SELECT vec_id AS cid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                FROM embeddings WHERE vec_id < {IVF_K}
+            ), e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), asg AS (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cid ASC) AS rk
+                FROM e, c
+            ), a1 AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+            pr AS (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       round(list_cosine_similarity(ea.v, eb.v), 4) AS cs
+                FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+                JOIN e ea ON ea.vec_id = x.vec_id
+                JOIN e eb ON eb.vec_id = y.vec_id
+            ), prt AS (SELECT a, b FROM pr WHERE cs >= {SEMDEDUP_TAU}),
+            edges AS (
+                SELECT a AS u, b AS v FROM prt
+                UNION
+                SELECT b AS u, a AS v FROM prt
+            ),
+            reach AS (
+                SELECT vec_id AS u, vec_id AS v FROM embeddings
+                UNION
+                SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+            ),
+            cl AS (SELECT u AS vec_id, min(v) AS group_id FROM reach GROUP BY u)
+            SELECT a1.vec_id,
+                   CAST(a1.cid AS BIGINT) AS centroid_id,
+                   cl.group_id AS group_id,
+                   CAST(CASE WHEN a1.vec_id = cl.group_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM a1 JOIN cl USING (vec_id)
         """,
         # token-budget mixture: identical rate derivation (int64/int64 →
         # double, least(1.0, ·)) and the identical 60-bit hash threshold —

@@ -169,6 +169,20 @@ def _scale_near_dup_queries():
         )
         return ivf_topk(emb, queries, cents, k=10, nprobe=8, use_kernel=True)
 
+    def semantic_dedup_scalecfg(spark, sf_dir):
+        # production config for SemDeDup: matmul assignment kernel, K=64
+        # codebook proxy, finite list cap (the gate query runs the K=8
+        # expression path uncapped so its oracle is complete)
+        from data_deduplication_service_spark.operators.similarity import semantic_dedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = emb.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+        )
+        return semantic_dedup(
+            emb, cents, threshold=0.5, max_list_size=4096, use_kernel=True
+        )
+
     return {
         "minhash_lsh_pairs_scalecfg": minhash_lsh_pairs_scalecfg,
         "near_dup_clusters_scalecfg": near_dup_clusters_scalecfg,
@@ -178,6 +192,7 @@ def _scale_near_dup_queries():
         "benchmark_overlap_scalecfg": benchmark_overlap_scalecfg,
         "source_overlap_scalecfg": source_overlap_scalecfg,
         "ivf_topk_scalecfg": ivf_topk_scalecfg,
+        "semantic_dedup_scalecfg": semantic_dedup_scalecfg,
     }
 
 

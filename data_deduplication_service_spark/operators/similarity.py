@@ -417,6 +417,167 @@ def lloyd_refine(
     return [(int(c), mat[i].tolist()) for i, c in enumerate(cids)]
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape — Abbas et al. 2023, arXiv:2303.09540):
+# coarse-cluster the embedding space with an IVF codebook, call two documents
+# semantic duplicates when they land in the SAME inverted list with cosine
+# ≥ τ, and keep ONE representative per duplicate group. The embedding analog
+# of the MinHash curation step: where near_dup_clusters prunes lexical
+# rewrites, this prunes paraphrases that share no shingles.
+#
+# Scale shape: assignment is the map-side broadcast-codebook scan (zero
+# shuffle, ivf_assign/_kernel); within-list pairing gathers each list ONCE
+# (one shuffle of (vec_id, centroid_id) ids — embeddings themselves join in
+# only for surviving candidates) and expands pairs map-side from the sorted
+# member array, so cost is Σ|list|² bounded by max_list_size — degenerate
+# lists (an embedding-space "boilerplate" mode) are capped and REPORTED,
+# never silently dropped, like every other cap in the codebase.
+# ---------------------------------------------------------------------------
+
+
+def _pairs_within_lists(
+    assigned: DataFrame,
+    embeddings: DataFrame,
+    threshold: float,
+    max_list_size: int,
+    round_digits: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(a < b, cosine_sim ≥ threshold) restricted to same-list pairs.
+
+    Inverted lists PARTITION the corpus (unlike multi-table LSH buckets),
+    so a pair occurs in at most one list — no distinct() dedup shuffle."""
+    sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("_sz"))
+    ok = sizes.filter((F.col("_sz") >= 2) & (F.col("_sz") <= max_list_size)).select(
+        "centroid_id"
+    )
+    members = (
+        assigned.join(ok, "centroid_id")
+        .groupBy("centroid_id")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("_m"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size("_m")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cands = members.select(F.explode(pair_expr).alias("p")).select("p.a", "p.b")
+    emb = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    scored = (
+        cands.join(emb.select(F.col("_id").alias("a"), F.col("_v").alias("_va")), "a")
+        .join(emb.select(F.col("_id").alias("b"), F.col("_v").alias("_vb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_digits).alias("cosine_sim"),
+        )
+    )
+    return scored.filter(F.col("cosine_sim") >= threshold)
+
+
+def semantic_near_dup_pairs(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    max_list_size: int = 4096,
+    round_digits: int = 4,
+    assign_round_digits: int = 6,
+    use_kernel: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same-inverted-list cosine-duplicate pairs (a < b, rounded cosine ≥
+    threshold) — the SemDeDup candidate relation."""
+    codebook = collect_codebook(centroids)
+    assigner = ivf_assign_kernel if use_kernel else ivf_assign
+    assigned = assigner(
+        embeddings, codebook, id_col=id_col, vec_col=vec_col, round_digits=assign_round_digits
+    )
+    return _pairs_within_lists(
+        assigned, embeddings, threshold, max_list_size, round_digits, id_col, vec_col
+    )
+
+
+def semantic_list_overflow(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    max_list_size: int = 4096,
+    assign_round_digits: int = 6,
+    use_kernel: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, n_members) for inverted lists over the pairing cap —
+    the observability half of the max_list_size contract."""
+    codebook = collect_codebook(centroids)
+    assigner = ivf_assign_kernel if use_kernel else ivf_assign
+    assigned = assigner(
+        embeddings, codebook, id_col=id_col, vec_col=vec_col, round_digits=assign_round_digits
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > max_list_size)
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    max_list_size: int = 4096,
+    round_digits: int = 4,
+    assign_round_digits: int = 6,
+    use_kernel: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: (vec_id, centroid_id, group_id, kept) with kept ∈ {0, 1}.
+
+    Duplicate groups are connected components of the same-list cosine ≥ τ
+    pair graph (min-reachable-id labels, the CC operator's contract);
+    ``kept = 1`` for exactly one member per group — the minimum vec_id.
+    The keep rule deviates from the paper's keep-farthest-from-centroid
+    (which depends on float argmax over unrounded distances) in favor of a
+    deterministic id rule that both engines reproduce exactly; swap in a
+    different representative downstream if desired — the group labels are
+    the load-bearing output. Vectors in no duplicate pair form singleton
+    groups (kept = 1)."""
+    from ..cache import persist_scoped
+    from .components import connected_components
+
+    codebook = collect_codebook(centroids)
+    assigner = ivf_assign_kernel if use_kernel else ivf_assign
+    # assignment feeds both the pair branch and the final labeling join —
+    # persist the (vec_id, centroid_id) ids, never the vectors
+    assigned = persist_scoped(
+        assigner(
+            embeddings, codebook, id_col=id_col, vec_col=vec_col,
+            round_digits=assign_round_digits,
+        )
+    )
+    pairs = _pairs_within_lists(
+        assigned, embeddings, threshold, max_list_size, round_digits, id_col, vec_col
+    )
+    comps = connected_components(pairs.select("a", "b")).withColumnRenamed(
+        "file_id", "vec_id"
+    )
+    group = F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+    return assigned.join(comps, "vec_id", "left").select(
+        "vec_id",
+        "centroid_id",
+        group.alias("group_id"),
+        F.when(F.col("vec_id") == group, F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept"),
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -223,3 +223,133 @@ def test_ivf_probes_kernel_matches_expression_path(spark, emb, centroids):
     a = sorted(map(tuple, ivf_probes(queries, cb, nprobe=3).collect()))
     b = sorted(map(tuple, ivf_probes_kernel(queries, cb, nprobe=3).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic_dedup): within-list pairs, keep rule, cap contract
+# ---------------------------------------------------------------------------
+
+
+def _numpy_semantic_pairs(emb_rows, codebook, tau, digits=4):
+    """First-principles truth: same-list (a<b) pairs with rounded cos ≥ τ."""
+    asg = _numpy_assign(emb_rows, codebook)
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, v in emb_rows}
+    ids = sorted(vecs)
+    pairs = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if asg[a] != asg[b]:
+                continue
+            va, vb = vecs[a], vecs[b]
+            cs = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), digits)
+            if cs >= tau:
+                pairs[(a, b)] = cs
+    return pairs
+
+
+def test_semantic_pairs_match_numpy(spark, emb, centroids):
+    from data_deduplication_service_spark.operators.similarity import (
+        semantic_near_dup_pairs,
+    )
+
+    cb = collect_codebook(centroids)
+    rows = [(r.vec_id, r.embedding) for r in emb.collect()]
+    exp = _numpy_semantic_pairs(rows, cb, tau=0.35)
+    got = {
+        (r.a, r.b): r.cosine_sim
+        for r in semantic_near_dup_pairs(emb, centroids, threshold=0.35).collect()
+    }
+    assert got == exp
+    assert exp, "fixture degenerate: no within-list pairs at τ=0.35"
+
+
+def test_semantic_dedup_keep_rule_and_singletons(spark, emb, centroids):
+    """Groups = connected components of the pair graph (min-id labels);
+    exactly one kept per group — the min vec_id; pairless vectors are
+    singleton groups, kept."""
+    from data_deduplication_service_spark.operators.similarity import semantic_dedup
+
+    cb = collect_codebook(centroids)
+    rows = [(r.vec_id, r.embedding) for r in emb.collect()]
+    pairs = _numpy_semantic_pairs(rows, cb, tau=0.35)
+
+    parent = {vid: vid for vid, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id per component ≡ the CC operator's min-reachable-id label
+    comp = {vid: find(vid) for vid, _ in rows}
+    mins = {}
+    for vid, c in comp.items():
+        mins[c] = min(mins.get(c, vid), vid)
+
+    out = semantic_dedup(emb, centroids, threshold=0.35, max_list_size=10**9).collect()
+    assert len(out) == len(rows)
+    asg = _numpy_assign(rows, cb)
+    for r in out:
+        assert r.centroid_id == asg[r.vec_id]
+        assert r.group_id == mins[comp[r.vec_id]]
+        assert r.kept == (1 if r.vec_id == r.group_id else 0)
+    kept_per_group = {}
+    for r in out:
+        kept_per_group[r.group_id] = kept_per_group.get(r.group_id, 0) + r.kept
+    assert set(kept_per_group.values()) == {1}
+
+
+def test_semantic_list_cap_and_overflow_contract(spark, emb, centroids):
+    """Lists over max_list_size contribute NO pairs and are reported in the
+    overflow relation — capped output ⊆ uncapped, never extra pairs."""
+    from data_deduplication_service_spark.operators.similarity import (
+        semantic_list_overflow,
+        semantic_near_dup_pairs,
+    )
+
+    cb = collect_codebook(centroids)
+    rows = [(r.vec_id, r.embedding) for r in emb.collect()]
+    asg = _numpy_assign(rows, cb)
+    sizes = {}
+    for vid in asg:
+        sizes[asg[vid]] = sizes.get(asg[vid], 0) + 1
+    cap = sorted(sizes.values())[len(sizes) // 2]  # median size: some lists overflow
+
+    capped = {
+        (r.a, r.b)
+        for r in semantic_near_dup_pairs(
+            emb, centroids, threshold=0.35, max_list_size=cap
+        ).collect()
+    }
+    full = set(_numpy_semantic_pairs(rows, cb, tau=0.35))
+    hot = {cid for cid, s in sizes.items() if s > cap}
+    exp = {(a, b) for (a, b) in full if asg[a] not in hot}
+    assert capped == exp
+    got_overflow = {
+        (r.centroid_id, r.n_members)
+        for r in semantic_list_overflow(emb, centroids, max_list_size=cap).collect()
+    }
+    assert got_overflow == {(cid, sizes[cid]) for cid in hot}
+    assert hot, "cap chosen too high to exercise the overflow path"
+
+
+def test_semantic_pairs_plan_has_no_cartesian(spark, emb, centroids):
+    """Pair expansion must come from the sorted member array, never a
+    cross join of the corpus with itself."""
+    from data_deduplication_service_spark.operators.similarity import (
+        semantic_near_dup_pairs,
+    )
+
+    plan = (
+        semantic_near_dup_pairs(emb, centroids, threshold=0.35)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
