@@ -786,6 +786,41 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, cents, threshold=SEMDEDUP_TAU, max_list_size=10**9)
 
 
+# boilerplate-removal gate: the operator is delimiter-generic (production
+# unit = the '\n' line); the synthetic documents are single-line word soup,
+# so the gate instantiates the unit at token granularity (' ', len ≥ 4) —
+# every code path (distinct-doc df count, threshold, min-length guard,
+# zero-shuffle rewrite, order-preserving re-join) runs non-degenerately
+HOT_UNIT_MIN_DF, HOT_UNIT_MIN_LEN = 30, 4
+
+
+def q_hot_unit_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/boilerplate.py:
+    remove_hot_units) — the C4/RefinedWeb rewrite tier BELOW document
+    dedup: any unit occurring in ≥ min_df distinct documents is scrubbed
+    from every document, remainder re-joined in order. The df count
+    shuffles (unit, doc) pairs once; the rewrite is a zero-shuffle Arrow
+    pass against the collected hot set (capped + overflow-reported;
+    uncapped here so the oracle is complete). sha256 of the rewritten
+    content anchors the value hash on both engines."""
+    from data_deduplication_service_spark.operators.boilerplate import (
+        remove_hot_units,
+        removal_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cleaned = remove_hot_units(
+        docs,
+        min_df=HOT_UNIT_MIN_DF,
+        delimiter=" ",
+        min_unit_len=HOT_UNIT_MIN_LEN,
+        max_hot_units=10**9,
+        id_col="doc_id",
+        content_col="text",
+    )
+    return removal_stats(cleaned, id_col="doc_id")
+
+
 # token-budget mixture gate: per-lang budgets sized so every stratum's rate
 # lands strictly inside (0, 1) at sf0.001/sf0.01 (per-lang totals run
 # ~3.5k-12k tokens there) — the gate exercises the rate derivation AND the
@@ -1008,6 +1043,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
+        "hot_unit_removal": q_hot_unit_removal,
         "mixture_sample": q_mixture_sample,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
 }
@@ -1584,6 +1620,36 @@ def oracle_sql() -> dict[str, str]:
                    cl.group_id AS group_id,
                    CAST(CASE WHEN a1.vec_id = cl.group_id THEN 1 ELSE 0 END AS BIGINT) AS kept
             FROM a1 JOIN cl USING (vec_id)
+        """,
+        # boilerplate removal: identical split (literal, trailing empties
+        # retained on both engines), identical distinct-doc df ≥ min_df hot
+        # set (length guard inside the count), identical order-preserving
+        # re-join — sha256 of the rewritten text is the value anchor
+        "hot_unit_removal": f"""
+            WITH u AS (
+                SELECT doc_id, t.i - 1 AS pos, parts[t.i] AS unit
+                FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+                     unnest(generate_series(1, len(parts))) AS t(i)
+            ), hot AS (
+                SELECT unit FROM (
+                    SELECT unit, count(DISTINCT doc_id) AS df
+                    FROM u WHERE length(unit) >= {HOT_UNIT_MIN_LEN}
+                    GROUP BY unit
+                ) WHERE df >= {HOT_UNIT_MIN_DF}
+            ), stats AS (
+                SELECT doc_id, count(*) AS n_units FROM u GROUP BY doc_id
+            ), clean AS (
+                SELECT doc_id,
+                       coalesce(string_agg(unit, ' ' ORDER BY pos), '') AS ctext,
+                       count(*) AS n_kept
+                FROM u ANTI JOIN hot USING (unit)
+                GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(s.n_units AS BIGINT) AS n_units,
+                   CAST(s.n_units - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+                   sha256(coalesce(c.ctext, '')) AS clean_sha256
+            FROM stats s LEFT JOIN clean c USING (doc_id)
         """,
         # token-budget mixture: identical rate derivation (int64/int64 →
         # double, least(1.0, ·)) and the identical 60-bit hash threshold —

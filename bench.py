@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "delete_gc_histogram",
     "cdc_segment_stats",  # added r5 (new operator; pre-existing keys unchanged)
     "mixture_sample",  # added r5 (new operator; pre-existing keys unchanged)
+    "hot_unit_removal",  # added r5 (new operator; pre-existing keys unchanged)
     "q1_pricing_summary",
     "revenue_topk",
     "events_hourly",

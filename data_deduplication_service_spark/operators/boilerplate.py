@@ -1,0 +1,172 @@
+"""Intra-document boilerplate removal — line-level dedup (C4/RefinedWeb style).
+
+The dedup tier BELOW document granularity: a unit (a line, in production —
+the operator is delimiter-generic) that occurs in at least ``min_df``
+distinct documents is boilerplate (license headers, navigation chrome,
+generated banners) and is removed from EVERY document, preserving the
+order of what remains. This is the rewrite step the document-level tiers
+(exact / MinHash / suffix) deliberately do not perform: they drop or
+cluster whole documents, this scrubs the repeated fragment and keeps the
+rest.
+
+Scale shape:
+  * unit extraction is map-side (split + posexplode); the df count
+    shuffles (unit, file_id) pairs ONCE for the distinct-documents
+    semantics, then counts with map-side partial aggregation — a hot
+    boilerplate unit's rows are spread by the (unit, file_id) hash so no
+    single reducer sees one unit's whole corpus.
+  * the rewrite itself is ZERO-shuffle: the hot set (df ≥ min_df units,
+    bounded by ``max_hot_units``) is collected to the driver — the same
+    broadcast-small-side move as the rep-map and the IVF codebook — and
+    applied per Arrow batch with C-speed str.split/set/join. Document
+    bytes never cross an exchange.
+  * the collection cap is OBSERVABLE, never silent: ``hot_unit_overflow``
+    reports qualifying units beyond the cap (df DESC, unit ASC — the same
+    deterministic order the cap keeps), mirroring every other cap in the
+    codebase.
+
+At 100 TB: the df count's shuffle carries short strings (lines), a few %
+of corpus bytes; swap the unit for its 64-bit hash to shrink it further
+(the collected hot set is still the unit strings, recovered by one
+semi-join of distinct units against hot hashes) — not done here because
+the string count is what the oracle replays exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def unit_table(
+    files: DataFrame,
+    delimiter: str = "\n",
+    id_col: str = "file_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(file_id, pos, unit): every delimiter-split unit with its 0-based
+    position — map-side only. Trailing empty units are retained (split
+    limit -1), matching DuckDB's string_split."""
+    # split()'s pattern is a Java regex — \Q...\E quotes the delimiter so
+    # "." or "||" delimiters split literally
+    pattern = "\\Q" + delimiter + "\\E"
+    return files.select(
+        F.col(id_col).alias("file_id"),
+        F.posexplode(F.split(F.col(content_col), pattern, -1)).alias("pos", "unit"),
+    )
+
+
+def hot_units(
+    files: DataFrame,
+    min_df: int,
+    delimiter: str = "\n",
+    min_unit_len: int = 1,
+    id_col: str = "file_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(unit, df): units of length ≥ min_unit_len occurring in ≥ min_df
+    DISTINCT documents. Repeats inside one document count once (df is
+    document frequency, the C4/RefinedWeb semantics)."""
+    units = unit_table(files, delimiter, id_col, content_col)
+    return (
+        units.filter(F.length("unit") >= min_unit_len)
+        .select("unit", "file_id")
+        .distinct()
+        .groupBy("unit")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def hot_unit_overflow(
+    files: DataFrame,
+    min_df: int,
+    max_hot_units: int,
+    delimiter: str = "\n",
+    min_unit_len: int = 1,
+    id_col: str = "file_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(unit, df): qualifying units BEYOND the max_hot_units collection cap
+    — the ones a capped rewrite leaves in place. Order of precedence is the
+    cap's own: df DESC, unit ASC; rows here rank after position
+    max_hot_units."""
+    hot = hot_units(files, min_df, delimiter, min_unit_len, id_col, content_col)
+    ranked = hot.select(
+        "unit", "df",
+        F.row_number()
+        .over(Window.orderBy(F.desc("df"), F.asc("unit")))
+        .alias("_rk"),
+    )
+    return ranked.filter(F.col("_rk") > max_hot_units).select("unit", "df")
+
+
+def remove_hot_units(
+    files: DataFrame,
+    min_df: int,
+    delimiter: str = "\n",
+    min_unit_len: int = 1,
+    max_hot_units: int = 1_000_000,
+    id_col: str = "file_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(file_id, content, n_units, n_removed): every document rewritten
+    with its boilerplate units removed, remaining units re-joined on the
+    delimiter in original order.
+
+    The hot set is collected driver-side under ``max_hot_units`` (df DESC,
+    unit ASC — the most widespread boilerplate wins the cap; overflow is
+    reported by hot_unit_overflow, never silently effective) and applied
+    as a zero-shuffle Arrow-batch rewrite: per row one C-speed
+    split/filter/join against a frozen set — no document byte crosses an
+    exchange, no batch-lifetime buffer grows with the corpus
+    (transients are one document's parts at a time)."""
+    hot = hot_units(files, min_df, delimiter, min_unit_len, id_col, content_col)
+    # orderBy().limit(n) compiles to TakeOrderedAndProject, which allocates
+    # an n-slot bounded queue UP FRONT — a huge "uncapped" sentinel would
+    # OOM the driver before a single row arrives. Push the top-k down only
+    # for real caps; an effectively-uncapped call collects and caps here.
+    if max_hot_units <= 4_194_304:
+        rows = hot.orderBy(F.desc("df"), F.asc("unit")).limit(max_hot_units).collect()
+    else:
+        rows = sorted(hot.collect(), key=lambda r: (-r["df"], r["unit"]))
+        rows = rows[:max_hot_units]
+    hot_set = frozenset(r["unit"] for r in rows)
+    out_fields = [f for f in files.schema.fields if f.name == id_col]
+    schema = (
+        f"{id_col} {out_fields[0].dataType.simpleString()}, content string, "
+        "n_units long, n_removed long"
+    )
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, texts, n_units, n_removed = [], [], [], []
+            for fid, content in zip(pdf[id_col], pdf[content_col]):
+                parts = content.split(delimiter)
+                kept = [p for p in parts if p not in hot_set]
+                ids.append(fid)
+                texts.append(delimiter.join(kept))
+                n_units.append(len(parts))
+                n_removed.append(len(parts) - len(kept))
+            yield pd.DataFrame(
+                {id_col: ids, "content": texts, "n_units": n_units,
+                 "n_removed": n_removed}
+            )
+
+    return files.select(id_col, content_col).mapInPandas(rewrite, schema=schema)
+
+
+def removal_stats(cleaned: DataFrame, id_col: str = "file_id") -> DataFrame:
+    """(file_id, n_units, n_removed, clean_sha256): the verifiable summary
+    of a remove_hot_units rewrite — sha256 of the rewritten content is the
+    cross-engine value anchor (same move as the reconstruction roundtrip)."""
+    return cleaned.select(
+        F.col(id_col),
+        "n_units",
+        "n_removed",
+        F.sha2(F.col("content").cast("binary"), 256).alias("clean_sha256"),
+    )

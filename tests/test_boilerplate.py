@@ -1,0 +1,130 @@
+"""Line-level boilerplate removal: df semantics, rewrite truth, cap contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_deduplication_service_spark.operators.boilerplate import (
+    hot_unit_overflow,
+    hot_units,
+    remove_hot_units,
+    removal_stats,
+)
+
+LICENSE = "// SPDX-License-Identifier: MIT"
+BANNER = "# generated -- do not edit"
+
+DOCS = [
+    (1, f"{LICENSE}\ndef a():\n    return 1\n{BANNER}"),
+    (2, f"{LICENSE}\ndef b():\n    return 2"),
+    (3, f"{LICENSE}\n{LICENSE}\nunique line three\n{BANNER}"),  # repeat in-doc
+    (4, "no boilerplate here\nat all"),
+    (5, f"{BANNER}\nonly banner and body\n{BANNER}"),
+]
+
+
+def _python_truth(docs, min_df, delimiter="\n", min_unit_len=1):
+    """First-principles: distinct-doc df, length guard, ordered re-join."""
+    df_count = {}
+    for _, content in docs:
+        for u in set(content.split(delimiter)):
+            if len(u) >= min_unit_len:
+                df_count[u] = df_count.get(u, 0) + 1
+    hot = {u for u, c in df_count.items() if c >= min_df}
+    out = {}
+    for fid, content in docs:
+        parts = content.split(delimiter)
+        kept = [p for p in parts if p not in hot]
+        out[fid] = (delimiter.join(kept), len(parts), len(parts) - len(kept))
+    return hot, df_count, out
+
+
+@pytest.fixture()
+def files(spark):
+    return spark.createDataFrame(DOCS, "file_id long, content string")
+
+
+def test_hot_units_distinct_doc_df(spark, files):
+    """df is DOCUMENT frequency: doc 3's duplicated license line counts
+    once; the min-length guard keeps short units out of the count."""
+    hot, df_count, _ = _python_truth(DOCS, min_df=2)
+    got = {r.unit: r.df for r in hot_units(files, min_df=2).collect()}
+    assert got == {u: df_count[u] for u in hot}
+    assert got[LICENSE] == 3  # docs 1, 2, 3 — NOT 4 despite the in-doc repeat
+    assert got[BANNER] == 3
+
+    # length guard: with min_unit_len above the short units, only long ones count
+    got_long = {r.unit for r in hot_units(files, min_df=2, min_unit_len=20).collect()}
+    assert got_long == {u for u in hot if len(u) >= 20}
+
+
+def test_remove_hot_units_matches_truth(spark, files):
+    _, _, exp = _python_truth(DOCS, min_df=2)
+    got = {
+        r.file_id: (r.content, r.n_units, r.n_removed)
+        for r in remove_hot_units(files, min_df=2).collect()
+    }
+    assert got == exp
+    # order preserved, untouched doc intact, boilerplate gone everywhere
+    assert got[4][0] == "no boilerplate here\nat all"
+    assert LICENSE not in got[1][0] and BANNER not in got[1][0]
+    assert "def a():" in got[1][0]
+
+
+def test_fully_scrubbed_document_becomes_empty(spark):
+    docs = [(1, LICENSE), (2, LICENSE), (3, LICENSE)]
+    files = spark.createDataFrame(docs, "file_id long, content string")
+    got = {r.file_id: (r.content, r.n_removed) for r in
+           remove_hot_units(files, min_df=2).collect()}
+    assert got == {1: ("", 1), 2: ("", 1), 3: ("", 1)}
+
+
+def test_cap_keeps_top_df_and_overflow_reports_rest(spark, files):
+    """With max_hot_units=1 only the highest-precedence unit (df DESC,
+    unit ASC) is scrubbed; the other qualifying unit lands in the overflow
+    relation, not silently effective."""
+    hot, df_count, _ = _python_truth(DOCS, min_df=2)
+    ordered = sorted(hot, key=lambda u: (-df_count[u], u))
+    top, rest = ordered[0], ordered[1:]
+
+    got = {r.file_id: r.content for r in
+           remove_hot_units(files, min_df=2, max_hot_units=1).collect()}
+    for fid, content in DOCS:
+        parts = content.split("\n")
+        assert got[fid] == "\n".join(p for p in parts if p != top)
+
+    overflow = [(r.unit, r.df) for r in
+                hot_unit_overflow(files, min_df=2, max_hot_units=1).collect()]
+    assert sorted(overflow) == sorted((u, df_count[u]) for u in rest)
+
+
+def test_removal_stats_sha256(spark, files):
+    import hashlib
+
+    _, _, exp = _python_truth(DOCS, min_df=2)
+    got = {r.file_id: (r.n_units, r.n_removed, r.clean_sha256) for r in
+           removal_stats(remove_hot_units(files, min_df=2)).collect()}
+    for fid, (clean, n_units, n_removed) in exp.items():
+        assert got[fid] == (
+            n_units, n_removed, hashlib.sha256(clean.encode()).hexdigest()
+        )
+
+
+def test_delimiter_is_literal_not_regex(spark):
+    docs = [(1, "a.hot.b"), (2, "hot.c"), (3, "hot.d")]
+    files = spark.createDataFrame(docs, "file_id long, content string")
+    got = {r.file_id: r.content for r in
+           remove_hot_units(files, min_df=2, delimiter=".").collect()}
+    assert got == {1: "a.b", 2: "c", 3: "d"}
+
+
+def test_rewrite_is_shuffle_free(spark, files):
+    """The rewrite pass itself is map-side: hot set broadcast via closure,
+    no Exchange between the scan and the Arrow rewrite."""
+    plan = (
+        remove_hot_units(files, min_df=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
