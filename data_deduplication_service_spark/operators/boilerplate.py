@@ -37,7 +37,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def unit_table(
@@ -80,6 +80,19 @@ def hot_units(
     )
 
 
+def _collect_hot_set(hot: DataFrame, max_hot_units: int) -> list:
+    """The capped hot set as driver rows, df DESC / unit ASC precedence.
+
+    orderBy().limit(n) compiles to TakeOrderedAndProject, which allocates
+    an n-slot bounded queue UP FRONT — a huge "uncapped" sentinel would OOM
+    the driver before a single row arrives. Push the top-k down only for
+    real caps; an effectively-uncapped call collects and caps here."""
+    if max_hot_units <= 4_194_304:
+        return hot.orderBy(F.desc("df"), F.asc("unit")).limit(max_hot_units).collect()
+    rows = sorted(hot.collect(), key=lambda r: (-r["df"], r["unit"]))
+    return rows[:max_hot_units]
+
+
 def hot_unit_overflow(
     files: DataFrame,
     min_df: int,
@@ -90,17 +103,17 @@ def hot_unit_overflow(
     content_col: str = "content",
 ) -> DataFrame:
     """(unit, df): qualifying units BEYOND the max_hot_units collection cap
-    — the ones a capped rewrite leaves in place. Order of precedence is the
-    cap's own: df DESC, unit ASC; rows here rank after position
-    max_hot_units."""
+    — the ones a capped rewrite leaves in place. Computed by excluding the
+    SAME collected capped set the rewrite uses (a global-rank window would
+    funnel every qualifying unit through one task); the exclusion itself is
+    a distributed anti-join against the bounded in-set."""
     hot = hot_units(files, min_df, delimiter, min_unit_len, id_col, content_col)
-    ranked = hot.select(
-        "unit", "df",
-        F.row_number()
-        .over(Window.orderBy(F.desc("df"), F.asc("unit")))
-        .alias("_rk"),
+    kept = {r["unit"] for r in _collect_hot_set(hot, max_hot_units)}
+    spark = files.sparkSession
+    in_set = spark.createDataFrame(
+        [(u,) for u in sorted(kept)] or [(None,)], "unit string"
     )
-    return ranked.filter(F.col("_rk") > max_hot_units).select("unit", "df")
+    return hot.join(F.broadcast(in_set), "unit", "left_anti")
 
 
 def remove_hot_units(
@@ -124,16 +137,9 @@ def remove_hot_units(
     exchange, no batch-lifetime buffer grows with the corpus
     (transients are one document's parts at a time)."""
     hot = hot_units(files, min_df, delimiter, min_unit_len, id_col, content_col)
-    # orderBy().limit(n) compiles to TakeOrderedAndProject, which allocates
-    # an n-slot bounded queue UP FRONT — a huge "uncapped" sentinel would
-    # OOM the driver before a single row arrives. Push the top-k down only
-    # for real caps; an effectively-uncapped call collects and caps here.
-    if max_hot_units <= 4_194_304:
-        rows = hot.orderBy(F.desc("df"), F.asc("unit")).limit(max_hot_units).collect()
-    else:
-        rows = sorted(hot.collect(), key=lambda r: (-r["df"], r["unit"]))
-        rows = rows[:max_hot_units]
-    hot_set = frozenset(r["unit"] for r in rows)
+    hot_set = frozenset(
+        r["unit"] for r in _collect_hot_set(hot, max_hot_units)
+    )
     out_fields = [f for f in files.schema.fields if f.name == id_col]
     schema = (
         f"{id_col} {out_fields[0].dataType.simpleString()}, content string, "

@@ -63,7 +63,8 @@ def main() -> None:
                 and r.get("n_containment_pairs", -1) < 0
                 and r.get("n_cluster_repeat_pairs", -1) < 0
                 and r.get("n_decontaminated_docs", -1) < 0
-                and r.get("n_source_overlap_pairs", -1) < 0)
+                and r.get("n_source_overlap_pairs", -1) < 0
+                and r.get("n_boilerplate_removed", -1) < 0)
 
     lean = [r for r in runs
             if not r.get("fused") and r.get("n_files") == 1_600_000 and is_base_job(r)]
@@ -341,6 +342,39 @@ def main() -> None:
                 )
             lines.append("")
             eff = stage_eff_line(rows, "source_overlap")
+            if eff:
+                lines += [eff, ""]
+
+    bp = [r for r in runs if r.get("n_boilerplate_removed", -1) >= 0]
+    if bp:
+        lines += [
+            "## Line-level boilerplate removal on the measured scale path",
+            "",
+            "`remove_hot_units` (min_df=50 distinct docs, min_unit_len=8) — the",
+            "C4/RefinedWeb rewrite tier: corpus-wide hot lines scrubbed from every",
+            "document. The df count shuffles (line, file) pairs once; the rewrite",
+            "itself is a zero-shuffle Arrow pass against the collected hot set",
+            "(identical-output invariant asserted per corpus size):",
+            "",
+        ]
+        for nf in sorted({r["n_files"] for r in bp}):
+            rows = [r for r in bp if r["n_files"] == nf]
+            n_bp = {r["n_boilerplate_removed"] for r in rows}
+            assert len(n_bp) == 1, f"boilerplate outputs differ at {nf}: {n_bp}"
+            lines += [
+                f"{nf:,}-file corpus — **{n_bp.pop():,} boilerplate lines removed,",
+                "identical at every parallelism level:**",
+                "",
+                "| session | rep | cores | boilerplate sec | job total sec |",
+                "|---|---|---|---|---|",
+            ]
+            for r in rows:
+                lines.append(
+                    f"| {r['session']} | {r['rep']} | {r['cores']} | "
+                    f"{r['stages_sec'].get('boilerplate', '-')} | {r['total_sec']} |"
+                )
+            lines.append("")
+            eff = stage_eff_line(rows, "boilerplate")
             if eff:
                 lines += [eff, ""]
 

@@ -59,6 +59,7 @@ def worker(
     with_cluster_repeats: bool = False,
     with_decontamination: bool = False,
     with_source_overlap: bool = False,
+    with_boilerplate: bool = False,
     containment_cap: int = 50,
 ) -> None:
     from pyspark.sql import SparkSession
@@ -246,6 +247,30 @@ def worker(
         n_source_overlap = so.count()
         t["source_overlap"] = time.monotonic() - ts
 
+    n_boilerplate = -1
+    if with_boilerplate:
+        # line-level boilerplate removal on the measured path: the synthetic
+        # corpus plants real license headers/banners (df ≈ 20% of files);
+        # df count shuffles (line, file) pairs once, the rewrite is a
+        # zero-shuffle Arrow pass against the collected hot set. Invariant
+        # = total removed lines (deterministic for a fixed corpus).
+        from data_deduplication_service_spark.operators.boilerplate import (
+            remove_hot_units,
+        )
+
+        tb = time.monotonic()
+        cleaned = remove_hot_units(
+            files.select("file_id", F.col("content").cast("string").alias("content")),
+            min_df=50,
+            min_unit_len=8,
+        )
+        row = cleaned.agg(
+            F.sum("n_removed").alias("r"), F.count("*").alias("n")
+        ).collect()[0]
+        assert int(row["n"]) == n_files
+        n_boilerplate = int(row["r"])
+        t["boilerplate"] = time.monotonic() - tb
+
     n_repeats = -1
     if with_global_repeats:
         # the suffix tier on the measured path (capped exemplar config):
@@ -275,6 +300,7 @@ def worker(
                 "n_cluster_repeat_pairs": n_cluster_repeats,
                 "n_decontaminated_docs": n_decontaminated,
                 "n_source_overlap_pairs": n_source_overlap,
+                "n_boilerplate_removed": n_boilerplate,
                 "stages_sec": {k: round(v, 2) for k, v in t.items()},
                 "total_sec": round(total, 2),
                 "files_per_sec": round(n_files / total, 1),
@@ -295,6 +321,7 @@ def orchestrate(
     with_cluster_repeats: bool = False,
     with_decontamination: bool = False,
     with_source_overlap: bool = False,
+    with_boilerplate: bool = False,
     containment_cap: int = 50,
     legs: tuple[int, ...] = (8, 32),
 ) -> None:
@@ -345,6 +372,8 @@ def orchestrate(
             ) + (
                 ["--with-source-overlap"] if with_source_overlap else []
             ) + (
+                ["--with-boilerplate"] if with_boilerplate else []
+            ) + (
                 ["--with-containment", "--containment-cap", str(containment_cap)]
                 if with_containment else []
             )
@@ -374,6 +403,7 @@ def orchestrate(
                 or prev.get("n_cluster_repeat_pairs", -1) != r.get("n_cluster_repeat_pairs", -1)
                 or prev.get("n_decontaminated_docs", -1) != r.get("n_decontaminated_docs", -1)
                 or prev.get("n_source_overlap_pairs", -1) != r.get("n_source_overlap_pairs", -1)
+                or prev.get("n_boilerplate_removed", -1) != r.get("n_boilerplate_removed", -1)
             ):
                 raise RuntimeError(f"outputs differ across runs at {cores} cores: {prev} vs {r}")
             if prev is None or r["files_per_sec"] > prev["files_per_sec"]:
@@ -471,6 +501,9 @@ def main() -> None:
     ap.add_argument("--with-source-overlap", action="store_true",
                     help="also measure the repo rollup (synthetic ~100-file "
                          "repos, hot-hash cap 256)")
+    ap.add_argument("--with-boilerplate", action="store_true",
+                    help="also measure line-level boilerplate removal "
+                         "(df>=50 lines of len>=8 scrubbed corpus-wide)")
     ap.add_argument("--containment-cap", type=int, default=50,
                     help="max_shingle_doc_freq for the containment leg "
                          "(50 = the published 400k protocol)")
@@ -486,6 +519,7 @@ def main() -> None:
                with_cluster_repeats=args.with_cluster_repeats,
                with_decontamination=args.with_decontamination,
                with_source_overlap=args.with_source_overlap,
+               with_boilerplate=args.with_boilerplate,
                containment_cap=args.containment_cap)
     else:
         orchestrate(args.n_files, args.out, repeats=args.repeats,
@@ -495,6 +529,7 @@ def main() -> None:
                     with_cluster_repeats=args.with_cluster_repeats,
                     with_decontamination=args.with_decontamination,
                     with_source_overlap=args.with_source_overlap,
+                    with_boilerplate=args.with_boilerplate,
                     containment_cap=args.containment_cap,
                     legs=tuple(int(x) for x in args.legs.split(",")))
 
