@@ -861,6 +861,63 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/pii.py): email/IPv4/long-number scrub with
+    per-rule audit counts — a pure whole-stage-codegen map, zero shuffle,
+    zero Python. The corpus text carries no PII, so the gate plants a
+    deterministic suffix (same expression on both engines) that fires all
+    three rules on every row; sha256 of the redacted text is the value
+    anchor. Patterns live in PII_RULES and are embedded into the oracle
+    from the same constant, so the two sides can never drift."""
+    from data_deduplication_service_spark.operators.pii import redaction_stats
+
+    derived = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".3.4 ref "),
+            (F.col("doc_id") + 4100000000).cast("string"),
+        ).alias("text"),
+    )
+    return redaction_stats(derived)
+
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-keyed exact dedup (operators/normalize.py): NFC ∘
+    ASCII-fold ∘ whitespace-collapse as the duplicate key — the near-exact
+    tier between content-hash and MinHash. The corpus is unioned with a
+    shadow copy (doc_id + 1e9, ASCII-uppercased, whitespace-padded) so
+    every document provably groups with its normalized twin; canonical =
+    min(doc_id) per group. Only (key, id) crosses the shuffle."""
+    from data_deduplication_service_spark.operators.normalize import (
+        ASCII_LOWER,
+        ASCII_UPPER,
+        normalized_dup_groups,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    shadow = docs.select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.translate("text", ASCII_LOWER, ASCII_UPPER),
+            F.lit("\t"),
+        ).alias("text"),
+    )
+    groups = normalized_dup_groups(docs.unionByName(shadow))
+    return groups.select(
+        "doc_id",
+        "norm_sha256",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "is_dup",
+    )
+
+
 # ---- incremental / delta-fold queries (plans/incremental.py) --------------
 
 def _delta_split_files(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -1046,6 +1103,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hot_unit_removal": q_hot_unit_removal,
         "mixture_sample": q_mixture_sample,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "pii_redaction": q_pii_redaction,
+        "normalized_dedup": q_normalized_dedup,
 }
 
 
@@ -1100,6 +1159,55 @@ from data_deduplication_service_spark.operators.sampling import (  # noqa: E402
 _POW16_ROWS = ", ".join(
     f"({i}, {16 ** (_S_HEX - i)}::BIGINT)" for i in range(1, _S_HEX + 1)
 )
+
+
+# PII oracle: the rules are embedded from the operator's own PII_RULES
+# constant (patterns restricted to the Java-regex ∩ RE2 syntax subset) so
+# the two sides can never drift; each stage counts on the PREVIOUS stage's
+# text then rewrites, exactly as redact_pii chains them
+from data_deduplication_service_spark.operators.normalize import (  # noqa: E402
+    ASCII_LOWER as _NORM_LO,
+    ASCII_UPPER as _NORM_UP,
+    WS_PATTERN as _NORM_WS,
+)
+from data_deduplication_service_spark.operators.pii import (  # noqa: E402
+    PII_RULES as _PII_RULES,
+)
+
+_PII_DERIVED = (
+    "SELECT doc_id, text || ' contact user' || doc_id || '@example.com via 10.'"
+    " || (doc_id % 200) || '.3.4 ref ' || (doc_id + 4100000000) AS t0"
+    " FROM documents"
+)
+
+
+def _pii_oracle_sql() -> str:
+    ctes = [f"d0 AS ({_PII_DERIVED})"]
+    out_cols = []
+    for i, (name, pattern, replacement) in enumerate(_PII_RULES):
+        carried = "".join(f"n_{n}, " for n, _, _ in _PII_RULES[:i])
+        ctes.append(
+            f"d{i + 1} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(t{i}, '{pattern}')) AS n_{name}, "
+            f"regexp_replace(t{i}, '{pattern}', '{replacement}', 'g') AS t{i + 1} "
+            f"FROM d{i})"
+        )
+        out_cols.append(f"CAST(n_{name} AS BIGINT) AS n_{name}")
+    last = len(_PII_RULES)
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT doc_id, {', '.join(out_cols)}, "
+        f"sha256(t{last}) AS redacted_sha256 FROM d{last}"
+    )
+
+
+def _norm_key_sql(expr: str) -> str:
+    """The normalize.py key replayed in DuckDB: NFC ∘ ASCII-fold ∘
+    whitespace-collapse ∘ trim, then sha256 — constants imported from the
+    operator so key drift is impossible."""
+    return (
+        f"sha256(trim(regexp_replace(translate(nfc_normalize({expr}), "
+        f"'{_NORM_UP}', '{_NORM_LO}'), '{_NORM_WS}', ' ', 'g')))"
+    )
 
 
 def _hexv(e: str) -> str:
@@ -1689,6 +1797,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(kept.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
                    CAST(coalesce(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens
             FROM r LEFT JOIN kept USING (lang)
+        """,
+        # PII redaction: identical planted-PII derivation, identical
+        # rule chain (counts on the progressively-redacted text), sha256
+        # of the final text as the value anchor
+        "pii_redaction": _pii_oracle_sql(),
+        # normalized dedup: identical shadow-twin derivation (ASCII
+        # upper + whitespace padding), identical NFC∘fold∘collapse key,
+        # per-key windowed group size / min-id canonical / is_dup
+        "normalized_dedup": f"""
+            WITH both_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000 AS doc_id,
+                       '  ' || translate(text, '{_NORM_LO}', '{_NORM_UP}')
+                           || chr(9) AS text
+                FROM documents
+            ), k AS (
+                SELECT doc_id, {_norm_key_sql("text")} AS norm_sha256
+                FROM both_docs
+            )
+            SELECT doc_id, norm_sha256,
+                   CAST(count(*) OVER (PARTITION BY norm_sha256) AS BIGINT)
+                       AS group_size,
+                   CAST(min(doc_id) OVER (PARTITION BY norm_sha256) AS BIGINT)
+                       AS canonical_id,
+                   doc_id <> min(doc_id) OVER (PARTITION BY norm_sha256)
+                       AS is_dup
+            FROM k
         """,
         "minhash_lsh_pairs": _gh_cte()
         + _PAIRS_FROM_GH

@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "cdc_segment_stats",  # added r5 (new operator; pre-existing keys unchanged)
     "mixture_sample",  # added r5 (new operator; pre-existing keys unchanged)
     "hot_unit_removal",  # added r5 (new operator; pre-existing keys unchanged)
+    "pii_redaction",  # added r5 (new operator; pre-existing keys unchanged)
+    "normalized_dedup",  # added r5 (new operator; pre-existing keys unchanged)
     "q1_pricing_summary",
     "revenue_topk",
     "events_hourly",

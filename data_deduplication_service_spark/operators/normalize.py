@@ -1,0 +1,97 @@
+"""Normalization-keyed exact dedup — the "near-exact" tier between raw
+content-hash dedup (operators/exact.py) and MinHash (operators/lsh.py):
+two documents that differ only in case, whitespace runs, or Unicode
+composition form are duplicates under a canonical key.
+
+No reference analog (the reference hashes raw segment bytes); this is the
+standard first rewrite-free dedup tier of a web/text pipeline — it catches
+re-crawls that differ by whitespace reflow or NFC/NFD source encoding at
+exact-dedup cost, no signatures needed.
+
+The key (applied in this order on BOTH engines — the oracle replays it in
+DuckDB):
+  1. NFC Unicode normalization — composed/decomposed forms (e.g. ``é`` as
+     one codepoint vs ``e`` + combining acute) collapse to one key. No
+     Spark built-in exists, so this single step is an Arrow-batched pandas
+     UDF (``unicodedata.normalize`` is C); pure-ASCII rows take a C-speed
+     ``str.isascii`` fast path (NFC is the identity on ASCII) so the UDF
+     costs ~nothing on ASCII-dominated web corpora.
+  2. ASCII case fold via ``translate(A-Z → a-z)`` — deliberately NOT full
+     Unicode lowercasing: dedup keys must be replay-stable, and full case
+     mapping is locale- and Unicode-version-dependent (the Turkish dotted
+     İ differs across engines/versions). ``translate`` is byte-identical
+     everywhere.
+  3. Whitespace-run collapse to one space with the EXPLICIT class
+     ``[ \\t\\n\\r\\f]+`` (Java's ``\\s`` includes ``\\x0B``, RE2's does
+     not — the explicit class is the cross-engine intersection), then
+     trim.
+
+Scale shape: steps 2-3 are whole-stage-codegen expressions; step 1 is one
+Arrow pass with per-row transients only. The group step shuffles ONLY
+(key_sha256, doc_id) — 72 bytes/row, never content — one hash-partition
+exchange, and duplicate groups are tiny so the window buffers are bounded.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import StringType
+
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+# explicit cross-engine whitespace class — see module docstring
+WS_PATTERN = r"[ \t\n\r\f]+"
+
+
+def _nfc_map(texts: pd.Series) -> pd.Series:
+    return texts.map(
+        lambda s: s if s is None or s.isascii() else unicodedata.normalize("NFC", s)
+    )
+
+
+# NFC-normalize a string column (Arrow-batched; ASCII fast path). Built
+# with a DataType instance, not a DDL string, so importing this module
+# never needs an active SparkContext (DDL return types parse via the JVM).
+nfc = F.pandas_udf(_nfc_map, StringType())
+
+
+def fold_and_collapse(col: Column) -> Column:
+    """Steps 2-3 of the key: ASCII case fold + whitespace collapse + trim.
+    Pure JVM expressions (codegen)."""
+    return F.trim(
+        F.regexp_replace(F.translate(col, ASCII_UPPER, ASCII_LOWER), WS_PATTERN, " ")
+    )
+
+
+def normalized_key(col: Column) -> Column:
+    """sha256 hex of the full normalized form (NFC ∘ fold ∘ collapse)."""
+    return F.sha2(fold_and_collapse(nfc(col)).cast("binary"), 256)
+
+
+def normalized_dup_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, norm_sha256, group_size, canonical_id, is_dup): every document
+    labeled with its normalization-key duplicate group.
+
+    canonical_id = min(id) per group (deterministic, oracle-exact — the
+    same keep rule as semantic_dedup); is_dup marks the non-canonical
+    members a curation pass drops. Content never crosses the exchange:
+    the key is computed map-side and only (key, id) shuffles.
+    """
+    keyed = docs.select(
+        F.col(id_col), normalized_key(F.col(text_col)).alias("norm_sha256")
+    )
+    w = Window.partitionBy("norm_sha256")
+    return keyed.select(
+        id_col,
+        "norm_sha256",
+        F.count("*").over(w).alias("group_size"),
+        F.min(id_col).over(w).alias("canonical_id"),
+        (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup"),
+    )

@@ -1,0 +1,75 @@
+"""PII redaction — the scrub pass a training-data pipeline runs before
+publishing (emails, IPv4 addresses, long ID-like digit runs → typed
+placeholder tokens), with per-document match counts for audit.
+
+No reference analog (the reference treats content as opaque bytes); this
+is the standard curation step beside quality filtering (functions/text.py)
+and boilerplate removal (operators/boilerplate.py).
+
+Scale shape: a pure map — `regexp_count` + `regexp_replace` chains inline
+into whole-stage codegen, zero shuffle, zero Python, and the parquet scan
+prunes to (id, text). At 100 TB this is scan-bound, exactly what a rewrite
+pass should be.
+
+Cross-engine parity (the oracle replays every rule in DuckDB): patterns
+are restricted to the syntax subset where Java regex and RE2 agree —
+no lookaround, no backrefs, explicit ASCII classes (`\\d` is ASCII in
+both Java and RE2; `\\s` is NOT the same set in the two engines and is
+deliberately avoided). Rules apply IN ORDER, each counting/rewriting the
+output of the previous rule, so counts and the final text stay mutually
+consistent and replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# (name, pattern, replacement) — applied in order. Email first (its local
+# part may contain digits that the number rule would otherwise claim);
+# IPv4 before the generic digit-run rule (dots keep octets under 9 digits,
+# but the order makes the precedence explicit).
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("number", r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def redact_text(col: Column) -> Column:
+    """The fully-redacted text: every rule's replacement applied in order."""
+    out = col
+    for _, pattern, replacement in PII_RULES:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_<rule>..., text): per-document redaction with audit counts.
+
+    Each rule's count is taken on the text AFTER the previous rules ran
+    (an email's digits are never double-counted by the number rule), so
+    sum(n_*) is exactly the number of placeholder tokens in the output.
+    """
+    staged: Column = F.col(text_col)
+    counts: list[Column] = []
+    for name, pattern, replacement in PII_RULES:
+        counts.append(F.regexp_count(staged, F.lit(pattern)).alias(f"n_{name}"))
+        staged = F.regexp_replace(staged, pattern, replacement)
+    keep = [c for c in docs.columns if c != text_col]
+    return docs.select(*keep, *counts, staged.alias(text_col))
+
+
+def redaction_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_email, n_ipv4, n_number, redacted_sha256): the verifiable
+    summary — sha256 of the redacted text anchors the cross-engine value
+    hash (same move as removal_stats / the reconstruction roundtrip)."""
+    redacted = redact_pii(docs.select(id_col, text_col), id_col, text_col)
+    return redacted.select(
+        F.col(id_col),
+        *[F.col(f"n_{name}").cast("long").alias(f"n_{name}") for name, _, _ in PII_RULES],
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("redacted_sha256"),
+    )

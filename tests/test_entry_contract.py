@@ -80,6 +80,8 @@ _DOC_QUERIES = [
     "near_dup_clusters",
     "benchmark_overlap",
     "source_segment_overlap",
+    "pii_redaction",
+    "normalized_dedup",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Normalization-keyed dedup: key parity with a Python truth (unicodedata
+NFC + ASCII fold + whitespace collapse), NFC composed/decomposed grouping,
+group/canonical semantics, and the key-only shuffle contract."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+
+import pytest
+
+from data_deduplication_service_spark.operators.normalize import (
+    ASCII_LOWER,
+    ASCII_UPPER,
+    normalized_dup_groups,
+)
+
+# e-acute composed (U+00E9) vs decomposed (e + U+0301): NFC-equal
+COMPOSED = "caf\u00e9 menu"
+DECOMPOSED = "cafe\u0301 menu"
+assert COMPOSED != DECOMPOSED  # distinct code-point sequences on input
+
+DOCS = [
+    (1, "Hello   World"),
+    (2, "hello world"),  # case + whitespace-run variant of 1
+    (3, "hello\t\nworld "),  # tabs/newline/trailing ws variant of 1
+    (4, COMPOSED),
+    (5, DECOMPOSED),  # NFC twin of 4
+    (6, "CAFÉ MENU"),  # É stays É under ASCII-only fold — NOT in 4's group
+    (7, "unique document"),
+    (8, ""),
+    (9, "   "),  # whitespace-only collapses to "" — groups with 8
+]
+
+
+def _python_key(text: str) -> str:
+    norm = unicodedata.normalize("NFC", text)
+    folded = norm.translate(str.maketrans(ASCII_UPPER, ASCII_LOWER))
+    collapsed = re.sub(r"[ \t\n\r\f]+", " ", folded).strip(" ")
+    return hashlib.sha256(collapsed.encode()).hexdigest()
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_key_matches_python_truth(spark, docs):
+    got = {r.doc_id: r.norm_sha256 for r in normalized_dup_groups(docs).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _python_key(text), (doc_id, text)
+
+
+def test_group_and_canonical_semantics(spark, docs):
+    """Groups ≡ first-principles key grouping; canonical = min id; is_dup
+    marks exactly the non-canonical members."""
+    truth_groups: dict[str, list[int]] = {}
+    for doc_id, text in DOCS:
+        truth_groups.setdefault(_python_key(text), []).append(doc_id)
+    rows = {r.doc_id: r for r in normalized_dup_groups(docs).collect()}
+    for key, members in truth_groups.items():
+        for m in members:
+            assert rows[m].group_size == len(members)
+            assert rows[m].canonical_id == min(members)
+            assert rows[m].is_dup == (m != min(members))
+    # the planted relations actually hold
+    assert rows[1].canonical_id == rows[2].canonical_id == rows[3].canonical_id == 1
+    assert rows[4].canonical_id == rows[5].canonical_id == 4  # NFC twins
+    assert rows[6].group_size == 1  # É ≠ é under replay-stable ASCII fold
+    assert rows[8].canonical_id == rows[9].canonical_id == 8  # "" and "   "
+
+
+def test_only_key_and_id_shuffle(spark, docs):
+    """Content never crosses the exchange: the window input projects to
+    (id, norm_sha256) before the single hash-partition shuffle."""
+    plan = normalized_dup_groups(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(norm_sha256" in plan, plan
+    # the exchange's direct input is the (doc_id, key) projection — the raw
+    # text column is consumed by the key expression BELOW the shuffle and
+    # never appears as an exchanged output column
+    after = plan.split("Exchange hashpartitioning", 1)[1].splitlines()
+    feeder = next(line for line in after[1:] if line.strip("+- ").strip())
+    assert "Project" in feeder and "AS norm_sha256" in feeder, plan
+    assert "text#" not in feeder.split("AS norm_sha256")[-1], plan
+
+
+def test_ascii_fast_path_equivalence(spark):
+    """Pure-ASCII rows skip unicodedata entirely — same key either way."""
+    text = "Plain ASCII   Text"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = normalized_dup_groups(docs).collect()[0]
+    assert got.norm_sha256 == _python_key(text)

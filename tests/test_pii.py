@@ -1,0 +1,89 @@
+"""PII redaction: rule-by-rule parity with a Python re oracle, count/text
+consistency, rule ordering, and the zero-shuffle plan contract."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_deduplication_service_spark.operators.pii import (
+    PII_RULES,
+    redact_pii,
+    redaction_stats,
+)
+
+DOCS = [
+    (1, "reach me at jane.doe+spam@corp.example.com or on 10.0.42.7 today"),
+    (2, "ids 123456789 and 98765432109876 but not 12345678 (too short)"),
+    (3, "two mails: a@b.io c_d%e@sub.domain.org and ip 192.168.001.255!"),
+    (4, "no pii at all, just text with numbers 42 7 1999"),
+    (5, "edge: 1.2.3.4.5 overlong dotted run, user@@double.at, @lone"),
+    (6, "email with digits d1g1t5.999@ex4mple.net then 555123456789"),
+    (7, ""),
+    (8, "boundary999999999x glued digits do not match, 999999999 does"),
+]
+
+
+def _python_truth(text: str):
+    """Apply the rules with Python re in ASCII mode (Java regex and RE2
+    treat \\d/\\b as ASCII; Python defaults to Unicode, so re.ASCII is the
+    cross-engine semantics)."""
+    counts = {}
+    for name, pattern, replacement in PII_RULES:
+        counts[f"n_{name}"] = len(re.findall(pattern, text, re.ASCII))
+        text = re.sub(pattern, replacement, text, flags=re.ASCII)
+    return counts, text
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_redaction_matches_python_truth(spark, docs):
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    for doc_id, text in DOCS:
+        counts, redacted = _python_truth(text)
+        row = got[doc_id]
+        assert row.text == redacted, (doc_id, row.text, redacted)
+        for k, v in counts.items():
+            assert row[k] == v, (doc_id, k, row[k], v)
+
+
+def test_counts_equal_placeholder_occurrences(spark, docs):
+    """Counts are taken on the progressively-redacted text, so sum(n_*)
+    is exactly the number of placeholder tokens in the output."""
+    for row in redact_pii(docs).collect():
+        total = sum(row[f"n_{name}"] for name, _, _ in PII_RULES)
+        placed = sum(row.text.count(rep) for _, _, rep in PII_RULES)
+        assert total == placed, row
+
+
+def test_rule_order_prevents_double_claiming(spark):
+    """An email's digits are claimed by the email rule, never re-counted
+    by the number rule; IPv4 octets never feed the digit-run rule."""
+    docs = spark.createDataFrame(
+        [(1, "x123456789012@y.com"), (2, "1.2.3.4")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert rows[1].n_email == 1 and rows[1].n_number == 0
+    assert rows[2].n_ipv4 == 1 and rows[2].n_number == 0
+
+
+def test_stats_sha_anchor(spark, docs):
+    """redaction_stats sha256 matches hashlib over the Python-truth text."""
+    import hashlib
+
+    got = {r.doc_id: r for r in redaction_stats(docs).collect()}
+    for doc_id, text in DOCS:
+        _, redacted = _python_truth(text)
+        expect = hashlib.sha256(redacted.encode()).hexdigest()
+        assert got[doc_id].redacted_sha256 == expect
+
+
+def test_redaction_is_shuffle_free(spark, docs):
+    """The whole pass is a map: regexp chains in codegen, no Exchange."""
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
