@@ -861,6 +861,38 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (functions/repetition.py) — the
+    Gopher-style quality filters over internal repetition. Zero-shuffle
+    per-row expressions: duplicate counts come from sorted-adjacency array
+    ops, never an explode. The corpus is single-line, so the gate runs the
+    unit signals at token granularity (unit_delimiter=' '), same move as
+    hot_unit_removal; the oracle computes the identical quantities the
+    relational way (explode + GROUP BY)."""
+    from data_deduplication_service_spark.functions.repetition import (
+        repetition_stats,
+    )
+
+    return repetition_stats(
+        _docs(spark, sf_dir).select("doc_id", "text"), unit_delimiter=" "
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier (operators/classifier.py):
+    md5-prefix token buckets → integer weights (exact int64 sum — float
+    accumulation order would differ between Spark's array fold and SQL's
+    SUM) → one double division. Zero-shuffle scoring: the weight table is
+    an array literal read by element_at. The oracle embeds the SAME
+    weights from default_weights() and recomputes the md5 bucket hash
+    digit-by-digit."""
+    from data_deduplication_service_spark.operators.classifier import (
+        classifier_stats,
+    )
+
+    return classifier_stats(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/pii.py): email/IPv4/long-number scrub with
     per-rule audit counts — a pure whole-stage-codegen map, zero shuffle,
@@ -1105,6 +1137,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "pii_redaction": q_pii_redaction,
         "normalized_dedup": q_normalized_dedup,
+        "repetition_stats": q_repetition_stats,
+        "quality_classifier": q_quality_classifier,
 }
 
 
@@ -1198,6 +1232,46 @@ def _pii_oracle_sql() -> str:
         "WITH " + ", ".join(ctes) + f" SELECT doc_id, {', '.join(out_cols)}, "
         f"sha256(t{last}) AS redacted_sha256 FROM d{last}"
     )
+
+
+from data_deduplication_service_spark.operators.classifier import (  # noqa: E402
+    WEIGHT_SCALE as _CLS_SCALE,
+    default_weights as _cls_weights,
+)
+
+
+def _classifier_oracle_sql() -> str:
+    """The classifier replayed in DuckDB: identical md5-prefix bucket hash
+    (digit-by-digit hex arithmetic), identical integer weight table
+    (embedded from default_weights()), exact int64 sum, one double
+    division — bit-identical to the Spark expression path."""
+    weights = _cls_weights()
+    wrows = ", ".join(f"({b}, {w})" for b, w in enumerate(weights))
+    digit = "(strpos('0123456789abcdef', substring(md5(tok), {i}, 1)) - 1)"
+    bucket = " + ".join(
+        f"{digit.format(i=i + 1)} * {16 ** (3 - i)}" if i < 3 else digit.format(i=i + 1)
+        for i in range(4)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, t.u AS tok
+            FROM (SELECT doc_id, string_split(text, ' ') AS parts
+                  FROM documents),
+                 unnest(parts) AS t(u)
+        ), b AS (
+            SELECT doc_id, ({bucket}) % {len(weights)} AS bucket FROM tok
+        ), w(bucket, wt) AS (VALUES {wrows}),
+        s AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(wt) AS BIGINT) AS score_int
+            FROM b JOIN w USING (bucket) GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, score_int,
+               round(CAST(score_int AS DOUBLE) / n_tokens / {_CLS_SCALE}.0, 6)
+                   AS quality_logit,
+               score_int >= 0 AS keep
+        FROM s
+    """
 
 
 def _norm_key_sql(expr: str) -> str:
@@ -1798,6 +1872,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens
             FROM r LEFT JOIN kept USING (lang)
         """,
+        # within-document repetition: the sorted-adjacency array formulas
+        # computed relationally — beyond-first chars ≡ Σ(count−1)·len,
+        # top run ≡ max(count); token-granularity units (single-line corpus)
+        "repetition_stats": """
+            WITH p AS (SELECT doc_id, string_split(text, ' ') AS parts
+                       FROM documents),
+            u AS (SELECT doc_id, t.u AS unit FROM p, unnest(parts) AS t(u)),
+            uc AS (SELECT doc_id, unit, count(*) AS c, length(unit) AS l
+                   FROM u GROUP BY doc_id, unit),
+            us AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_units,
+                       round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6)
+                           AS dup_unit_frac,
+                       round(CASE WHEN sum(c * l) = 0 THEN 0.0
+                             ELSE CAST(sum((c - 1) * l) AS DOUBLE) / sum(c * l)
+                             END, 6) AS dup_unit_char_frac
+                FROM uc GROUP BY doc_id),
+            bg AS (SELECT doc_id, parts[t.i] || chr(31) || parts[t.i + 1] AS g
+                   FROM p, unnest(generate_series(1, len(parts) - 1)) AS t(i)),
+            bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+            bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                          round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6)
+                              AS dup_bigram_frac,
+                          round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                              AS top_bigram_frac
+                   FROM bgc GROUP BY doc_id),
+            tg AS (SELECT doc_id, parts[t.i] || chr(31) || parts[t.i + 1]
+                              || chr(31) || parts[t.i + 2] AS g
+                   FROM p, unnest(generate_series(1, len(parts) - 2)) AS t(i)),
+            tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+            ts AS (SELECT doc_id,
+                          round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6)
+                              AS dup_trigram_frac
+                   FROM tgc GROUP BY doc_id)
+            SELECT us.doc_id, us.n_units, us.dup_unit_frac,
+                   us.dup_unit_char_frac,
+                   CAST(coalesce(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   coalesce(bs.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+                   coalesce(bs.top_bigram_frac, 0.0) AS top_bigram_frac,
+                   coalesce(ts.dup_trigram_frac, 0.0) AS dup_trigram_frac
+            FROM us LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id)
+        """,
+        # hashing-trick linear classifier: see _classifier_oracle_sql
+        "quality_classifier": _classifier_oracle_sql(),
         # PII redaction: identical planted-PII derivation, identical
         # rule chain (counts on the progressively-redacted text), sha256
         # of the final text as the value anchor

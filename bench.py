@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "hot_unit_removal",  # added r5 (new operator; pre-existing keys unchanged)
     "pii_redaction",  # added r5 (new operator; pre-existing keys unchanged)
     "normalized_dedup",  # added r5 (new operator; pre-existing keys unchanged)
+    "repetition_stats",  # added r5 (new operator; pre-existing keys unchanged)
+    "quality_classifier",  # added r5 (new operator; pre-existing keys unchanged)
     "q1_pricing_summary",
     "revenue_topk",
     "events_hourly",

@@ -1,0 +1,129 @@
+"""Within-document repetition signals — the Gopher-style quality filters
+(Rae et al. 2021, Table A1) that catch low-quality pages by INTERNAL
+repetition, the failure mode document-level dedup can't see: boilerplate
+lists, keyword-stuffed spam, template loops.
+
+Signals per document:
+  * duplicate-unit fraction (count- and character-weighted) over a
+    delimiter-split unit (lines in production; delimiter-generic like
+    operators/boilerplate.py),
+  * duplicate token-n-gram fraction for n=2,3,
+  * top-bigram mass fraction (share of all bigrams taken by the single
+    most frequent one).
+
+Scale shape: everything is a per-row expression over the token/unit
+arrays — zero shuffle, zero Python, whole-stage codegen. Per-value
+occurrence counts are taken WITHOUT exploding: duplicates are adjacent in
+the array_sort'd array, so beyond-first occurrences are a zip_with of the
+array against its shift, and the max-run (top count) is one aggregate()
+scan with a (prev, run, best) struct accumulator — O(T log T) per doc, no
+(doc, gram) rows ever materialize. The DuckDB oracle computes the same
+quantities the relational way (explode + GROUP BY), which is the
+equality: sorted-adjacency duplicate chars ≡ Σ(count−1)·len, max run ≡
+max(count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# gram joiner — a unit separator byte that tokenization (single-space
+# split) can never produce inside a token
+GRAM_SEP = "\x1f"
+
+
+def unit_array(col: Column, delimiter: str) -> Column:
+    """Delimiter-split units, trailing empties retained (DuckDB
+    string_split parity; \\Q...\\E quotes regex metacharacters)."""
+    return F.split(col, "\\Q" + delimiter + "\\E", -1)
+
+
+def token_ngram_array(tokens: Column, n: int) -> Column:
+    """All token n-grams joined on GRAM_SEP; empty array when the document
+    has fewer than n tokens."""
+    starts = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(tokens, i, n), GRAM_SEP))
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_fraction(arr: Column) -> Column:
+    """1 − distinct/total: the share of array elements that are repeat
+    occurrences. 0.0 for an empty array."""
+    total = F.size(arr)
+    return F.when(total > 0, 1.0 - F.size(F.array_distinct(arr)) / total).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_char_fraction(arr: Column) -> Column:
+    """Character-weighted duplicate share: chars in beyond-first
+    occurrences / chars in all occurrences (≡ Σ(count−1)·len ÷ Σcount·len).
+    Sorted-adjacency formulation — equal values group under any total
+    order, so no cross-engine collation dependence."""
+    s = F.array_sort(arr)
+    m = F.size(s)
+    dup_chars = F.aggregate(
+        F.zip_with(
+            F.slice(s, 1, F.greatest(m - 1, F.lit(0))),
+            F.slice(s, 2, F.greatest(m - 1, F.lit(0))),
+            lambda a, b: F.when(a == b, F.length(b)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    total_chars = F.aggregate(
+        s, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(total_chars > 0, dup_chars / total_chars).otherwise(F.lit(0.0))
+
+
+def top_count(arr: Column) -> Column:
+    """Occurrence count of the most frequent value: the longest equal-run
+    in the sorted array, via one aggregate() pass with a (prev, run, best)
+    accumulator. 0 for an empty array."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unit_delimiter: str = "\n",
+) -> DataFrame:
+    """Per-document repetition signal table (id columns preserved):
+    (n_units, dup_unit_frac, dup_unit_char_frac, n_bigrams,
+    dup_bigram_frac, top_bigram_frac, dup_trigram_frac) — fractions
+    rounded to 6 (identically in the oracle)."""
+    c = F.col(text_col)
+    units = unit_array(c, unit_delimiter)
+    tokens = F.split(c, " ")
+    bi = token_ngram_array(tokens, 2)
+    tri = token_ngram_array(tokens, 3)
+    keep = [col for col in docs.columns if col != text_col]
+    n_bi = F.size(bi)
+    return docs.select(
+        *keep,
+        F.size(units).cast("long").alias("n_units"),
+        F.round(dup_fraction(units), 6).alias("dup_unit_frac"),
+        F.round(dup_char_fraction(units), 6).alias("dup_unit_char_frac"),
+        n_bi.cast("long").alias("n_bigrams"),
+        F.round(dup_fraction(bi), 6).alias("dup_bigram_frac"),
+        F.round(
+            F.when(n_bi > 0, top_count(bi) / n_bi).otherwise(F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+        F.round(dup_fraction(tri), 6).alias("dup_trigram_frac"),
+    )

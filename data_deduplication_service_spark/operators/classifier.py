@@ -1,0 +1,84 @@
+"""Hashing-trick linear quality classifier — model-based document filtering
+(the fastText-style score a modern curation pipeline runs beside the
+heuristic signals in functions/text.py: DCLM / FineWeb-edu shape).
+
+A linear model over hashed bag-of-tokens features: token → bucket via an
+md5-prefix hash (the "hashing trick" — no vocabulary), bucket → INTEGER
+weight from a fixed table, document score = Σ weight / (n_tokens · 1e6).
+The weights here are a deterministic stand-in for trained parameters (a
+real model drops its quantized weights into the same table); what this
+operator owns is the SCALE-CORRECT scoring plan, not the training.
+
+Design for cross-engine verifiability and scale:
+  * integer weights summed exactly in int64 — float accumulation order
+    (Spark's left-to-right array fold vs SQL's arbitrary-order SUM) can
+    flip low bits; integer sums cannot. One double division at the end.
+  * the keep decision compares the INTEGER sum against 0, never a rounded
+    double — no boundary flake.
+  * bucket = md5-hex-prefix(4) mod n_buckets: md5 exists bit-identically
+    in every engine (same move as functions/text.py:md5_min_fingerprint).
+  * scoring is a pure per-row expression: weights ride an array LITERAL
+    read by element_at (no join, no broadcast, no Python), so the whole
+    pass is zero-shuffle whole-stage codegen — scan-bound at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+N_BUCKETS = 64
+WEIGHT_SCALE = 1_000_000  # integer weights are fixed-point ×1e6
+
+# hex chars of the md5 prefix consumed by the bucket hash: 4 chars = 16
+# bits ≫ N_BUCKETS, cheap to reproduce in SQL without a powers-of-16 join
+_HEX_CHARS = 4
+
+
+def default_weights(n_buckets: int = N_BUCKETS, seed: int = 13) -> list[int]:
+    """Deterministic placeholder weights in [-WEIGHT_SCALE, WEIGHT_SCALE]:
+    a multiplicative-hash PRNG (replayable from the seed alone, no RNG
+    library semantics to pin across versions)."""
+    out = []
+    x = seed & 0xFFFFFFFF
+    for _ in range(n_buckets):
+        x = (x * 2654435761 + 1) & 0xFFFFFFFF
+        out.append(int(x % (2 * WEIGHT_SCALE + 1)) - WEIGHT_SCALE)
+    return out
+
+
+def hashed_bucket(tok: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """Hashing-trick bucket: first 4 hex chars of md5(token) mod n_buckets."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, _HEX_CHARS), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def classifier_stats(
+    docs: DataFrame,
+    weights: list[int] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(…id cols…, n_tokens, score_int, quality_logit, keep): the linear
+    score per document (every non-text column is carried through).
+    score_int is the exact integer sum; quality_logit = score_int /
+    n_tokens / 1e6 rounded to 6; keep = score_int ≥ 0."""
+    weights = default_weights() if weights is None else weights
+    warr = F.array(*[F.lit(int(w)) for w in weights])
+    tokens = F.split(F.col(text_col), " ")
+    score_int = F.aggregate(
+        F.transform(
+            tokens,
+            lambda tok: F.element_at(warr, (hashed_bucket(tok, len(weights)) + 1).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    keep = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *keep,
+        F.size(tokens).cast("long").alias("n_tokens"),
+        score_int.alias("score_int"),
+        F.round(score_int / F.size(tokens) / WEIGHT_SCALE, 6).alias("quality_logit"),
+        (score_int >= 0).alias("keep"),
+    )

@@ -1,0 +1,80 @@
+"""Hashing-trick classifier: parity with a hashlib truth, exact integer
+accumulation, pluggable weights, and the zero-shuffle plan contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from data_deduplication_service_spark.operators.classifier import (
+    N_BUCKETS,
+    WEIGHT_SCALE,
+    classifier_stats,
+    default_weights,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "spam spam spam spam spam"),
+    (3, "x"),
+    (4, ""),  # one empty token — still a bucket, still scored
+    (5, "mixed CASE Tokens with Punct! and 123 numbers"),
+]
+
+
+def _truth(text: str, weights: list[int]):
+    toks = text.split(" ")
+    score = 0
+    for t in toks:
+        bucket = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % len(weights)
+        score += weights[bucket]
+    return {
+        "n_tokens": len(toks),
+        "score_int": score,
+        "quality_logit": round(score / len(toks) / WEIGHT_SCALE, 6),
+        "keep": score >= 0,
+    }
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_matches_hashlib_truth(spark, docs):
+    weights = default_weights()
+    got = {r.doc_id: r for r in classifier_stats(docs).collect()}
+    for doc_id, text in DOCS:
+        want = _truth(text, weights)
+        for k, v in want.items():
+            assert got[doc_id][k] == v, (doc_id, k, got[doc_id][k], v)
+
+
+def test_default_weights_deterministic_and_centered():
+    w = default_weights()
+    assert w == default_weights() and len(w) == N_BUCKETS
+    assert all(-WEIGHT_SCALE <= x <= WEIGHT_SCALE for x in w)
+    assert len(set(w)) > N_BUCKETS // 2  # not degenerate
+    # a different seed is a different model
+    assert default_weights(seed=14) != w
+
+
+def test_pluggable_weights(spark, docs):
+    """A 'trained' model drops its weights in: all-positive weights keep
+    everything; all-negative drop everything."""
+    keep_all = classifier_stats(docs, weights=[1] * 16).collect()
+    assert all(r.keep for r in keep_all)
+    drop_all = classifier_stats(docs, weights=[-1] * 16).collect()
+    assert not any(r.keep for r in drop_all)
+    # score_int is exactly token count (weight 1 per token)
+    assert {r.doc_id: r.score_int for r in keep_all} == {
+        d: len(t.split(" ")) for d, t in DOCS
+    }
+
+
+def test_scoring_is_shuffle_free(spark, docs):
+    plan = classifier_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan  # weights are a literal, not a table
+    assert "EvalPython" not in plan, plan

@@ -82,6 +82,8 @@ _DOC_QUERIES = [
     "source_segment_overlap",
     "pii_redaction",
     "normalized_dedup",
+    "repetition_stats",
+    "quality_classifier",
 ]
 
 

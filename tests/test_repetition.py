@@ -1,0 +1,106 @@
+"""Repetition signals: parity with a Counter-based Python truth, line-mode
+semantics, degenerate shapes, and the zero-shuffle plan contract."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from data_deduplication_service_spark.functions.repetition import (
+    GRAM_SEP,
+    repetition_stats,
+)
+
+DOCS = [
+    (1, "the quick fox\nthe quick fox\nunique line\nthe quick fox"),
+    (2, "a a a a a"),  # one token repeated — max internal repetition
+    (3, "all tokens here are fully distinct words"),
+    (4, "x"),  # single token: no bigrams/trigrams
+    (5, ""),  # empty text: one empty unit, one empty token
+    (6, "ab ab cd cd ab\ncd ab"),
+    (7, "spam spam spam buy now spam spam spam buy now"),
+]
+
+
+def _truth(text: str, delimiter: str):
+    units = text.split(delimiter)
+    tokens = text.split(" ")
+
+    def dup_frac(xs):
+        return 1.0 - len(set(xs)) / len(xs) if xs else 0.0
+
+    def dup_char_frac(xs):
+        cnt = Counter(xs)
+        total = sum(len(x) * c for x, c in cnt.items())
+        dup = sum(len(x) * (c - 1) for x, c in cnt.items())
+        return dup / total if total else 0.0
+
+    def grams(n):
+        return [
+            GRAM_SEP.join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)
+        ] if len(tokens) >= n else []
+
+    bi, tri = grams(2), grams(3)
+    top_bi = max(Counter(bi).values()) if bi else 0
+    return {
+        "n_units": len(units),
+        "dup_unit_frac": round(dup_frac(units), 6),
+        "dup_unit_char_frac": round(dup_char_frac(units), 6),
+        "n_bigrams": len(bi),
+        "dup_bigram_frac": round(dup_frac(bi), 6),
+        "top_bigram_frac": round(top_bi / len(bi), 6) if bi else 0.0,
+        "dup_trigram_frac": round(dup_frac(tri), 6),
+    }
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_line_mode_matches_python_truth(spark, docs):
+    got = {r.doc_id: r for r in repetition_stats(docs, unit_delimiter="\n").collect()}
+    for doc_id, text in DOCS:
+        want = _truth(text, "\n")
+        for k, v in want.items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-9), (doc_id, k)
+
+
+def test_token_mode_matches_python_truth(spark, docs):
+    got = {r.doc_id: r for r in repetition_stats(docs, unit_delimiter=" ").collect()}
+    for doc_id, text in DOCS:
+        want = _truth(text, " ")
+        for k, v in want.items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-9), (doc_id, k)
+
+
+def test_planted_signal_shapes(spark, docs):
+    got = {r.doc_id: r for r in repetition_stats(docs, unit_delimiter="\n").collect()}
+    # doc 1: "the quick fox" 3× of 4 lines — dup_unit_frac = 1 - 2/4
+    assert got[1].dup_unit_frac == pytest.approx(0.5)
+    # char-weighted is higher: the duplicated line is the long one
+    assert got[1].dup_unit_char_frac > got[1].dup_unit_frac
+    # doc 2: "a a a a a" — 4 of 5 tokens are repeats, top bigram = all
+    assert got[2].dup_bigram_frac == pytest.approx(0.75)
+    assert got[2].top_bigram_frac == pytest.approx(1.0)
+    # doc 3: fully distinct — every signal 0 except sizes
+    assert got[3].dup_bigram_frac == 0.0 and got[3].dup_trigram_frac == 0.0
+    assert got[3].top_bigram_frac == round(1 / 6, 6)  # each bigram once
+    # doc 4/5: no bigrams — 0-fracs, never null/NaN
+    for d in (4, 5):
+        assert got[d].n_bigrams == 0
+        assert got[d].dup_bigram_frac == 0.0 and got[d].top_bigram_frac == 0.0
+    # doc 7: "spam spam" bigram mass dominates
+    assert got[7].top_bigram_frac == round(4 / 9, 6)
+
+
+def test_zero_shuffle_plan(spark, docs):
+    """Signals are per-row array expressions: no Exchange, no explode-join,
+    no Python."""
+    plan = (
+        repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert "EvalPython" not in plan, plan
