@@ -62,7 +62,10 @@ def dup_char_fraction(arr: Column) -> Column:
     occurrences / chars in all occurrences (≡ Σ(count−1)·len ÷ Σcount·len).
     Sorted-adjacency formulation — equal values group under any total
     order, so no cross-engine collation dependence."""
-    s = F.array_sort(arr)
+    return _dup_char_fraction_sorted(F.array_sort(arr))
+
+
+def _dup_char_fraction_sorted(s: Column) -> Column:
     m = F.size(s)
     dup_chars = F.aggregate(
         F.zip_with(
@@ -83,6 +86,10 @@ def top_count(arr: Column) -> Column:
     """Occurrence count of the most frequent value: the longest equal-run
     in the sorted array, via one aggregate() pass with a (prev, run, best)
     accumulator. 0 for an empty array."""
+    return _top_count_sorted(F.array_sort(arr))
+
+
+def _top_count_sorted(s: Column) -> Column:
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).alias("run"),
@@ -95,7 +102,7 @@ def top_count(arr: Column) -> Column:
             x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
         )
 
-    return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+    return F.aggregate(s, init, step, lambda acc: acc["best"])
 
 
 def repetition_stats(
@@ -109,21 +116,31 @@ def repetition_stats(
     dup_bigram_frac, top_bigram_frac, dup_trigram_frac) — fractions
     rounded to 6 (identically in the oracle)."""
     c = F.col(text_col)
-    units = unit_array(c, unit_delimiter)
     tokens = F.split(c, " ")
-    bi = token_ngram_array(tokens, 2)
-    tri = token_ngram_array(tokens, 3)
     keep = [col for col in docs.columns if col != text_col]
-    n_bi = F.size(bi)
-    return docs.select(
+    # stage each array ONCE behind a projection boundary: every signal
+    # below reads the staged column, so the expensive build/sort never
+    # recomputes per-stat (CollapseProject keeps the boundary — it refuses
+    # to inline non-cheap expressions referenced more than once; measured
+    # ~2× on 10KB documents). Sorting doesn't change size/distinct, and
+    # the trigram array feeds only an order-free distinct, so it stays raw.
+    staged = docs.select(
         *keep,
-        F.size(units).cast("long").alias("n_units"),
-        F.round(dup_fraction(units), 6).alias("dup_unit_frac"),
-        F.round(dup_char_fraction(units), 6).alias("dup_unit_char_frac"),
+        F.array_sort(unit_array(c, unit_delimiter)).alias("_su"),
+        F.array_sort(token_ngram_array(tokens, 2)).alias("_sb"),
+        token_ngram_array(tokens, 3).alias("_tri"),
+    )
+    su, sb, tri = F.col("_su"), F.col("_sb"), F.col("_tri")
+    n_bi = F.size(sb)
+    return staged.select(
+        *keep,
+        F.size(su).cast("long").alias("n_units"),
+        F.round(dup_fraction(su), 6).alias("dup_unit_frac"),
+        F.round(_dup_char_fraction_sorted(su), 6).alias("dup_unit_char_frac"),
         n_bi.cast("long").alias("n_bigrams"),
-        F.round(dup_fraction(bi), 6).alias("dup_bigram_frac"),
+        F.round(dup_fraction(sb), 6).alias("dup_bigram_frac"),
         F.round(
-            F.when(n_bi > 0, top_count(bi) / n_bi).otherwise(F.lit(0.0)), 6
+            F.when(n_bi > 0, _top_count_sorted(sb) / n_bi).otherwise(F.lit(0.0)), 6
         ).alias("top_bigram_frac"),
         F.round(dup_fraction(tri), 6).alias("dup_trigram_frac"),
     )

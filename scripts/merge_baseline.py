@@ -64,7 +64,8 @@ def main() -> None:
                 and r.get("n_cluster_repeat_pairs", -1) < 0
                 and r.get("n_decontaminated_docs", -1) < 0
                 and r.get("n_source_overlap_pairs", -1) < 0
-                and r.get("n_boilerplate_removed", -1) < 0)
+                and r.get("n_boilerplate_removed", -1) < 0
+                and not r.get("quality_invariant", ""))
 
     lean = [r for r in runs
             if not r.get("fused") and r.get("n_files") == 1_600_000 and is_base_job(r)]
@@ -342,6 +343,39 @@ def main() -> None:
                 )
             lines.append("")
             eff = stage_eff_line(rows, "source_overlap")
+            if eff:
+                lines += [eff, ""]
+
+    qs = [r for r in runs if r.get("quality_invariant", "")]
+    if qs:
+        lines += [
+            "## Quality-scan family on the measured scale path",
+            "",
+            "The round-5 curation scans run as one stage over the full corpus:",
+            "PII redaction, repetition signals, and the hashing-trick classifier",
+            "are zero-shuffle codegen maps; normalization-keyed dedup adds one",
+            "(key_sha256, id) exchange. Invariant = pii/bigrams/kept/normdups",
+            "integer tuple, asserted identical per corpus size:",
+            "",
+        ]
+        for nf in sorted({r["n_files"] for r in qs}):
+            rows = [r for r in qs if r["n_files"] == nf]
+            inv = {r["quality_invariant"] for r in rows}
+            assert len(inv) == 1, f"quality invariants differ at {nf}: {inv}"
+            lines += [
+                f"{nf:,}-file corpus — **invariant {inv.pop()}, identical at",
+                "every parallelism level:**",
+                "",
+                "| session | rep | cores | quality_scans sec | job total sec |",
+                "|---|---|---|---|---|",
+            ]
+            for r in rows:
+                lines.append(
+                    f"| {r['session']} | {r['rep']} | {r['cores']} | "
+                    f"{r['stages_sec'].get('quality_scans', '-')} | {r['total_sec']} |"
+                )
+            lines.append("")
+            eff = stage_eff_line(rows, "quality_scans")
             if eff:
                 lines += [eff, ""]
 

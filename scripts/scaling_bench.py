@@ -60,6 +60,7 @@ def worker(
     with_decontamination: bool = False,
     with_source_overlap: bool = False,
     with_boilerplate: bool = False,
+    with_quality_scans: bool = False,
     containment_cap: int = 50,
 ) -> None:
     from pyspark.sql import SparkSession
@@ -247,6 +248,43 @@ def worker(
         n_source_overlap = so.count()
         t["source_overlap"] = time.monotonic() - ts
 
+    quality_invariant = ""
+    if with_quality_scans:
+        # the round-5 quality-scan family on the measured path: four passes
+        # over the full corpus — PII redaction, repetition signals, and the
+        # hashing-trick classifier are pure zero-shuffle codegen maps;
+        # normalization-keyed dedup adds one (key_sha256, id) exchange.
+        # Invariant = "pii/bigrams/kept/normdups" integer tuple.
+        from data_deduplication_service_spark.functions.repetition import (
+            repetition_stats,
+        )
+        from data_deduplication_service_spark.operators.classifier import (
+            classifier_stats,
+        )
+        from data_deduplication_service_spark.operators.normalize import (
+            normalized_dup_groups,
+        )
+        from data_deduplication_service_spark.operators.pii import redact_pii
+
+        tq = time.monotonic()
+        docs = files.select(
+            "file_id", F.col("content").cast("string").alias("content")
+        )
+        pii = redact_pii(docs, id_col="file_id", text_col="content").agg(
+            (F.sum("n_email") + F.sum("n_ipv4") + F.sum("n_number")).alias("x")
+        ).collect()[0]["x"]
+        rep = repetition_stats(
+            docs, id_col="file_id", text_col="content", unit_delimiter="\n"
+        ).agg(F.sum("n_bigrams").alias("x")).collect()[0]["x"]
+        kept = classifier_stats(docs, text_col="content").agg(
+            F.sum(F.col("keep").cast("long")).alias("x")
+        ).collect()[0]["x"]
+        ndup = normalized_dup_groups(docs, id_col="file_id", text_col="content").agg(
+            F.sum(F.col("is_dup").cast("long")).alias("x")
+        ).collect()[0]["x"]
+        quality_invariant = f"{pii}/{rep}/{kept}/{ndup}"
+        t["quality_scans"] = time.monotonic() - tq
+
     n_boilerplate = -1
     if with_boilerplate:
         # line-level boilerplate removal on the measured path: the synthetic
@@ -301,6 +339,7 @@ def worker(
                 "n_decontaminated_docs": n_decontaminated,
                 "n_source_overlap_pairs": n_source_overlap,
                 "n_boilerplate_removed": n_boilerplate,
+                "quality_invariant": quality_invariant,
                 "stages_sec": {k: round(v, 2) for k, v in t.items()},
                 "total_sec": round(total, 2),
                 "files_per_sec": round(n_files / total, 1),
@@ -322,6 +361,7 @@ def orchestrate(
     with_decontamination: bool = False,
     with_source_overlap: bool = False,
     with_boilerplate: bool = False,
+    with_quality_scans: bool = False,
     containment_cap: int = 50,
     legs: tuple[int, ...] = (8, 32),
 ) -> None:
@@ -374,6 +414,8 @@ def orchestrate(
             ) + (
                 ["--with-boilerplate"] if with_boilerplate else []
             ) + (
+                ["--with-quality-scans"] if with_quality_scans else []
+            ) + (
                 ["--with-containment", "--containment-cap", str(containment_cap)]
                 if with_containment else []
             )
@@ -404,6 +446,7 @@ def orchestrate(
                 or prev.get("n_decontaminated_docs", -1) != r.get("n_decontaminated_docs", -1)
                 or prev.get("n_source_overlap_pairs", -1) != r.get("n_source_overlap_pairs", -1)
                 or prev.get("n_boilerplate_removed", -1) != r.get("n_boilerplate_removed", -1)
+                or prev.get("quality_invariant", "") != r.get("quality_invariant", "")
             ):
                 raise RuntimeError(f"outputs differ across runs at {cores} cores: {prev} vs {r}")
             if prev is None or r["files_per_sec"] > prev["files_per_sec"]:
@@ -501,6 +544,9 @@ def main() -> None:
     ap.add_argument("--with-source-overlap", action="store_true",
                     help="also measure the repo rollup (synthetic ~100-file "
                          "repos, hot-hash cap 256)")
+    ap.add_argument("--with-quality-scans", action="store_true",
+                    help="also measure the quality-scan family (PII, "
+                         "repetition signals, classifier, normalized dedup)")
     ap.add_argument("--with-boilerplate", action="store_true",
                     help="also measure line-level boilerplate removal "
                          "(df>=50 lines of len>=8 scrubbed corpus-wide)")
@@ -520,6 +566,7 @@ def main() -> None:
                with_decontamination=args.with_decontamination,
                with_source_overlap=args.with_source_overlap,
                with_boilerplate=args.with_boilerplate,
+               with_quality_scans=args.with_quality_scans,
                containment_cap=args.containment_cap)
     else:
         orchestrate(args.n_files, args.out, repeats=args.repeats,
@@ -530,6 +577,7 @@ def main() -> None:
                     with_decontamination=args.with_decontamination,
                     with_source_overlap=args.with_source_overlap,
                     with_boilerplate=args.with_boilerplate,
+                    with_quality_scans=args.with_quality_scans,
                     containment_cap=args.containment_cap,
                     legs=tuple(int(x) for x in args.legs.split(",")))
 
