@@ -1277,10 +1277,12 @@ def _classifier_oracle_sql() -> str:
 def _norm_key_sql(expr: str) -> str:
     """The normalize.py key replayed in DuckDB: NFC ∘ ASCII-fold ∘
     whitespace-collapse ∘ trim, then sha256 — constants imported from the
-    operator so key drift is impossible."""
+    operator so key drift is impossible. trim is EXPLICITLY ' ' — DuckDB's
+    default trim strips Unicode spaces (NBSP), Spark's strips only ASCII
+    space; caught by the cross-engine property test on text='\\xa0'."""
     return (
         f"sha256(trim(regexp_replace(translate(nfc_normalize({expr}), "
-        f"'{_NORM_UP}', '{_NORM_LO}'), '{_NORM_WS}', ' ', 'g')))"
+        f"'{_NORM_UP}', '{_NORM_LO}'), '{_NORM_WS}', ' ', 'g'), ' '))"
     )
 
 

@@ -91,3 +91,102 @@ def test_suffix_array_always_valid(data):
     assert sorted(sa.tolist()) == list(range(len(data)))
     for i in range(1, len(sa)):
         assert data[sa[i - 1] :] <= data[sa[i] :]
+
+
+# ---- round-5 curation operators: cross-engine semantics properties -------
+# The Spark side of pii.py / normalize.py is pinned to a Python truth by
+# their unit tests; these properties close the triangle by running the SAME
+# shared constants through DuckDB (RE2, nfc_normalize) against the Python
+# model over arbitrary unicode — the real risk for these operators is a
+# regex/normalization semantics divergence between engines, which fixed
+# fixtures can't sweep.
+
+import re
+import unicodedata
+
+import duckdb
+
+from data_deduplication_service_spark.operators.normalize import (
+    ASCII_LOWER as _NLO,
+    ASCII_UPPER as _NUP,
+    WS_PATTERN as _NWS,
+)
+from data_deduplication_service_spark.operators.pii import PII_RULES
+
+# NUL is not representable in a DuckDB varchar; everything else goes
+pii_text_st = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    min_size=0,
+    max_size=300,
+)
+_DUCK = duckdb.connect()
+_DUCK.execute("SET threads=1")
+
+
+def _py_redact(text: str) -> tuple[list[int], str]:
+    counts = []
+    for _, pattern, replacement in PII_RULES:
+        counts.append(len(re.findall(pattern, text, re.ASCII)))
+        text = re.sub(pattern, replacement, text, flags=re.ASCII)
+    return counts, text
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=pii_text_st)
+def test_pii_rules_agree_with_duckdb_re2(text):
+    """Java-regex ∩ RE2 pattern subset: RE2 (DuckDB) must count and rewrite
+    exactly like the re.ASCII model on arbitrary unicode."""
+    counts, redacted = _py_redact(text)
+    cur = text
+    for (name, pattern, replacement), want in zip(PII_RULES, counts):
+        n, cur = _DUCK.execute(
+            "SELECT len(regexp_extract_all(?, ?)),"
+            " regexp_replace(?, ?, ?, 'g')",
+            [cur, pattern, cur, pattern, replacement],
+        ).fetchone()
+        assert n == want, (name, text)
+    assert cur == redacted, text
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=pii_text_st)
+def test_pii_redaction_is_idempotent_and_clean(text):
+    """Placeholders can never re-match any rule: a second pass is identity
+    and the output is match-free."""
+    _, once = _py_redact(text)
+    counts2, twice = _py_redact(once)
+    assert twice == once
+    assert counts2 == [0] * len(PII_RULES)
+
+
+def _py_norm_key(text: str) -> str:
+    norm = unicodedata.normalize("NFC", text)
+    folded = norm.translate(str.maketrans(_NUP, _NLO))
+    return re.sub(_NWS, " ", folded).strip(" ")
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=pii_text_st)
+def test_normalize_key_agrees_with_duckdb(text):
+    got = _DUCK.execute(
+        f"SELECT trim(regexp_replace(translate(nfc_normalize(?),"
+        f" '{_NUP}', '{_NLO}'), '{_NWS}', ' ', 'g'), ' ')",
+        [text],
+    ).fetchone()[0]
+    assert got == _py_norm_key(text), repr(text)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    text=pii_text_st,
+    pad=st.text(alphabet=" \t\n\r\f", min_size=0, max_size=5),
+)
+def test_normalize_key_invariances(text, pad):
+    """The key is invariant under the exact equivalences it promises:
+    ASCII case, NFD re-decomposition, edge whitespace, and whitespace-run
+    multiplication."""
+    key = _py_norm_key(text)
+    assert _py_norm_key(text.translate(str.maketrans(_NLO, _NUP))) == key
+    assert _py_norm_key(unicodedata.normalize("NFD", text)) == key
+    assert _py_norm_key(pad + text + pad) == key
+    assert _py_norm_key(text.replace(" ", "  ")) == key
