@@ -37,7 +37,7 @@ from __future__ import annotations
 import unicodedata
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import StringType
 
 ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -81,17 +81,34 @@ def normalized_dup_groups(
 
     canonical_id = min(id) per group (deterministic, oracle-exact — the
     same keep rule as semantic_dedup); is_dup marks the non-canonical
-    members a curation pass drops. Content never crosses the exchange:
+    members a curation pass drops. Content never crosses an exchange:
     the key is computed map-side and only (key, id) shuffles.
+
+    Skew shape: a window over the key would buffer each partition GROUP in
+    WindowExec — one hot normalized key (empty documents, a template page
+    re-crawled a billion times: exactly the web-corpus shape) lands its
+    whole group on one task's buffer. Instead: groupBy(key) with map-side
+    partial aggregation (each mapper emits ONE row per distinct key, so the
+    hot key reaches its reducer pre-collapsed) + a join back, where AQE's
+    skew-join splitting handles the probe side. The keyed sliver is
+    persist_scoped so the NFC/sha256 pass runs once, not once per exchange
+    consumer — the same sliver-persist move as lsh.py's exact verify.
     """
-    keyed = docs.select(
-        F.col(id_col), normalized_key(F.col(text_col)).alias("norm_sha256")
+    from data_deduplication_service_spark.cache import persist_scoped
+
+    keyed = persist_scoped(
+        docs.select(
+            F.col(id_col), normalized_key(F.col(text_col)).alias("norm_sha256")
+        )
     )
-    w = Window.partitionBy("norm_sha256")
-    return keyed.select(
+    groups = keyed.groupBy("norm_sha256").agg(
+        F.count("*").alias("group_size"),
+        F.min(id_col).alias("canonical_id"),
+    )
+    return keyed.join(groups, "norm_sha256").select(
         id_col,
         "norm_sha256",
-        F.count("*").over(w).alias("group_size"),
-        F.min(id_col).over(w).alias("canonical_id"),
-        (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup"),
+        "group_size",
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
     )
