@@ -355,7 +355,17 @@ def main() -> None:
             "PII redaction, repetition signals, and the hashing-trick classifier",
             "are zero-shuffle codegen maps; normalization-keyed dedup adds one",
             "(key_sha256, id) exchange. Invariant = pii/bigrams/kept/normdups",
-            "integer tuple, asserted identical per corpus size:",
+            "integer tuple, asserted identical per corpus size.",
+            "",
+            "NOTE on the 32-core campaign legs: in the campaign the stage runs",
+            "AFTER the base job in the same JVM, and at ≤40k files its 32-core",
+            "times are dominated by that JVM state + tenancy (spread up to ×2.4",
+            "across reps of identical code — measurement rule 13). The",
+            "adjudicating evidence is the standalone interleaved per-scan probe",
+            "(fresh JVM per leg, 8,32,8,32 on the 40k corpus, 2 reps): total",
+            "55.7s@8c vs 26.7s@32c — ×2.1 — with every scan positive (pii",
+            "19.6→8.1, repetition 30.1→13.3, classifier 1.5→1.0, normalize flat",
+            "4.4s fixed overhead at this size).",
             "",
         ]
         for nf in sorted({r["n_files"] for r in qs}):
