@@ -1850,9 +1850,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
                 FROM tok GROUP BY lang
             ), r AS (
+                -- LEFT join + null-budget→rate-1.0: a stratum absent from
+                -- the budgets dim keeps everything (budget_rates semantics;
+                -- an inner join silently dropped such strata — caught by
+                -- the non-ASCII corpus, whose ru/ja langs have no budget)
                 SELECT tot.lang, tot.total_tokens, b.budget,
-                       least(1.0, b.budget / tot.total_tokens) AS rate
-                FROM tot JOIN b USING (lang)
+                       CASE WHEN b.budget IS NULL THEN 1.0
+                            ELSE least(1.0, b.budget / tot.total_tokens)
+                       END AS rate
+                FROM tot LEFT JOIN b USING (lang)
             ), p(i, v) AS (VALUES {_POW16_ROWS}),
             hv AS (
                 SELECT doc_id, lang, n_tokens,

@@ -84,6 +84,8 @@ _DOC_QUERIES = [
     "normalized_dedup",
     "repetition_stats",
     "quality_classifier",
+    "hot_unit_removal",
+    "mixture_sample",
 ]
 
 
