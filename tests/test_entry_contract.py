@@ -86,6 +86,22 @@ _DOC_QUERIES = [
     "quality_classifier",
     "hot_unit_removal",
     "mixture_sample",
+    # round-5 completion: EVERY documents-only oracle runs here (the net
+    # caught two real divergences — DuckDB unicode trim, mixture inner
+    # join — that the all-ASCII sf corpora could never surface)
+    "ngram_jaccard_pairs",
+    "doc_fingerprints",
+    "token_stats",
+    "quality_scores",
+    "lang_guess_confusion",
+    "global_repeats",
+    "cluster_repeats",
+    "cdc_segment_stats",
+    "corpus_curation",
+    "verbatim_ngram_overlap",
+    "delta_exact_vs_store",
+    "delta_minhash_pairs",
+    "delta_ingest_histogram",
 ]
 
 
