@@ -950,6 +950,93 @@ def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# planted license headers, index = doc_id % 7 (slot 6 = no header). Mixed
+# case + multi-space noise proves the fold_and_collapse normalization does
+# the matching; slot 4 carries BOTH the LGPL and GPL fingerprints to pin
+# first-match precedence. ASCII-only, quote/backslash-free so the same
+# literals embed into the DuckDB oracle verbatim.
+LICENSE_PLANT_HEADERS: tuple[str, ...] = (
+    "/*  Licensed   under the APACHE License, Version 2.0 (the License). */",
+    "// Permission is hereby GRANTED,  free of charge, to any person obtaining a copy.",
+    "# Redistribution and use in SOURCE and binary forms, with or without modification.",
+    "/* This program is free software: see the GNU General  Public License v3. */",
+    "// GNU Lesser General PUBLIC License; see also the GNU General Public License.",
+    "THIS IS FREE AND UNENCUMBERED SOFTWARE RELEASED INTO THE  PUBLIC DOMAIN.",
+)
+
+
+def q_license_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-header detection (operators/license.py) — The Stack /
+    StarCoder legal gate: ordered fingerprint-phrase probes over the
+    fold_and_collapse-normalized header prefix, permissive-only keep
+    policy. The corpus carries no licenses, so the gate plants a
+    deterministic header per doc_id % 7 (slot 6 stays unlicensed); the
+    oracle replants the identical literals and replays the identical
+    normalization + instr precedence chain. Pure codegen map, zero
+    shuffle."""
+    from data_deduplication_service_spark.operators.license import license_tags
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    hdr = F.element_at(
+        F.array(*[F.lit(h) for h in LICENSE_PLANT_HEADERS], F.lit("")),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    planted = docs.select(
+        "doc_id", F.concat(hdr, F.lit("\n"), F.col("text")).alias("text")
+    )
+    return license_tags(planted)
+
+
+def q_code_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-shape quality filters (operators/codefilters.py) — the
+    StarCoder structural gates: unit-length extremes, alnum fraction,
+    letterless-unit fraction, generated-file marker. Single-line corpus →
+    token granularity (delimiter=' '), same move as hot_unit_removal. The
+    gate plants a 300-char unit on doc_id % 11 (trips max_unit_len) and an
+    AUTO-GENERATED header on doc_id % 13 (trips the marker probe); every
+    ratio is integer-derived with one rounded division so the oracle is
+    bit-exact. Zero shuffle, zero Python."""
+    from data_deduplication_service_spark.operators.codefilters import (
+        code_filter_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(CODEFILTER_AUTOGEN_PREFIX)
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" " + "x" * 300)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return code_filter_stats(planted, delimiter=" ")
+
+
+CODEFILTER_AUTOGEN_PREFIX = "// AUTO-GENERATED  do NOT edit. "
+LM_VOCAB_SIZE = 65536
+
+
+def q_lm_bigram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit bigram LM scoring (operators/lmscore.py) — the
+    CCNet-style quality signal with quantized-log2 contributions so the
+    score is integer-exact across engines (measurement rule 14: float
+    probability sums can never oracle-match). Train: one bigram-count
+    shuffle with map-side combine + deterministic top-V cap. Score:
+    broadcast model join, per-doc regroup collapsed map-side."""
+    from data_deduplication_service_spark.operators.lmscore import (
+        bigram_counts,
+        lm_fit_scores,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    model = bigram_counts(docs, vocab_size=LM_VOCAB_SIZE)
+    return lm_fit_scores(docs, model)
+
+
 # ---- incremental / delta-fold queries (plans/incremental.py) --------------
 
 def _delta_split_files(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -1139,6 +1226,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "normalized_dedup": q_normalized_dedup,
         "repetition_stats": q_repetition_stats,
         "quality_classifier": q_quality_classifier,
+        "license_tag": q_license_tag,
+        "code_quality_filters": q_code_quality_filters,
+        "lm_bigram_fit": q_lm_bigram_fit,
 }
 
 
@@ -1238,6 +1328,144 @@ from data_deduplication_service_spark.operators.classifier import (  # noqa: E40
     WEIGHT_SCALE as _CLS_SCALE,
     default_weights as _cls_weights,
 )
+
+# license / code-filter / LM-fit oracles: every constant (fingerprint
+# phrases, kinds, markers, thresholds, planted literals, vocab cap) is
+# embedded from the operator modules' own tuples so the two sides can
+# never drift. The shared normalization is fold_and_collapse WITHOUT NFC
+# (the probes are ASCII substring containment, not key equality); trim is
+# explicitly ' ' per measurement rule 14.
+from data_deduplication_service_spark.operators.license import (  # noqa: E402
+    DEFAULT_HEADER_CHARS as _LIC_HDR_CHARS,
+    LICENSE_PHRASES as _LIC_PHRASES,
+    PERMITTED_KINDS as _LIC_PERMITTED,
+)
+from data_deduplication_service_spark.operators import codefilters as _cfil  # noqa: E402
+
+
+def _fold_sql(expr: str) -> str:
+    """fold_and_collapse replayed in DuckDB (no NFC)."""
+    return (
+        f"trim(regexp_replace(translate({expr}, '{_NORM_UP}', '{_NORM_LO}'), "
+        f"'{_NORM_WS}', ' ', 'g'), ' ')"
+    )
+
+
+def _header_norm_sql(expr: str) -> str:
+    return _fold_sql(f"substring({expr}, 1, {_LIC_HDR_CHARS})")
+
+
+def _license_oracle_sql() -> str:
+    hdr = (
+        "CASE CAST(doc_id % 7 AS INT) "
+        + "".join(
+            f"WHEN {i} THEN '{h}' " for i, h in enumerate(LICENSE_PLANT_HEADERS)
+        )
+        + "ELSE '' END"
+    )
+    detect = (
+        "CASE "
+        + "".join(
+            f"WHEN instr(h, '{phrase}') > 0 THEN '{name}' "
+            for name, _, phrase in _LIC_PHRASES
+        )
+        + "ELSE 'unknown' END"
+    )
+    kind = (
+        "CASE license "
+        + "".join(f"WHEN '{name}' THEN '{k}' " for name, k, _ in _LIC_PHRASES)
+        + "ELSE 'unknown' END"
+    )
+    permitted = ", ".join(f"'{k}'" for k in _LIC_PERMITTED)
+    return f"""
+        WITH planted AS (
+            SELECT doc_id, {hdr} || chr(10) || text AS t FROM documents
+        ), normed AS (
+            SELECT doc_id, {_header_norm_sql("t")} AS h FROM planted
+        ), det AS (
+            SELECT doc_id, {detect} AS license FROM normed
+        ), kinds AS (
+            SELECT doc_id, license, {kind} AS kind FROM det
+        )
+        SELECT doc_id, license, kind, kind IN ({permitted}) AS keep FROM kinds
+    """
+
+
+def _codefilter_oracle_sql() -> str:
+    autogen = (
+        "("
+        + " OR ".join(f"instr(h, '{m}') > 0" for m in _cfil.AUTOGEN_MARKERS)
+        + ")"
+    )
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 13 = 0
+                         THEN '{CODEFILTER_AUTOGEN_PREFIX}' ELSE '' END)
+                   || text ||
+                   (CASE WHEN doc_id % 11 = 0
+                         THEN ' {"x" * 300}' ELSE '' END) AS t
+            FROM documents
+        ), u AS (
+            SELECT doc_id, t, {_header_norm_sql("t")} AS h,
+                   string_split(t, ' ') AS units
+            FROM planted
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(units) AS BIGINT) AS n_units,
+                   CAST(list_max(list_transform(units, x -> length(x)))
+                        AS BIGINT) AS max_unit_len,
+                   round(CAST(list_sum(list_transform(units, x -> length(x)))
+                              AS BIGINT) * 1.0
+                         / greatest(len(units), 1), 4) AS mean_unit_len,
+                   round((length(t) - length(translate(t,
+                              '{_cfil.ALNUM_CHARS}', ''))) * 1.0
+                         / greatest(length(t), 1), 4) AS alnum_frac,
+                   round(len(list_filter(units,
+                              x -> length(x) > length(translate(x,
+                                   '{_cfil.ALPHA_CHARS}', '')))) * 1.0
+                         / greatest(len(units), 1), 4) AS alpha_unit_frac,
+                   {autogen} AS autogen
+            FROM u
+        )
+        SELECT *,
+               (max_unit_len <= {_cfil.MAX_UNIT_LEN}
+                AND mean_unit_len <= {_cfil.MAX_MEAN_UNIT_LEN}
+                AND alnum_frac >= {_cfil.MIN_ALNUM_FRAC}
+                AND alpha_unit_frac >= {_cfil.MIN_ALPHA_UNIT_FRAC}
+                AND NOT autogen) AS keep
+        FROM m
+    """
+
+
+def _lm_fit_oracle_sql() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks
+        ), model AS (
+            SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1
+            ORDER BY cnt DESC, bigram ASC LIMIT {LM_VOCAB_SIZE}
+        ), scored AS (
+            SELECT bg.doc_id,
+                   count(bg.bigram) AS n_bigrams,
+                   CAST(coalesce(sum(CASE WHEN model.cnt IS NULL THEN 0
+                        ELSE length(format('{{:b}}', model.cnt)) END), 0)
+                        AS BIGINT) AS sum_qlog
+            FROM bg LEFT JOIN model USING (bigram)
+            GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(s.sum_qlog, 0) AS BIGINT) AS sum_qlog,
+               round(coalesce(s.sum_qlog, 0) * 1.0
+                     / greatest(coalesce(s.n_bigrams, 0), 1), 4) AS lm_fit
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
 
 
 def _classifier_oracle_sql() -> str:
@@ -2145,4 +2373,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine_sim
             FROM ranked WHERE rank <= 5
         """,
+        "license_tag": _license_oracle_sql(),
+        "code_quality_filters": _codefilter_oracle_sql(),
+        "lm_bigram_fit": _lm_fit_oracle_sql(),
     }

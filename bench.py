@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "normalized_dedup",  # added r5 (new operator; pre-existing keys unchanged)
     "repetition_stats",  # added r5 (new operator; pre-existing keys unchanged)
     "quality_classifier",  # added r5 (new operator; pre-existing keys unchanged)
+    "license_tag",  # added r5 (new operator; pre-existing keys unchanged)
+    "code_quality_filters",  # added r5 (new operator; pre-existing keys unchanged)
+    "lm_bigram_fit",  # added r5 (new operator; pre-existing keys unchanged)
     "q1_pricing_summary",
     "revenue_topk",
     "events_hourly",

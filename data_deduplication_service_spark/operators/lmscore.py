@@ -1,0 +1,103 @@
+"""Corpus-fit n-gram LM scoring — the CCNet-style quality signal: score
+every document by how well its token bigrams fit the corpus' own bigram
+distribution. Low-fit documents (gibberish, wrong-language, data blobs)
+are curation drop candidates; the signal complements the hashing-trick
+classifier (operators/classifier.py), which scores against FIXED weights
+rather than the corpus itself.
+
+Quantized-log design (measurement rule 14): a real LM multiplies float
+probabilities — float sum order differs between Spark's aggregation and
+SQL SUM, so an oracle could never reproduce it bit-exactly. Instead each
+bigram contributes ``qlog2(count) = floor(log2(count)) + 1`` — the BIT
+LENGTH of its corpus count, an integer both engines compute exactly
+(Spark ``length(bin(n))``, DuckDB ``length(format('{:b}', n))``);
+out-of-vocabulary bigrams contribute 0. The document score is the mean
+contribution, one rounded division at the end. Monotone in the true
+log-frequency, integer-exact across engines.
+
+Scale shape, two stages:
+
+1. TRAIN (``bigram_counts``): explode token bigrams → count per bigram
+   (ONE shuffle; partial aggregation absorbs hot bigrams — boilerplate
+   phrases combine map-side) → global top-``vocab_size`` by (count desc,
+   bigram asc). The cap bounds the model at a broadcastable size
+   regardless of corpus scale; TakeOrdered never materializes a global
+   sort.
+2. SCORE (``lm_fit_scores``): explode doc bigrams → LEFT join the
+   BROADCAST model → re-group per document. Explode preserves row
+   locality, so partial aggregation collapses each document's bigrams
+   map-side and the regroup shuffle carries ~one 24-byte row per document
+   — content never crosses a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import tokens
+
+DEFAULT_VOCAB_SIZE = 65536
+
+
+def bigrams(col: Column) -> Column:
+    """Array of 'tok_i tok_{i+1}' bigram strings (empty if < 2 tokens)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    return F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+        )
+    )
+
+
+def bigram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+) -> DataFrame:
+    """(bigram, cnt): the top-`vocab_size` corpus bigram model, ties broken
+    lexicographically so the capped vocabulary is deterministic."""
+    return (
+        docs.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(vocab_size)
+    )
+
+
+def qlog2(cnt: Column) -> Column:
+    """floor(log2(cnt)) + 1 as an exact integer (bit length of cnt)."""
+    return F.length(F.bin(cnt.cast("long"))).cast("long")
+
+
+def lm_fit_scores(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, sum_qlog, lm_fit): per-document corpus-fit score
+    against a ``bigram_counts`` model. Documents with no bigrams score 0
+    over 0 slots."""
+    doc_bigrams = docs.select(
+        F.col(id_col), F.explode_outer(bigrams(F.col(text_col))).alias("bigram")
+    )
+    scored = doc_bigrams.join(F.broadcast(model), "bigram", "left").select(
+        F.col(id_col),
+        # null bigram = document with <2 tokens (explode_outer row);
+        # null cnt = out-of-vocabulary bigram. Both contribute 0.
+        F.when(F.col("bigram").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("slot"),
+        F.coalesce(qlog2(F.col("cnt")), F.lit(0).cast("long")).alias("q"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("slot").alias("n_bigrams"),
+        F.sum("q").alias("sum_qlog"),
+        F.round(
+            F.sum("q") / F.greatest(F.sum("slot"), F.lit(1)), 4
+        ).alias("lm_fit"),
+    )

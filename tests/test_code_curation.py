@@ -1,0 +1,208 @@
+"""Code-payload curation gates: license-header detection precedence and
+normalization, StarCoder-style code-shape filters, and the quantized-log2
+bigram LM corpus-fit score — unit truths plus the scale-shape contracts
+(zero-shuffle maps, broadcast-only scoring join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.operators.codefilters import (
+    AUTOGEN_MARKERS,
+    MAX_UNIT_LEN,
+    code_filter_stats,
+)
+from data_deduplication_service_spark.operators.license import (
+    LICENSE_PHRASES,
+    detect_license,
+    license_rollup,
+    license_tags,
+)
+from data_deduplication_service_spark.operators.lmscore import (
+    bigram_counts,
+    lm_fit_scores,
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --------------------------------------------------------------------------
+# license detection
+# --------------------------------------------------------------------------
+
+HEADERS = {
+    "apache-2.0": '/*\n * Licensed under the Apache License, Version 2.0 (the "License");\n */',
+    "mit": "// Permission is hereby granted, free of charge, to any\n// person",
+    "bsd-3-clause": "# Redistribution and use in source and binary forms ok",
+    "unlicense": "This is free and unencumbered software released into the public domain.",
+    "lgpl-2.1": "GNU Lesser General Public License as published by the FSF",
+    "mpl-2.0": "subject to the terms of the Mozilla Public License, v. 2.0",
+    "gpl-3.0": "under the terms of the GNU General Public License as published",
+}
+
+
+def test_each_family_detected_with_real_header_noise(spark):
+    rows = [(i, h + "\nint main() { return 0; }") for i, h in enumerate(HEADERS.values())]
+    got = {
+        r["doc_id"]: (r["license"], r["kind"], r["keep"])
+        for r in license_tags(_docs_df(spark, rows)).collect()
+    }
+    expected_kind = {name: kind for name, kind, _ in LICENSE_PHRASES}
+    for i, name in enumerate(HEADERS):
+        lic, kind, keep = got[i]
+        assert lic == name
+        assert kind == expected_kind[name]
+        assert keep == (kind in ("permissive", "public-domain"))
+
+
+def test_case_and_whitespace_noise_still_match(spark):
+    noisy = "//\tPERMISSION\n IS  hereby \f GRANTED,   free\nof charge"
+    rows = [(1, noisy + " rest of file")]
+    assert license_tags(_docs_df(spark, rows)).collect()[0]["license"] == "mit"
+
+
+def test_lgpl_wins_over_gpl_by_order(spark):
+    both = "GNU Lesser General Public License; see the GNU General Public License."
+    rows = [(1, both), (2, "only the GNU General Public License here")]
+    got = {r["doc_id"]: r["license"] for r in license_tags(_docs_df(spark, rows)).collect()}
+    assert got[1] == "lgpl-2.1"
+    assert got[2] == "gpl-3.0"
+
+
+def test_phrase_outside_header_prefix_is_not_detected(spark):
+    body = "x" * 3000 + " Permission is hereby granted, free of charge"
+    rows = [(1, body)]
+    assert license_tags(_docs_df(spark, rows)).collect()[0]["license"] == "unknown"
+    # but a larger header window finds it
+    tagged = _docs_df(spark, rows).select(
+        detect_license(F.col("text"), header_chars=4096).alias("license")
+    )
+    assert tagged.collect()[0]["license"] == "mit"
+
+
+def test_rollup_counts(spark):
+    rows = [(1, HEADERS["mit"]), (2, HEADERS["mit"]), (3, HEADERS["gpl-3.0"]), (4, "plain")]
+    roll = {
+        (r["license"], r["kind"]): (r["n_docs"], r["n_kept"])
+        for r in license_rollup(license_tags(_docs_df(spark, rows))).collect()
+    }
+    assert roll[("mit", "permissive")] == (2, 2)
+    assert roll[("gpl-3.0", "copyleft")] == (1, 0)
+    assert roll[("unknown", "unknown")] == (1, 0)
+
+
+def test_license_tag_is_zero_shuffle(spark):
+    plan = license_tags(
+        _docs_df(spark, [(1, "x")])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------------
+# code-shape filters
+# --------------------------------------------------------------------------
+
+def test_code_filter_metrics_exact_small_doc(spark):
+    # units: "ab" (2) "c" (1) "def9" (4) → n=3, max=4, mean=2.3333
+    # chars: "ab c def9" → 9 chars, alnum = 7 → 0.7778
+    # alpha units: "ab", "c", "def9" all have letters → 1.0
+    rows = [(1, "ab c def9")]
+    r = code_filter_stats(_docs_df(spark, rows), delimiter=" ").collect()[0]
+    assert r["n_units"] == 3
+    assert r["max_unit_len"] == 4
+    assert r["mean_unit_len"] == pytest.approx(2.3333)
+    assert r["alnum_frac"] == pytest.approx(0.7778)
+    assert r["alpha_unit_frac"] == 1.0
+    assert not r["autogen"]
+    assert r["keep"]
+
+
+def test_minified_blob_dropped_on_max_unit_len(spark):
+    rows = [(1, "short " + "y" * (MAX_UNIT_LEN + 1))]
+    r = code_filter_stats(_docs_df(spark, rows), delimiter=" ").collect()[0]
+    assert r["max_unit_len"] == MAX_UNIT_LEN + 1
+    assert not r["keep"]
+
+
+def test_letterless_hex_dump_dropped(spark):
+    rows = [(1, "00 1f 2e 3d 4c 5b 6a 77 88 99 aa bb cc dd ee ff" .replace("a", "a"))]
+    # 16 units; those with letters: 2e? no letter... units with [a-zA-Z]:
+    # "1f","2e"? 'f','e' are letters; count letterful: 1f,2e,3d,4c,5b,6a,aa,
+    # bb,cc,dd,ee,ff = 12/16 = 0.75 → alpha passes; craft digits-only dump:
+    rows = [(1, "00 11 22 33 44 55 66 77 88 99 00 11 22 33 44 55")]
+    r = code_filter_stats(_docs_df(spark, rows), delimiter=" ").collect()[0]
+    assert r["alpha_unit_frac"] == 0.0
+    assert not r["keep"]
+
+
+def test_punctuation_soup_dropped_on_alnum_frac(spark):
+    rows = [(1, "{}();, {}();, {}();, ab")]
+    r = code_filter_stats(_docs_df(spark, rows), delimiter=" ").collect()[0]
+    assert r["alnum_frac"] < 0.25
+    assert not r["keep"]
+
+
+@pytest.mark.parametrize("marker", AUTOGEN_MARKERS)
+def test_autogen_markers_fire_normalized(spark, marker):
+    noisy = "// " + marker.upper().replace(" ", "\t ") + " by tool v2"
+    rows = [(1, noisy + "\nreal code follows here ok")]
+    r = code_filter_stats(_docs_df(spark, rows), delimiter=" ").collect()[0]
+    assert r["autogen"]
+    assert not r["keep"]
+
+
+def test_empty_text_edges(spark):
+    r = code_filter_stats(_docs_df(spark, [(1, "")]), delimiter=" ").collect()[0]
+    assert r["n_units"] == 1
+    assert r["max_unit_len"] == 0
+    assert r["mean_unit_len"] == 0.0
+    assert r["alnum_frac"] == 0.0
+
+
+def test_code_filters_zero_shuffle(spark):
+    plan = code_filter_stats(
+        _docs_df(spark, [(1, "x")]), delimiter=" "
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------------
+# bigram LM fit
+# --------------------------------------------------------------------------
+
+LM_DOCS = [(1, "a b a b"), (2, "a b"), (3, "z")]
+
+
+def test_lm_fit_hand_computed(spark):
+    docs = _docs_df(spark, LM_DOCS)
+    model = bigram_counts(docs)
+    counts = {r["bigram"]: r["cnt"] for r in model.collect()}
+    assert counts == {"a b": 3, "b a": 1}
+    got = {r["doc_id"]: r for r in lm_fit_scores(docs, model).collect()}
+    # qlog2(3)=2, qlog2(1)=1
+    assert (got[1]["n_bigrams"], got[1]["sum_qlog"]) == (3, 5)
+    assert got[1]["lm_fit"] == pytest.approx(1.6667)
+    assert (got[2]["n_bigrams"], got[2]["sum_qlog"]) == (1, 2)
+    assert (got[3]["n_bigrams"], got[3]["sum_qlog"]) == (0, 0)
+    assert got[3]["lm_fit"] == 0.0
+
+
+def test_lm_vocab_cap_is_deterministic_and_oov_scores_zero(spark):
+    docs = _docs_df(spark, LM_DOCS)
+    model = bigram_counts(docs, vocab_size=1)
+    assert [r["bigram"] for r in model.collect()] == ["a b"]
+    got = {r["doc_id"]: r for r in lm_fit_scores(docs, model).collect()}
+    assert got[1]["sum_qlog"] == 4  # "b a" is OOV now
+    assert got[1]["lm_fit"] == pytest.approx(1.3333)
+
+
+def test_lm_scoring_join_is_broadcast(spark):
+    docs = _docs_df(spark, LM_DOCS)
+    plan = lm_fit_scores(
+        docs, bigram_counts(docs)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

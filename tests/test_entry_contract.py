@@ -102,6 +102,9 @@ _DOC_QUERIES = [
     "delta_exact_vs_store",
     "delta_minhash_pairs",
     "delta_ingest_histogram",
+    "license_tag",
+    "code_quality_filters",
+    "lm_bigram_fit",
 ]
 
 
