@@ -38,7 +38,10 @@ from .normalize import fold_and_collapse
 # distinctive enough that real headers of that family contain it and
 # others don't.
 LICENSE_PHRASES: tuple[tuple[str, str, str], ...] = (
-    ("apache-2.0", "permissive", "licensed under the apache license, version 2.0"),
+    # covers both canonical forms: "Licensed under the Apache License,
+    # Version 2.0" (short header) and "The ASF licenses this file to You
+    # under the Apache License, Version 2.0" (ASF long form)
+    ("apache-2.0", "permissive", "under the apache license, version 2.0"),
     ("mit", "permissive", "permission is hereby granted, free of charge"),
     ("bsd-3-clause", "permissive",
      "redistribution and use in source and binary forms"),

@@ -61,6 +61,7 @@ def worker(
     with_source_overlap: bool = False,
     with_boilerplate: bool = False,
     with_quality_scans: bool = False,
+    with_code_gates: bool = False,
     containment_cap: int = 50,
 ) -> None:
     from pyspark.sql import SparkSession
@@ -285,6 +286,39 @@ def worker(
         quality_invariant = f"{pii}/{rep}/{kept}/{ndup}"
         t["quality_scans"] = time.monotonic() - tq
 
+    code_gates_invariant = ""
+    if with_code_gates:
+        # the code-payload gate trio on the measured path: license detection
+        # (the synthetic corpus plants the ASF long-form banner on ~20% of
+        # files — real detections, not a degenerate unknown-everywhere scan)
+        # and the code-shape filters are zero-shuffle codegen maps; the
+        # bigram-LM adds one count shuffle (map-side combined) + a broadcast
+        # scoring join. Invariant = "apache/cfkeep/qlog" integer tuple.
+        from data_deduplication_service_spark.operators.codefilters import (
+            code_filter_stats,
+        )
+        from data_deduplication_service_spark.operators.license import license_tags
+        from data_deduplication_service_spark.operators.lmscore import (
+            bigram_counts,
+            lm_fit_scores,
+        )
+
+        tg = time.monotonic()
+        docs = files.select(
+            "file_id", F.col("content").cast("string").alias("content")
+        )
+        lic = license_tags(docs, id_col="file_id", text_col="content")
+        n_apache = lic.filter(F.col("license") == "apache-2.0").count()
+        cf_keep = code_filter_stats(
+            docs, id_col="file_id", text_col="content", delimiter="\n"
+        ).agg(F.sum(F.col("keep").cast("long")).alias("x")).collect()[0]["x"]
+        model = bigram_counts(docs, text_col="content")
+        qlog = lm_fit_scores(
+            docs, model, id_col="file_id", text_col="content"
+        ).agg(F.sum("sum_qlog").alias("x")).collect()[0]["x"]
+        code_gates_invariant = f"{n_apache}/{cf_keep}/{qlog}"
+        t["code_gates"] = time.monotonic() - tg
+
     n_boilerplate = -1
     if with_boilerplate:
         # line-level boilerplate removal on the measured path: the synthetic
@@ -340,6 +374,7 @@ def worker(
                 "n_source_overlap_pairs": n_source_overlap,
                 "n_boilerplate_removed": n_boilerplate,
                 "quality_invariant": quality_invariant,
+                "code_gates_invariant": code_gates_invariant,
                 "stages_sec": {k: round(v, 2) for k, v in t.items()},
                 "total_sec": round(total, 2),
                 "files_per_sec": round(n_files / total, 1),
@@ -362,6 +397,7 @@ def orchestrate(
     with_source_overlap: bool = False,
     with_boilerplate: bool = False,
     with_quality_scans: bool = False,
+    with_code_gates: bool = False,
     containment_cap: int = 50,
     legs: tuple[int, ...] = (8, 32),
 ) -> None:
@@ -416,6 +452,8 @@ def orchestrate(
             ) + (
                 ["--with-quality-scans"] if with_quality_scans else []
             ) + (
+                ["--with-code-gates"] if with_code_gates else []
+            ) + (
                 ["--with-containment", "--containment-cap", str(containment_cap)]
                 if with_containment else []
             )
@@ -447,6 +485,7 @@ def orchestrate(
                 or prev.get("n_source_overlap_pairs", -1) != r.get("n_source_overlap_pairs", -1)
                 or prev.get("n_boilerplate_removed", -1) != r.get("n_boilerplate_removed", -1)
                 or prev.get("quality_invariant", "") != r.get("quality_invariant", "")
+                or prev.get("code_gates_invariant", "") != r.get("code_gates_invariant", "")
             ):
                 raise RuntimeError(f"outputs differ across runs at {cores} cores: {prev} vs {r}")
             if prev is None or r["files_per_sec"] > prev["files_per_sec"]:
@@ -550,6 +589,9 @@ def main() -> None:
     ap.add_argument("--with-boilerplate", action="store_true",
                     help="also measure line-level boilerplate removal "
                          "(df>=50 lines of len>=8 scrubbed corpus-wide)")
+    ap.add_argument("--with-code-gates", action="store_true",
+                    help="also measure the code-payload gate trio (license "
+                         "detection, code-shape filters, bigram-LM fit)")
     ap.add_argument("--containment-cap", type=int, default=50,
                     help="max_shingle_doc_freq for the containment leg "
                          "(50 = the published 400k protocol)")
@@ -567,6 +609,7 @@ def main() -> None:
                with_source_overlap=args.with_source_overlap,
                with_boilerplate=args.with_boilerplate,
                with_quality_scans=args.with_quality_scans,
+               with_code_gates=args.with_code_gates,
                containment_cap=args.containment_cap)
     else:
         orchestrate(args.n_files, args.out, repeats=args.repeats,
@@ -578,6 +621,7 @@ def main() -> None:
                     with_source_overlap=args.with_source_overlap,
                     with_boilerplate=args.with_boilerplate,
                     with_quality_scans=args.with_quality_scans,
+                    with_code_gates=args.with_code_gates,
                     containment_cap=args.containment_cap,
                     legs=tuple(int(x) for x in args.legs.split(",")))
 

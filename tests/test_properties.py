@@ -190,3 +190,139 @@ def test_normalize_key_invariances(text, pad):
     assert _py_norm_key(unicodedata.normalize("NFD", text)) == key
     assert _py_norm_key(pad + text + pad) == key
     assert _py_norm_key(text.replace(" ", "  ")) == key
+
+
+# --------------------------------------------------------------------------
+# code-payload curation gates (license / codefilters / lmscore): the same
+# cross-engine parity net over arbitrary unicode — the shared kernels are
+# fold-without-NFC, char-substring prefixes, literal single-space splits,
+# translate-counted alphabets, and bit-length quantized logs
+# --------------------------------------------------------------------------
+
+from data_deduplication_service_spark.operators.codefilters import (  # noqa: E402
+    ALNUM_CHARS as _CF_ALNUM,
+    ALPHA_CHARS as _CF_ALPHA,
+)
+from data_deduplication_service_spark.operators.license import (  # noqa: E402
+    LICENSE_PHRASES as _LIC,
+)
+
+
+def _py_fold(text: str) -> str:
+    """fold_and_collapse without NFC — the license/codefilter header norm."""
+    return re.sub(_NWS, " ", text.translate(str.maketrans(_NUP, _NLO))).strip(" ")
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=pii_text_st, cut=st.sampled_from([1, 7, 50, 2048]))
+def test_header_norm_agrees_with_duckdb(text, cut):
+    """The license/codefilter header normalization (char-substring prefix →
+    ASCII fold → explicit-class ws collapse → trim ' ') must agree with the
+    Python model on arbitrary unicode — including codepoint-counted
+    prefixes where bytes ≠ chars."""
+    got = _DUCK.execute(
+        f"SELECT trim(regexp_replace(translate(substring(?, 1, {cut}),"
+        f" '{_NUP}', '{_NLO}'), '{_NWS}', ' ', 'g'), ' ')",
+        [text],
+    ).fetchone()[0]
+    assert got == _py_fold(text[:cut]), repr(text)
+
+
+def _py_detect(text: str, header_chars: int = 2048) -> str:
+    h = _py_fold(text[:header_chars])
+    for name, _, phrase in _LIC:
+        if phrase in h:
+            return name
+    return "unknown"
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    text=pii_text_st,
+    fam=st.sampled_from([name for name, _, _ in _LIC]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_license_detection_survives_case_and_ws_noise(text, fam, seed):
+    """Planting any family's fingerprint with random per-char case flips and
+    random whitespace-run separators always detects that family (no random
+    doc can contain a HIGHER-precedence phrase by accident at these sizes,
+    and no fingerprint contains another — pinned below)."""
+    import random
+
+    rng = random.Random(seed)
+    phrase = dict((n, p) for n, _, p in _LIC)[fam]
+    noisy = "".join(
+        (c.upper() if rng.random() < 0.5 else c) if c != " "
+        else rng.choice([" ", "  ", " \t ", "\n", " \r\n "])
+        for c in phrase
+    )
+    planted = noisy + " " + text
+    got = _py_detect(planted)
+    if got != fam:
+        # the only legitimate way: the random text itself carries an
+        # earlier-precedence phrase (astronomically unlikely but sound)
+        order = [n for n, _, _ in _LIC]
+        assert order.index(got) < order.index(fam), (got, fam, text)
+
+
+def test_no_fingerprint_contains_another():
+    """Precedence is only meaningful if no phrase is a substring of an
+    earlier-checked phrase's text (LGPL/GPL is the known near-miss)."""
+    for i, (_, _, a) in enumerate(_LIC):
+        for j, (_, _, b) in enumerate(_LIC):
+            if i != j:
+                assert a not in b or (i < j), (a, b)
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=pii_text_st)
+def test_unit_metrics_agree_with_duckdb(text):
+    """codefilters unit metrics: literal single-space split + integer
+    length/translate counts must match the Python model in DuckDB exactly
+    (Python str.split(' ') keeps empty units, like string_split)."""
+    units = text.split(" ")
+    n_alnum = sum(1 for c in text if c in _CF_ALNUM)
+    n_alpha_units = sum(
+        1 for u in units if any(c in _CF_ALPHA for c in u)
+    )
+    got = _DUCK.execute(
+        f"""SELECT len(string_split(?, ' ')),
+               list_max(list_transform(string_split(?, ' '), x -> length(x))),
+               CAST(list_sum(list_transform(string_split(?, ' '),
+                    x -> length(x))) AS BIGINT),
+               length(?) - length(translate(?, '{_CF_ALNUM}', '')),
+               len(list_filter(string_split(?, ' '),
+                   x -> length(x) > length(translate(x, '{_CF_ALPHA}', ''))))
+        """,
+        [text] * 6,
+    ).fetchone()
+    assert got[0] == len(units), repr(text)
+    assert got[1] == max(len(u) for u in units), repr(text)
+    assert got[2] == sum(len(u) for u in units), repr(text)
+    assert got[3] == n_alnum, repr(text)
+    assert got[4] == n_alpha_units, repr(text)
+
+
+@settings(max_examples=150, deadline=None)
+@given(n=st.integers(min_value=1, max_value=2**62))
+def test_qlog2_bit_length_agrees_with_duckdb(n):
+    """The LM score's quantized log: Python int.bit_length ≡ DuckDB
+    length(format('{:b}', n)) ≡ floor(log2)+1 for any positive int64."""
+    got = _DUCK.execute("SELECT length(format('{:b}', ?))", [n]).fetchone()[0]
+    assert got == n.bit_length()
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=pii_text_st)
+def test_bigram_relation_agrees_with_duckdb(text):
+    """The LM bigram windows: DuckDB's range/list_transform formulation
+    produces exactly the Python adjacent-pair list (order preserved,
+    duplicates kept, empty under 2 tokens)."""
+    toks = text.split(" ")
+    want = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    got = _DUCK.execute(
+        "SELECT list_transform(range(1, len(string_split(?, ' '))),"
+        " i -> string_split(?, ' ')[i] || ' ' || string_split(?, ' ')[i+1])",
+        [text] * 3,
+    ).fetchone()[0]
+    assert got == want, repr(text)
