@@ -1,0 +1,102 @@
+"""Secrets detection/redaction — the credential scrub a source-code
+training pipeline runs before publishing (BigCode/StarCoder redact
+detected secrets from The Stack; this is the regex-detector core of that
+pass): PEM private-key blocks, AWS access-key IDs, GitHub personal access
+tokens, keyword-assigned quoted secrets, and long hex blobs, each
+rewritten to a typed placeholder with per-document audit counts.
+
+No reference analog (the reference treats content as opaque bytes); this
+sits beside PII redaction (operators/pii.py) in the curation family and
+shares its exact machinery: rules apply IN ORDER, each counting on the
+previous rule's output then rewriting, so sum(n_*) equals the number of
+placeholder tokens in the final text.
+
+Scale shape: a pure map — `regexp_count` + `regexp_replace` chains inline
+into whole-stage codegen, zero shuffle, zero Python, scan pruned to
+(id, text). Identical to the measured pii scan stage (BENCH/BASELINE.md
+quality-scans leg); at 100 TB this is scan-bound.
+
+Cross-engine parity: patterns restricted to the Java-regex ∩ RE2 common
+subset — no lookaround, no backrefs (in pattern or replacement), no
+inline case flags (RE2's (?i) simple-folds Unicode while Java's folds
+ASCII — keyword case-insensitivity is spelled as explicit [Aa]-style
+classes instead), explicit ASCII classes, and `\\b` (ASCII word boundary
+in both engines' defaults). Single-quote-free, single-backslash patterns
+embed verbatim into the DuckDB oracle from this module's constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# (name, pattern, replacement) — applied in order. PEM first (its header
+# words would otherwise feed the assigned-secret keyword probe on a
+# `PRIVATE KEY=`-shaped line); the two vendor-prefixed token formats next
+# (unambiguous fixed prefixes); the keyword-assignment probe before the
+# hex rule so a hex-valued `secret="..."` counts as an assignment, not a
+# blob; the hex rule last as the generic catch-all.
+SECRET_RULES: tuple[tuple[str, str, str], ...] = (
+    ("pem", "-----BEGIN [A-Z ]{0,32}PRIVATE KEY-----", "<PEM_KEY>"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("gh_token", r"\bghp_[A-Za-z0-9]{36}\b", "<GH_TOKEN>"),
+    (
+        "assigned",
+        # keyword case-insensitivity via explicit [Aa]-style classes, NOT
+        # (?i:) — inline folding is engine-dependent on adversarial input
+        # (RE2 simple-folds Unicode, e.g. U+017F LATIN SMALL LETTER LONG S
+        # folds to 's'; Java and re.ASCII fold ASCII only — measurement
+        # rule 14's case-folding trap). Bracket classes never fold.
+        "(?:[Aa][Pp][Ii]_?[Kk][Ee][Yy]"
+        "|[Ss][Ee][Cc][Rr][Ee][Tt]"
+        "|[Tt][Oo][Kk][Ee][Nn]"
+        "|[Pp][Aa][Ss][Ss][Ww](?:[Oo][Rr])?[Dd])"
+        '[ \t]*[:=][ \t]*["][A-Za-z0-9_/+=-]{12,}["]',
+        "<SECRET>",
+    ),
+    ("hex_blob", r"\b[0-9a-f]{40,}\b", "<HEX>"),
+)
+
+
+def redact_secrets_text(col: Column) -> Column:
+    """The fully-redacted text: every rule's replacement applied in order."""
+    out = col
+    for _, pattern, replacement in SECRET_RULES:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
+def redact_secrets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_<rule>..., text): per-document redaction with audit counts.
+
+    Each rule's count is taken on the text AFTER the previous rules ran
+    (a redacted PEM header never feeds the keyword probe), so sum(n_*) is
+    exactly the number of placeholder tokens in the output.
+    """
+    staged: Column = F.col(text_col)
+    counts: list[Column] = []
+    for name, pattern, replacement in SECRET_RULES:
+        counts.append(F.regexp_count(staged, F.lit(pattern)).alias(f"n_{name}"))
+        staged = F.regexp_replace(staged, pattern, replacement)
+    keep = [c for c in docs.columns if c != text_col]
+    return docs.select(*keep, *counts, staged.alias(text_col))
+
+
+def secret_scan_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_pem, n_aws_key, n_gh_token, n_assigned, n_hex_blob,
+    redacted_sha256): the verifiable summary — sha256 of the redacted text
+    anchors the cross-engine value hash (same move as redaction_stats)."""
+    redacted = redact_secrets(docs.select(id_col, text_col), id_col, text_col)
+    return redacted.select(
+        F.col(id_col),
+        *[
+            F.col(f"n_{name}").cast("long").alias(f"n_{name}")
+            for name, _, _ in SECRET_RULES
+        ],
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("redacted_sha256"),
+    )

@@ -105,6 +105,7 @@ _DOC_QUERIES = [
     "license_tag",
     "code_quality_filters",
     "lm_bigram_fit",
+    "secret_scan",
 ]
 
 
