@@ -66,7 +66,8 @@ def main() -> None:
                 and r.get("n_source_overlap_pairs", -1) < 0
                 and r.get("n_boilerplate_removed", -1) < 0
                 and not r.get("quality_invariant", "")
-                and not r.get("code_gates_invariant", ""))
+                and not r.get("code_gates_invariant", "")
+                and not r.get("secrets_invariant", ""))
 
     lean = [r for r in runs
             if not r.get("fused") and r.get("n_files") == 1_600_000 and is_base_job(r)]
@@ -421,6 +422,41 @@ def main() -> None:
                 )
             lines.append("")
             eff = stage_eff_line(rows, "code_gates")
+            if eff:
+                lines += [eff, ""]
+
+    sec = [r for r in runs if r.get("secrets_invariant", "")]
+    if sec:
+        lines += [
+            "## Secrets detection/redaction scan on the measured scale path",
+            "",
+            "The staged regexp_count/replace chain (PEM / AWS / GitHub /",
+            "assignment / hex detectors) is a pure zero-shuffle codegen map —",
+            "same plan shape as the pii stage of the quality-scans leg. One",
+            "detector-family snippet is planted per file_id % 6 (slot 5",
+            "clean), so detections are real, not a zero-match scan.",
+            "Invariant = pem/aws/ghp/assigned/hex detection totals, asserted",
+            "identical per corpus size.",
+            "",
+        ]
+        for nf in sorted({r["n_files"] for r in sec}):
+            rows = [r for r in sec if r["n_files"] == nf]
+            inv = {r["secrets_invariant"] for r in rows}
+            assert len(inv) == 1, f"secrets invariants differ at {nf}: {inv}"
+            lines += [
+                f"{nf:,}-file corpus — **invariant {inv.pop()}, identical at",
+                "every parallelism level:**",
+                "",
+                "| session | rep | cores | secret_scan sec | job total sec |",
+                "|---|---|---|---|---|",
+            ]
+            for r in rows:
+                lines.append(
+                    f"| {r['session']} | {r['rep']} | {r['cores']} | "
+                    f"{r['stages_sec'].get('secret_scan', '-')} | {r['total_sec']} |"
+                )
+            lines.append("")
+            eff = stage_eff_line(rows, "secret_scan")
             if eff:
                 lines += [eff, ""]
 
