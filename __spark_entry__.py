@@ -1059,6 +1059,42 @@ def q_code_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 CODEFILTER_AUTOGEN_PREFIX = "// AUTO-GENERATED  do NOT edit. "
 LM_VOCAB_SIZE = 65536
 
+# gopher_gates plants: a stopword-rich prefix (8 distinct Gopher stopword
+# hits) on doc_id % 7 == 3, and a 300-token '#' tail (trips the
+# symbol-to-word rule) on doc_id % 9 == 0. ASCII-only, quote-free so the
+# identical literals embed into the DuckDB oracle verbatim.
+GOPHER_STOP_PREFIX = "the cost of that be to have and with go "
+GOPHER_HASH_TAIL = " " + "# " * 299 + "#"
+
+
+def q_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-shape gates (operators/gopher.py) — the
+    non-repetition half of Rae et al. Table A1: word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis unit
+    fractions, alpha-word floor, stopword floor. Single-line corpus →
+    token granularity (delimiter=' '), same move as code_quality_filters.
+    Every ratio is integer-derived with one rounded division and keep is
+    evaluated on the rounded values, so the oracle is bit-exact. Zero
+    shuffle, zero Python."""
+    from data_deduplication_service_spark.operators.gopher import (
+        gopher_quality_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 3, F.lit(GOPHER_STOP_PREFIX)
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 9 == 0, F.lit(GOPHER_HASH_TAIL)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality_stats(planted, delimiter=" ")
+
 
 def q_lm_bigram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-fit bigram LM scoring (operators/lmscore.py) — the
@@ -1270,6 +1306,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "license_tag": q_license_tag,
         "code_quality_filters": q_code_quality_filters,
         "lm_bigram_fit": q_lm_bigram_fit,
+        "gopher_gates": q_gopher_gates,
 }
 
 
@@ -1418,6 +1455,7 @@ from data_deduplication_service_spark.operators.license import (  # noqa: E402
     PERMITTED_KINDS as _LIC_PERMITTED,
 )
 from data_deduplication_service_spark.operators import codefilters as _cfil  # noqa: E402
+from data_deduplication_service_spark.operators import gopher as _gph  # noqa: E402
 
 
 def _fold_sql(expr: str) -> str:
@@ -1511,6 +1549,62 @@ def _codefilter_oracle_sql() -> str:
                 AND alnum_frac >= {_cfil.MIN_ALNUM_FRAC}
                 AND alpha_unit_frac >= {_cfil.MIN_ALPHA_UNIT_FRAC}
                 AND NOT autogen) AS keep
+        FROM m
+    """
+
+
+def _gopher_oracle_sql() -> str:
+    """The Gopher shape gates replayed in DuckDB: identical planted
+    prefix/tail, identical single-space word split (trailing empties kept
+    by both engines), integer char counts via translate-delete, the
+    identical non-overlapping '...' count via replace, and keep evaluated
+    on the identically-rounded ratios. Constants embed from the operator
+    module — zero drift."""
+    bullets = " OR ".join(f"starts_with(x, '{m}')" for m in _gph.BULLET_MARKERS)
+    stop_hits = " + ".join(
+        f"CAST(list_contains(words, '{w}') AS INT)" for w in _gph.REQUIRED_STOPWORDS
+    )
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 7 = 3
+                         THEN '{GOPHER_STOP_PREFIX}' ELSE '' END)
+                   || text ||
+                   (CASE WHEN doc_id % 9 = 0
+                         THEN '{GOPHER_HASH_TAIL}' ELSE '' END) AS t
+            FROM documents
+        ), w AS (
+            SELECT doc_id, t, string_split(t, ' ') AS words FROM planted
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   round(CAST(list_sum(list_transform(words, x -> length(x)))
+                              AS BIGINT) * 1.0
+                         / greatest(len(words), 1), 4) AS mean_word_len,
+                   round(((length(t) - length(translate(t, '#', '')))
+                          + CAST((length(t) - length(replace(t, '...', ''))) / 3
+                                 AS BIGINT)) * 1.0
+                         / greatest(len(words), 1), 4) AS symbol_ratio,
+                   round(len(list_filter(words, x -> {bullets})) * 1.0
+                         / greatest(len(words), 1), 4) AS bullet_frac,
+                   round(len(list_filter(words, x -> ends_with(x, '...'))) * 1.0
+                         / greatest(len(words), 1), 4) AS ellipsis_frac,
+                   round(len(list_filter(words,
+                              x -> length(x) > length(translate(x,
+                                   '{_cfil.ALPHA_CHARS}', '')))) * 1.0
+                         / greatest(len(words), 1), 4) AS alpha_word_frac,
+                   CAST({stop_hits} AS INT) AS stop_hits
+            FROM w
+        )
+        SELECT *,
+               (n_words >= {_gph.MIN_WORDS} AND n_words <= {_gph.MAX_WORDS}
+                AND mean_word_len >= {_gph.MIN_MEAN_WORD_LEN}
+                AND mean_word_len <= {_gph.MAX_MEAN_WORD_LEN}
+                AND symbol_ratio <= {_gph.MAX_SYMBOL_RATIO}
+                AND bullet_frac <= {_gph.MAX_BULLET_FRAC}
+                AND ellipsis_frac <= {_gph.MAX_ELLIPSIS_FRAC}
+                AND alpha_word_frac >= {_gph.MIN_ALPHA_WORD_FRAC}
+                AND stop_hits >= {_gph.MIN_STOP_HITS}) AS keep
         FROM m
     """
 
@@ -2455,5 +2549,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "license_tag": _license_oracle_sql(),
         "code_quality_filters": _codefilter_oracle_sql(),
+        # Gopher document-shape gates: identical plants, identical split /
+        # translate / replace counts, keep on the rounded ratios
+        "gopher_gates": _gopher_oracle_sql(),
         "lm_bigram_fit": _lm_fit_oracle_sql(),
     }

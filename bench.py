@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "code_quality_filters",  # added r5 (new operator; pre-existing keys unchanged)
     "lm_bigram_fit",  # added r5 (new operator; pre-existing keys unchanged)
     "secret_scan",  # added r5 (new operator; pre-existing keys unchanged)
+    "gopher_gates",  # added r5 (new operator; pre-existing keys unchanged)
     "q1_pricing_summary",
     "revenue_topk",
     "events_hourly",

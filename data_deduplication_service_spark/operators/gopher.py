@@ -1,0 +1,154 @@
+"""Gopher document-shape quality gates — the non-repetition half of
+Rae et al. 2021 (Gopher) Table A1: the structural go/no-go filters a
+web-scale text pipeline runs BEFORE dedup to drop documents that are the
+wrong shape to be prose/code at all (too short, minified soup, bullet
+lists, ellipsis-spam, letterless dumps, no-stopword gibberish). The
+repetition half of Table A1 lives in ``functions/repetition.py``; the
+StarCoder structural gates for code payloads in ``operators/codefilters.py``
+(different rules — unit-length extremes + autogen markers vs these
+document-prose bounds).
+
+Signals (all per-document):
+
+- ``n_words`` in [``MIN_WORDS``, ``MAX_WORDS``] — words are single-space
+  tokens (parity with SQL ``string_split(text, ' ')``, trailing empties
+  kept by both engines).
+- ``mean_word_len`` in [``MIN_MEAN_WORD_LEN``, ``MAX_MEAN_WORD_LEN``].
+- ``symbol_ratio`` ≤ ``MAX_SYMBOL_RATIO`` — ('#' chars + '...'
+  occurrences) per word, the hash/ellipsis spam rule.
+- ``bullet_frac`` ≤ ``MAX_BULLET_FRAC`` — fraction of units starting
+  with a bullet marker. Units are delimiter-generic: lines ('\\n') in
+  production, tokens (' ') on single-line corpora — the same move as
+  ``operators/boilerplate.py``.
+- ``ellipsis_frac`` ≤ ``MAX_ELLIPSIS_FRAC`` — fraction of units ending
+  with '...'.
+- ``alpha_word_frac`` ≥ ``MIN_ALPHA_WORD_FRAC`` — fraction of words
+  containing at least one ASCII letter.
+- ``stop_hits`` ≥ ``MIN_STOP_HITS`` — how many of the eight Gopher
+  stopwords (the/be/to/of/and/that/have/with) appear at least once.
+- ``keep`` — the conjunction, evaluated on the ROUNDED ratios so the
+  DuckDB oracle replays the identical comparisons.
+
+Scale shape: pure whole-stage-codegen expressions over ONE split array —
+zero shuffle, zero Python, zero explode; the scan prunes to (id, text).
+Every ratio is derived from INTEGER counts with one final rounded
+division (measurement rule 14: no float accumulation an oracle must
+reorder), and ``stop_hits`` is an integer sum of boolean casts.
+
+No reference analog (the reference treats content as opaque bytes;
+SURVEY.md §2 has no quality tier) — this is part of the
+training-data-pipeline family the engine adds beyond the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .codefilters import ALPHA_CHARS, _count_of
+
+# the eight-word stopword list from Gopher Table A1
+REQUIRED_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+# unit prefixes that read as a bullet point (ASCII markdown markers so the
+# literals embed verbatim into the SQL oracle)
+BULLET_MARKERS: tuple[str, ...] = ("-", "*", "+")
+
+ELLIPSIS = "..."
+
+# keep-thresholds (Gopher Table A1 values)
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_RATIO = 0.1
+MAX_BULLET_FRAC = 0.9
+MAX_ELLIPSIS_FRAC = 0.3
+MIN_ALPHA_WORD_FRAC = 0.8
+MIN_STOP_HITS = 2
+
+
+def _unit_frac(units: Column, pred, n_units: Column) -> Column:
+    return F.round(
+        F.size(F.filter(units, pred)) / F.greatest(n_units, F.lit(1)), 4
+    )
+
+
+def gopher_quality_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """(id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_word_frac, stop_hits, keep): the per-document
+    Gopher shape row. ``delimiter`` sets the bullet/ellipsis unit
+    granularity (lines in production, tokens on single-line corpora);
+    the word-level signals always tokenize on a single space."""
+    text = F.col(text_col)
+    words = F.split(text, " ")
+    units = F.split(text, delimiter)
+    n_words = F.size(words)
+    n_units = F.size(units)
+    sum_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # '#' chars + non-overlapping '...' occurrences, both exact integers
+    hash_chars = _count_of(text, "#")
+    ellipsis_occ = (
+        (F.length(text) - F.length(F.replace(text, F.lit(ELLIPSIS), F.lit(""))))
+        / F.lit(len(ELLIPSIS))
+    ).cast("long")
+    bullet_pred = lambda u: (  # noqa: E731 — inline predicate over markers
+        F.lit(False)
+        if not BULLET_MARKERS
+        else _any([F.startswith(u, F.lit(m)) for m in BULLET_MARKERS])
+    )
+    stop_hits = _sum_ints(
+        [F.array_contains(words, w).cast("int") for w in REQUIRED_STOPWORDS]
+    )
+    stats = docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(sum_len / F.greatest(n_words, F.lit(1)), 4).alias("mean_word_len"),
+        F.round(
+            (hash_chars + ellipsis_occ) / F.greatest(n_words, F.lit(1)), 4
+        ).alias("symbol_ratio"),
+        _unit_frac(units, bullet_pred, n_units).alias("bullet_frac"),
+        _unit_frac(
+            units, lambda u: F.endswith(u, F.lit(ELLIPSIS)), n_units
+        ).alias("ellipsis_frac"),
+        _unit_frac(
+            words, lambda w: _count_of(w, ALPHA_CHARS) > 0, n_words
+        ).alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    return stats.withColumn(
+        "keep",
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("n_words") <= MAX_WORDS)
+        & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
+        & (F.col("bullet_frac") <= MAX_BULLET_FRAC)
+        & (F.col("ellipsis_frac") <= MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC)
+        & (F.col("stop_hits") >= MIN_STOP_HITS),
+    )
+
+
+def _any(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
+def _sum_ints(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out

@@ -106,6 +106,7 @@ _DOC_QUERIES = [
     "code_quality_filters",
     "lm_bigram_fit",
     "secret_scan",
+    "gopher_gates",
 ]
 
 

@@ -1,0 +1,141 @@
+"""Gopher document-shape gates (operators/gopher.py): metric truths vs a
+first-principles Python computation, per-rule trip tests, delimiter
+genericity, edge docs, and the zero-shuffle scale-shape contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_deduplication_service_spark.operators.gopher import (
+    BULLET_MARKERS,
+    ELLIPSIS,
+    MAX_BULLET_FRAC,
+    MAX_ELLIPSIS_FRAC,
+    MAX_MEAN_WORD_LEN,
+    MAX_SYMBOL_RATIO,
+    MIN_ALPHA_WORD_FRAC,
+    MIN_MEAN_WORD_LEN,
+    MIN_STOP_HITS,
+    MIN_WORDS,
+    REQUIRED_STOPWORDS,
+    gopher_quality_stats,
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _round4(x: float) -> float:
+    # Spark's round is HALF_UP; crafted inputs below avoid .5-at-4dp
+    # boundaries so Python's banker's round agrees
+    return round(x, 4)
+
+
+def truth(text: str, delimiter: str = " ") -> dict:
+    words = text.split(" ")
+    units = text.split(delimiter)
+    n_words = len(words)
+    n_units = len(units)
+    sym = text.count("#") + text.count(ELLIPSIS)
+    alpha = sum(1 for w in words if any(c.isascii() and c.isalpha() for c in w))
+    row = {
+        "n_words": n_words,
+        "mean_word_len": _round4(sum(len(w) for w in words) / max(n_words, 1)),
+        "symbol_ratio": _round4(sym / max(n_words, 1)),
+        "bullet_frac": _round4(
+            sum(1 for u in units if u.startswith(BULLET_MARKERS)) / max(n_units, 1)
+        ),
+        "ellipsis_frac": _round4(
+            sum(1 for u in units if u.endswith(ELLIPSIS)) / max(n_units, 1)
+        ),
+        "alpha_word_frac": _round4(alpha / max(n_words, 1)),
+        "stop_hits": sum(1 for w in REQUIRED_STOPWORDS if w in words),
+    }
+    row["keep"] = (
+        MIN_WORDS <= row["n_words"] <= 100_000
+        and MIN_MEAN_WORD_LEN <= row["mean_word_len"] <= MAX_MEAN_WORD_LEN
+        and row["symbol_ratio"] <= MAX_SYMBOL_RATIO
+        and row["bullet_frac"] <= MAX_BULLET_FRAC
+        and row["ellipsis_frac"] <= MAX_ELLIPSIS_FRAC
+        and row["alpha_word_frac"] >= MIN_ALPHA_WORD_FRAC
+        and row["stop_hits"] >= MIN_STOP_HITS
+    )
+    return row
+
+
+CRAFTED = [
+    "the cat sat on the mat and that is fine with everyone of us here now",
+    "word " * 60 + "the of end",
+    "#tag #tag #tag some words of the usual kind go here and stay",
+    "ellipsis... everywhere... in... this... one... the and of story",
+    "- bullet - bullet - bullet the and list",
+    "12 34 56 78 90 11 22 33 44 55 the of",
+    "x",
+    "",
+]
+
+
+@pytest.mark.parametrize("text", CRAFTED)
+def test_metrics_match_python_truth(spark, text):
+    got = gopher_quality_stats(_docs_df(spark, [(1, text)]), delimiter=" ").collect()[0]
+    exp = truth(text)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), (k, text)
+
+
+def test_keep_doc_passes_every_gate(spark):
+    # 60 normal words incl. plenty of stopwords: every rule satisfied
+    text = ("the quick brown fox jumps over that lazy dog " * 7).strip()
+    row = gopher_quality_stats(_docs_df(spark, [(1, text)]), delimiter=" ").collect()[0]
+    assert row["keep"] is True
+    assert row["n_words"] == 63 and row["stop_hits"] >= MIN_STOP_HITS
+
+
+BASE = ("the quick brown fox jumps over that lazy dog " * 7).strip()
+
+
+@pytest.mark.parametrize(
+    "mutate, rule",
+    [
+        (lambda t: "the of and", "n_words"),                      # < MIN_WORDS
+        (lambda t: " ".join(["the", "of"] + ["x"] * 61), "mean_word_len"),  # mean < 3
+        (lambda t: t + " " + "#" * 80, "symbol_ratio"),           # 80 hashes / 64 words
+        (lambda t: " ".join("..." + w for w in t.split(" ")), "bullet-free ellipsis start"),  # no trip
+        (lambda t: " ".join(w + "..." for w in t.split(" ")), "ellipsis_frac"),
+        (lambda t: " ".join("-" + w for w in t.split(" ")), "bullet_frac"),
+        (lambda t: " ".join(["the", "of"] + ["123 456"] * 40), "alpha_word_frac"),
+        (lambda t: " ".join(w for w in t.split(" ") if w not in REQUIRED_STOPWORDS), "stop_hits"),
+    ],
+)
+def test_each_rule_trips_on_its_crafted_doc(spark, mutate, rule):
+    text = mutate(BASE)
+    row = gopher_quality_stats(_docs_df(spark, [(1, text)]), delimiter=" ").collect()[0]
+    exp = truth(text)
+    assert row["keep"] == exp["keep"]
+    if rule != "bullet-free ellipsis start":
+        assert row["keep"] is False, rule
+
+
+def test_line_granularity_bullets_and_ellipsis(spark):
+    # at line granularity the bullet/ellipsis rules see LINES, while the
+    # word rules still tokenize on single spaces across the whole doc
+    text = "- first item\n- second item\n- third item\nthe end of it..."
+    row = gopher_quality_stats(_docs_df(spark, [(1, text)]), delimiter="\n").collect()[0]
+    assert row["bullet_frac"] == 0.75
+    assert row["ellipsis_frac"] == 0.25
+    # words: the \n-joined text split on spaces — "item\n-" is one word
+    assert row["n_words"] == len(text.split(" "))
+
+
+def test_stop_hits_counts_presence_not_frequency(spark):
+    text = "the the the the the be"
+    row = gopher_quality_stats(_docs_df(spark, [(1, text)]), delimiter=" ").collect()[0]
+    assert row["stop_hits"] == 2
+
+
+def test_zero_shuffle_zero_python(spark):
+    out = gopher_quality_stats(_docs_df(spark, [(1, "x")]), delimiter=" ")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
