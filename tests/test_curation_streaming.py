@@ -70,6 +70,23 @@ def test_streaming_license_tags_matches_batch(spark, tmp_path):
     assert by_id[3][1] == "apache-2.0" and by_id[4][1] == "unknown"
 
 
+def test_streaming_gopher_gates_matches_batch(spark, tmp_path):
+    from data_deduplication_service_spark.operators.gopher import (
+        gopher_quality_stats,
+    )
+
+    batch, stream = _stream_of_docs(spark, tmp_path)
+    gated = gopher_quality_stats(stream.select("doc_id", "text"), delimiter=" ")
+    q = run_stream_to_memory(gated, "gopher_sink")
+    got = _rows(spark.sql("SELECT * FROM gopher_sink"))
+    q.stop()
+    assert got == _rows(
+        gopher_quality_stats(batch.select("doc_id", "text"), delimiter=" ")
+    )
+    # and the gate actually evaluated: every short doc fails MIN_WORDS
+    assert all(not t[-1] for t in got)
+
+
 def test_streaming_curation_chain_single_pass(spark, tmp_path):
     """The gates compose into ONE streaming select (license → pii →
     secrets), still a stateless map — one micro-batch pass scrubs and

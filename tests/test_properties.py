@@ -304,6 +304,40 @@ def test_unit_metrics_agree_with_duckdb(text):
 
 
 @settings(max_examples=150, deadline=None)
+@given(text=pii_text_st)
+def test_gopher_metrics_agree_with_duckdb(text):
+    """gopher.py's engine-shared primitives over arbitrary unicode: the
+    replace-based non-overlapping '...' count, bullet starts_with /
+    ellipsis ends_with unit predicates, and list_contains stopword
+    presence must match the Python model exactly (Python str.count is
+    left-to-right non-overlapping, like replace-delete)."""
+    from data_deduplication_service_spark.operators.gopher import (
+        BULLET_MARKERS,
+        ELLIPSIS,
+        REQUIRED_STOPWORDS,
+    )
+
+    words = text.split(" ")
+    bullets = " OR ".join(f"starts_with(x, '{m}')" for m in BULLET_MARKERS)
+    stop_hits = " + ".join(
+        f"CAST(list_contains(string_split(?, ' '), '{w}') AS INT)"
+        for w in REQUIRED_STOPWORDS
+    )
+    got = _DUCK.execute(
+        f"""SELECT CAST((length(?) - length(replace(?, '...', ''))) / 3 AS BIGINT),
+               len(list_filter(string_split(?, ' '), x -> {bullets})),
+               len(list_filter(string_split(?, ' '), x -> ends_with(x, '...'))),
+               CAST({stop_hits} AS INT)
+        """,
+        [text] * (4 + len(REQUIRED_STOPWORDS)),
+    ).fetchone()
+    assert got[0] == text.count(ELLIPSIS), repr(text)
+    assert got[1] == sum(1 for u in words if u.startswith(BULLET_MARKERS)), repr(text)
+    assert got[2] == sum(1 for u in words if u.endswith(ELLIPSIS)), repr(text)
+    assert got[3] == sum(1 for w in REQUIRED_STOPWORDS if w in words), repr(text)
+
+
+@settings(max_examples=150, deadline=None)
 @given(n=st.integers(min_value=1, max_value=2**62))
 def test_qlog2_bit_length_agrees_with_duckdb(n):
     """The LM score's quantized log: Python int.bit_length ≡ DuckDB
