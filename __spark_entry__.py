@@ -1096,6 +1096,18 @@ def q_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_stats(planted, delimiter=" ")
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (functions/text.py:bpe_token_stats) — the
+    GPT-2/Llama pre-tokenization split (letter runs, ≤3-digit groups,
+    punctuation runs) counted per document; tokens-per-byte is the
+    curation signal a trained tokenizer's count tracks. The alternation
+    classes are first-char-disjoint so Java-regex and RE2 agree by
+    construction. Pure codegen regex scans, zero shuffle."""
+    from data_deduplication_service_spark.functions.text import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_lm_bigram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-fit bigram LM scoring (operators/lmscore.py) — the
     CCNet-style quality signal with quantized-log2 contributions so the
@@ -1307,6 +1319,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "code_quality_filters": q_code_quality_filters,
         "lm_bigram_fit": q_lm_bigram_fit,
         "gopher_gates": q_gopher_gates,
+        "bpe_token_stats": q_bpe_token_stats,
 }
 
 
@@ -1606,6 +1619,35 @@ def _gopher_oracle_sql() -> str:
                 AND alpha_word_frac >= {_gph.MIN_ALPHA_WORD_FRAC}
                 AND stop_hits >= {_gph.MIN_STOP_HITS}) AS keep
         FROM m
+    """
+
+
+def _bpe_token_oracle_sql() -> str:
+    """BPE-ish token counts replayed in DuckDB: the identical pattern
+    strings (explicit ASCII classes, first-char-disjoint alternation)
+    through RE2's regexp_extract_all; integer counts, one rounded
+    division. Patterns embed from functions/text.py — zero drift."""
+    from data_deduplication_service_spark.functions import text as _txt
+
+    def cnt(pat: str) -> str:
+        return f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   {cnt(_txt.BPE_WORD_RE)} AS n_word_runs,
+                   {cnt(_txt.BPE_DIGIT_RE)} AS n_digit_groups,
+                   {cnt(_txt.BPE_PUNCT_RE)} AS n_punct_runs,
+                   {cnt(_txt.BPE_WS_RE)} AS n_ws_runs
+            FROM documents
+        )
+        SELECT *,
+               (n_word_runs + n_digit_groups + n_punct_runs) AS n_bpe_tokens,
+               round(n_chars * 1.0
+                     / greatest(n_word_runs + n_digit_groups + n_punct_runs, 1),
+                     4) AS chars_per_token
+        FROM c
     """
 
 
@@ -2552,5 +2594,8 @@ def oracle_sql() -> dict[str, str]:
         # Gopher document-shape gates: identical plants, identical split /
         # translate / replace counts, keep on the rounded ratios
         "gopher_gates": _gopher_oracle_sql(),
+        # BPE-ish token counting: identical first-char-disjoint patterns
+        # through RE2, integer counts, one rounded division
+        "bpe_token_stats": _bpe_token_oracle_sql(),
         "lm_bigram_fit": _lm_fit_oracle_sql(),
     }

@@ -118,6 +118,59 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+# --- BPE-ish pre-tokenization -------------------------------------------
+#
+# The GPT-2/Llama-style split a byte-pair tokenizer applies BEFORE merges:
+# letter runs, digit groups of ≤3 (the Llama digit rule), punctuation
+# runs; whitespace separates but is not a token. The alternation branches
+# have DISJOINT first-char classes, so leftmost-first (Java regex, RE2)
+# and leftmost-longest semantics agree — the pattern is engine-order-
+# independent by construction. Classes are explicit ASCII with an explicit
+# whitespace class (measurement rule 14: Java's \s includes \x0B, RE2's
+# doesn't), so the identical pattern string runs on Spark and DuckDB.
+#
+# n_bpe_tokens is the classic tokens-per-byte curation signal: a real BPE
+# only merges within these pre-tokens, so this count upper-bounds (and
+# tracks) the trained-tokenizer count without shipping a vocab.
+BPE_WS_CHARS = " \\t\\n\\r\\f"
+BPE_WORD_RE = "[A-Za-z]+"
+BPE_DIGIT_RE = "[0-9]{1,3}"
+BPE_PUNCT_RE = f"[^A-Za-z0-9{BPE_WS_CHARS}]+"
+BPE_WS_RE = f"[{BPE_WS_CHARS}]+"
+
+
+def _match_count(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars, n_word_runs, n_digit_groups, n_punct_runs, n_ws_runs,
+    n_bpe_tokens, chars_per_token): per-document BPE-ish token counting —
+    the "whitespace + a BPE-ish regex" pair of signals beside the
+    single-space `token_count`. Pure codegen regex scans: zero shuffle,
+    zero Python; every count is an integer and the one division is
+    rounded, so a SQL oracle replays it bit-exactly."""
+    t = F.col(text_col)
+    counts = docs.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        _match_count(t, BPE_WORD_RE).cast("long").alias("n_word_runs"),
+        _match_count(t, BPE_DIGIT_RE).cast("long").alias("n_digit_groups"),
+        _match_count(t, BPE_PUNCT_RE).cast("long").alias("n_punct_runs"),
+        _match_count(t, BPE_WS_RE).cast("long").alias("n_ws_runs"),
+    )
+    n_bpe = F.col("n_word_runs") + F.col("n_digit_groups") + F.col("n_punct_runs")
+    return counts.select(
+        "*",
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.col("n_chars") / F.greatest(n_bpe, F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
+
+
 def text_quality_table(docs: DataFrame, text_col: str = "content") -> DataFrame:
     """Per-document quality/statistics rollup (id columns preserved)."""
     c = F.col(text_col)

@@ -1,0 +1,91 @@
+"""BPE-ish token counting (functions/text.py:bpe_token_stats): counts vs a
+first-principles Python re model, the Llama digit-grouping rule, pattern
+disjointness (engine-order independence), edge docs, and the zero-shuffle
+scale-shape contract."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_deduplication_service_spark.functions.text import (
+    BPE_DIGIT_RE,
+    BPE_PUNCT_RE,
+    BPE_WORD_RE,
+    BPE_WS_RE,
+    bpe_token_stats,
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def truth(text: str) -> dict:
+    w = len(re.findall(BPE_WORD_RE, text))
+    d = len(re.findall(BPE_DIGIT_RE, text))
+    p = len(re.findall(BPE_PUNCT_RE, text))
+    return {
+        "n_chars": len(text),
+        "n_word_runs": w,
+        "n_digit_groups": d,
+        "n_punct_runs": p,
+        "n_ws_runs": len(re.findall(BPE_WS_RE, text)),
+        "n_bpe_tokens": w + d + p,
+        "chars_per_token": round(len(text) / max(w + d + p, 1), 4),
+    }
+
+
+CRAFTED = [
+    "hello world 12345 foo_bar!! x",
+    "",
+    "a\tb\ncc  9",
+    "çé привет 42",                       # non-ASCII letters are punct runs
+    "x" * 500,
+    "1234567890",                          # one run → 4 digit groups
+    "...---...",                           # single punct run (no ws)
+    "mixed42runs7end",                     # word/digit interleave
+    " \t\n\r\f ",                          # whitespace only
+]
+
+
+@pytest.mark.parametrize("text", CRAFTED)
+def test_counts_match_python_re(spark, text):
+    got = bpe_token_stats(_docs_df(spark, [(1, text)])).collect()[0]
+    for k, v in truth(text).items():
+        assert got[k] == pytest.approx(v, abs=1e-9), (k, text)
+
+
+def test_digit_groups_are_llama_style(spark):
+    # greedy left-to-right grouping: 12345 → 123|45, 1234567890 → 123|456|789|0
+    row = bpe_token_stats(_docs_df(spark, [(1, "12345 1234567890 7")])).collect()[0]
+    assert row["n_digit_groups"] == 2 + 4 + 1
+
+
+def test_patterns_are_first_char_disjoint():
+    """Engine-order independence: no codepoint can start two branches, so
+    leftmost-first (Java/RE2) and leftmost-longest tokenizations agree."""
+    classes = [BPE_WORD_RE, BPE_DIGIT_RE, BPE_PUNCT_RE, BPE_WS_RE]
+    probe = [chr(c) for c in range(1, 0x250)] + list("…🚀中ſ")
+    for ch in probe:
+        starters = [c for c in classes if re.match(c, ch)]
+        assert len(starters) <= 1, (ch, starters)
+
+
+def test_tokens_reconstruct_nonws_text(spark):
+    # word+digit+punct matches concatenated in order == text minus whitespace
+    text = "def f(x1234): return x << 2  # ok"
+    toks = []
+    for m in re.finditer(f"{BPE_WORD_RE}|{BPE_DIGIT_RE}|{BPE_PUNCT_RE}", text):
+        toks.append(m.group(0))
+    assert "".join(toks) == re.sub(BPE_WS_RE, "", text)
+    row = bpe_token_stats(_docs_df(spark, [(1, text)])).collect()[0]
+    assert row["n_bpe_tokens"] == len(toks)
+
+
+def test_zero_shuffle_zero_python(spark):
+    out = bpe_token_stats(_docs_df(spark, [(1, "x")]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan

@@ -107,6 +107,7 @@ _DOC_QUERIES = [
     "lm_bigram_fit",
     "secret_scan",
     "gopher_gates",
+    "bpe_token_stats",
 ]
 
 

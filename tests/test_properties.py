@@ -338,6 +338,27 @@ def test_gopher_metrics_agree_with_duckdb(text):
 
 
 @settings(max_examples=150, deadline=None)
+@given(text=pii_text_st)
+def test_bpe_token_counts_agree_with_duckdb(text):
+    """bpe_token_stats' pattern strings through RE2 must count exactly
+    like Python re over arbitrary unicode — the first-char-disjoint
+    alternation classes make leftmost-first == leftmost-longest, so any
+    engine divergence here is a real parity bug."""
+    from data_deduplication_service_spark.functions.text import (
+        BPE_DIGIT_RE,
+        BPE_PUNCT_RE,
+        BPE_WORD_RE,
+        BPE_WS_RE,
+    )
+
+    pats = [BPE_WORD_RE, BPE_DIGIT_RE, BPE_PUNCT_RE, BPE_WS_RE]
+    sql = ", ".join(f"len(regexp_extract_all(?, '{p}'))" for p in pats)
+    got = _DUCK.execute(f"SELECT {sql}", [text] * len(pats)).fetchone()
+    for g, p in zip(got, pats):
+        assert g == len(re.findall(p, text)), (p, repr(text))
+
+
+@settings(max_examples=150, deadline=None)
 @given(n=st.integers(min_value=1, max_value=2**62))
 def test_qlog2_bit_length_agrees_with_duckdb(n):
     """The LM score's quantized log: Python int.bit_length ≡ DuckDB
