@@ -67,7 +67,8 @@ def main() -> None:
                 and r.get("n_boilerplate_removed", -1) < 0
                 and not r.get("quality_invariant", "")
                 and not r.get("code_gates_invariant", "")
-                and not r.get("secrets_invariant", ""))
+                and not r.get("secrets_invariant", "")
+                and not r.get("shape_gates_invariant", ""))
 
     lean = [r for r in runs
             if not r.get("fused") and r.get("n_files") == 1_600_000 and is_base_job(r)]
@@ -457,6 +458,44 @@ def main() -> None:
                 )
             lines.append("")
             eff = stage_eff_line(rows, "secret_scan")
+            if eff:
+                lines += [eff, ""]
+
+    sg = [r for r in runs if r.get("shape_gates_invariant", "")]
+    if sg:
+        lines += [
+            "## Document-shape gate pair on the measured scale path",
+            "",
+            "The Gopher Table A1 non-repetition gates (word-count/mean-word-",
+            "length bounds, symbol/bullet/ellipsis ratios, alpha-word +",
+            "stopword floors, line granularity) and the BPE-ish pre-",
+            "tokenization counts are both pure zero-shuffle codegen maps —",
+            "one content scan each, the same measured shape as the license/",
+            "code-shape gates. Invariant = keep/stops/bpetok integer tuple,",
+            "asserted identical per corpus size. (keep ≈ 0 is expected and",
+            "honest — the Gopher gates are prose-shape rules and this is a",
+            "source-code corpus; the invariant's information is in the",
+            "stopword-hit and BPE-token totals.)",
+            "",
+        ]
+        for nf in sorted({r["n_files"] for r in sg}):
+            rows = [r for r in sg if r["n_files"] == nf]
+            inv = {r["shape_gates_invariant"] for r in rows}
+            assert len(inv) == 1, f"shape-gate invariants differ at {nf}: {inv}"
+            lines += [
+                f"{nf:,}-file corpus — **invariant {inv.pop()}, identical at",
+                "every parallelism level:**",
+                "",
+                "| session | rep | cores | shape_gates sec | job total sec |",
+                "|---|---|---|---|---|",
+            ]
+            for r in rows:
+                lines.append(
+                    f"| {r['session']} | {r['rep']} | {r['cores']} | "
+                    f"{r['stages_sec'].get('shape_gates', '-')} | {r['total_sec']} |"
+                )
+            lines.append("")
+            eff = stage_eff_line(rows, "shape_gates")
             if eff:
                 lines += [eff, ""]
 

@@ -63,6 +63,7 @@ def worker(
     with_quality_scans: bool = False,
     with_code_gates: bool = False,
     with_secret_scan: bool = False,
+    with_shape_gates: bool = False,
     containment_cap: int = 50,
 ) -> None:
     from pyspark.sql import SparkSession
@@ -360,6 +361,37 @@ def worker(
         secrets_invariant = "/".join(str(tot[n]) for n, _, _ in SECRET_RULES)
         t["secret_scan"] = time.monotonic() - ts
 
+    shape_gates_invariant = ""
+    if with_shape_gates:
+        # the document-shape gate pair on the measured path: the Gopher
+        # Table A1 non-repetition gates (line granularity) and the BPE-ish
+        # pre-tokenization counts are both pure zero-shuffle codegen maps
+        # over one content scan each — the same measured shape as the
+        # license/code-shape gates. Invariant = "keep/stops/bpetok"
+        # integer tuple.
+        from data_deduplication_service_spark.functions.text import (
+            bpe_token_stats,
+        )
+        from data_deduplication_service_spark.operators.gopher import (
+            gopher_quality_stats,
+        )
+
+        tsg = time.monotonic()
+        docs = files.select(
+            "file_id", F.col("content").cast("string").alias("content")
+        )
+        g = gopher_quality_stats(
+            docs, id_col="file_id", text_col="content", delimiter="\n"
+        ).agg(
+            F.sum(F.col("keep").cast("long")).alias("keep"),
+            F.sum(F.col("stop_hits").cast("long")).alias("stops"),
+        ).collect()[0]
+        bpetok = bpe_token_stats(
+            docs, id_col="file_id", text_col="content"
+        ).agg(F.sum("n_bpe_tokens").alias("x")).collect()[0]["x"]
+        shape_gates_invariant = f"{g['keep']}/{g['stops']}/{bpetok}"
+        t["shape_gates"] = time.monotonic() - tsg
+
     n_boilerplate = -1
     if with_boilerplate:
         # line-level boilerplate removal on the measured path: the synthetic
@@ -417,6 +449,7 @@ def worker(
                 "quality_invariant": quality_invariant,
                 "code_gates_invariant": code_gates_invariant,
                 "secrets_invariant": secrets_invariant,
+                "shape_gates_invariant": shape_gates_invariant,
                 "stages_sec": {k: round(v, 2) for k, v in t.items()},
                 "total_sec": round(total, 2),
                 "files_per_sec": round(n_files / total, 1),
@@ -441,6 +474,7 @@ def orchestrate(
     with_quality_scans: bool = False,
     with_code_gates: bool = False,
     with_secret_scan: bool = False,
+    with_shape_gates: bool = False,
     containment_cap: int = 50,
     legs: tuple[int, ...] = (8, 32),
 ) -> None:
@@ -498,6 +532,8 @@ def orchestrate(
                 ["--with-code-gates"] if with_code_gates else []
             ) + (
                 ["--with-secret-scan"] if with_secret_scan else []
+            ) + (
+                ["--with-shape-gates"] if with_shape_gates else []
             ) + (
                 ["--with-containment", "--containment-cap", str(containment_cap)]
                 if with_containment else []
@@ -641,6 +677,9 @@ def main() -> None:
     ap.add_argument("--with-secret-scan", action="store_true",
                     help="also measure the secrets detection/redaction scan "
                          "(planted detector-family snippets)")
+    ap.add_argument("--with-shape-gates", action="store_true",
+                    help="also measure the document-shape gate pair (Gopher "
+                         "Table A1 gates + BPE-ish token counts)")
     ap.add_argument("--containment-cap", type=int, default=50,
                     help="max_shingle_doc_freq for the containment leg "
                          "(50 = the published 400k protocol)")
@@ -660,6 +699,7 @@ def main() -> None:
                with_quality_scans=args.with_quality_scans,
                with_code_gates=args.with_code_gates,
                with_secret_scan=args.with_secret_scan,
+               with_shape_gates=args.with_shape_gates,
                containment_cap=args.containment_cap)
     else:
         orchestrate(args.n_files, args.out, repeats=args.repeats,
@@ -673,6 +713,7 @@ def main() -> None:
                     with_quality_scans=args.with_quality_scans,
                     with_code_gates=args.with_code_gates,
                     with_secret_scan=args.with_secret_scan,
+                    with_shape_gates=args.with_shape_gates,
                     containment_cap=args.containment_cap,
                     legs=tuple(int(x) for x in args.legs.split(",")))
 
