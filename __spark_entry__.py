@@ -1108,6 +1108,24 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+PACK_BUDGET = 512
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan (operators/packing.py) — the concat-and-
+    chunk accounting between curation and training: per-document token
+    offsets and first/last training sequence at PACK_BUDGET tokens,
+    packed per source shard in doc_id order. One shuffle (by shard) +
+    an integer running sum; `div` arithmetic end to end so the oracle
+    replays it exactly."""
+    from data_deduplication_service_spark.operators.packing import (
+        sequence_pack_plan,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    return sequence_pack_plan(docs, PACK_BUDGET, part_col="source")
+
+
 def q_lm_bigram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-fit bigram LM scoring (operators/lmscore.py) — the
     CCNet-style quality signal with quantized-log2 contributions so the
@@ -1320,6 +1338,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lm_bigram_fit": q_lm_bigram_fit,
         "gopher_gates": q_gopher_gates,
         "bpe_token_stats": q_bpe_token_stats,
+        "sequence_pack": q_sequence_pack,
 }
 
 
@@ -2597,5 +2616,31 @@ def oracle_sql() -> dict[str, str]:
         # BPE-ish token counting: identical first-char-disjoint patterns
         # through RE2, integer counts, one rounded division
         "bpe_token_stats": _bpe_token_oracle_sql(),
+        # sequence packing: identical per-shard running sum (integer
+        # window) + integer floor-division sequence indices
+        "sequence_pack": f"""
+            WITH t AS (
+                SELECT doc_id, source AS part,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT part, doc_id, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY part ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS end_tok
+                FROM t
+            )
+            SELECT part, doc_id, n_tokens,
+                   (end_tok - n_tokens) AS start_tok,
+                   end_tok,
+                   CAST((end_tok - n_tokens) // {PACK_BUDGET} AS BIGINT)
+                       AS seq_first,
+                   greatest(
+                       CAST((end_tok - 1) // {PACK_BUDGET} AS BIGINT),
+                       CAST((end_tok - n_tokens) // {PACK_BUDGET} AS BIGINT)
+                   ) AS seq_last
+            FROM c
+        """,
         "lm_bigram_fit": _lm_fit_oracle_sql(),
     }

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "secret_scan",  # added r5 (new operator; pre-existing keys unchanged)
     "gopher_gates",  # added r5 (new operator; pre-existing keys unchanged)
     "bpe_token_stats",  # added r5 (new operator; pre-existing keys unchanged)
+    "sequence_pack",  # added r5 (new operator; pre-existing keys unchanged)
     "q1_pricing_summary",
     "revenue_topk",
     "events_hourly",

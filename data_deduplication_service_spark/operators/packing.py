@@ -1,0 +1,115 @@
+"""Sequence packing plan — the concat-and-chunk accounting step between
+curation and training: documents are concatenated in a deterministic
+order within each shard and split into fixed token-budget training
+sequences (the GPT-style packing every pretraining run performs). This
+operator computes the PLAN — per-document start/end token offsets and
+the first/last sequence each document lands in — not the token tensors
+themselves (tokenization is the trainer's job; the plan is what the data
+pipeline owns and what makes packing reproducible and auditable).
+
+Semantics (deterministic, engine-replayable):
+
+- Documents are ordered by ``id`` WITHIN each shard (``part_col``); the
+  shard is the packing domain, so different shards' sequences are
+  independent (exactly how a sharded corpus feeds parallel trainers).
+- ``n_tokens`` is the single-space token count (parity with the rest of
+  the engine; pass ``tokens_col`` to supply a precomputed count, e.g.
+  the BPE-ish one from ``functions/text.py``).
+- ``start_tok`` / ``end_tok``: the document's half-open token interval
+  in its shard's concatenation stream.
+- ``seq_first`` / ``seq_last``: the 0-based training sequences (of
+  ``budget`` tokens) the interval touches — a document straddles a
+  boundary iff ``seq_first != seq_last`` (concat-and-chunk splits it;
+  the plan makes that visible instead of pretending it doesn't happen).
+
+Scale shape: ONE shuffle (by shard) + a per-shard running sum inside a
+window — integer arithmetic only. A window partition is processed by a
+single task, which is inherent to packing (the order within a shard IS
+the semantics); shards are the unit of parallelism, so size them like
+output files (thousands of docs, not millions). An unsharded corpus can
+pass a derived shard key (e.g. ``pmod(doc_id, n_shards)``) — packing
+quality is unaffected because the budget boundary cuts are position-
+based either way.
+
+No reference analog (SURVEY.md §2 has no training-prep tier); this is
+part of the training-data-pipeline family the engine adds beyond the
+reference — the step that consumes the curated+sampled corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def sequence_pack_plan(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str | None = None,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """(part, id, n_tokens, start_tok, end_tok, seq_first, seq_last):
+    the deterministic packing plan at ``budget`` tokens per training
+    sequence. ``part_col=None`` packs the whole corpus as one shard
+    (small corpora / tests only — one window partition is one task)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    part = F.col(part_col) if part_col else F.lit("all")
+    if tokens_col:
+        n_tokens: Column = F.col(tokens_col).cast("long")
+    else:
+        n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = Window.partitionBy("part").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = docs.select(
+        part.alias("part"), F.col(id_col), n_tokens.alias("n_tokens")
+    )
+    cum = base.withColumn("end_tok", F.sum("n_tokens").over(w))
+    # integer `div` throughout (offsets are non-negative, so div == floor
+    # division and both engines agree exactly — no float in the path)
+    offs = cum.select(
+        "part",
+        id_col,
+        "n_tokens",
+        (F.col("end_tok") - F.col("n_tokens")).alias("start_tok"),
+        "end_tok",
+    )
+    return offs.select(
+        "*",
+        F.expr(f"CAST(start_tok div {budget} AS BIGINT)").alias("seq_first"),
+        # last sequence touched = (end-1) div budget; an empty doc
+        # (0 tokens) touches only the sequence at its start offset
+        F.greatest(
+            F.expr(f"CAST((end_tok - 1) div {budget} AS BIGINT)"),
+            F.expr(f"CAST(start_tok div {budget} AS BIGINT)"),
+        ).alias("seq_last"),
+    )
+
+
+def packing_summary(plan: DataFrame, budget: int) -> DataFrame:
+    """Per-shard rollup: docs, tokens, sequences produced, straddling
+    docs, and padding waste in the final partial sequence — the numbers
+    a training run budgets from."""
+    agg = plan.groupBy("part").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(
+            (F.col("seq_last") != F.col("seq_first")).cast("long")
+        ).alias("n_straddling"),
+    )
+    # ceil-div in integers: (n + b - 1) div b — no float in the path
+    return agg.select(
+        "part",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            f"CAST((n_tokens + {budget} - 1) div {budget} AS BIGINT)"
+        ).alias("n_sequences"),
+        "n_straddling",
+        F.expr(
+            f"CAST((n_tokens + {budget} - 1) div {budget} * {budget} - n_tokens"
+            " AS BIGINT)"
+        ).alias("pad_tokens"),
+    )

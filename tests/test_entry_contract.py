@@ -108,6 +108,7 @@ _DOC_QUERIES = [
     "secret_scan",
     "gopher_gates",
     "bpe_token_stats",
+    "sequence_pack",
 ]
 
 

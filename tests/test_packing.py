@@ -1,0 +1,128 @@
+"""Sequence-packing plan (operators/packing.py): offsets/sequence indices
+vs a first-principles Python packer, straddle detection, zero-token docs,
+order independence, the summary rollup, and the one-shuffle plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_deduplication_service_spark.operators.packing import (
+    packing_summary,
+    sequence_pack_plan,
+)
+
+
+def py_plan(rows, budget):
+    """rows: (part, doc_id, n_tokens) → {doc_id: (start, end, sf, sl)}."""
+    out = {}
+    by_part = {}
+    for part, doc_id, n in sorted(rows):
+        by_part.setdefault(part, []).append((doc_id, n))
+    for part, docs in by_part.items():
+        off = 0
+        for doc_id, n in docs:
+            start, end = off, off + n
+            sf = start // budget
+            sl = max((end - 1) // budget, sf)
+            out[doc_id] = (part, n, start, end, sf, sl)
+            off = end
+    return out
+
+
+def _toks_df(spark, rows):
+    return spark.createDataFrame(rows, "part string, doc_id long, n int")
+
+
+ROWS = [
+    ("a", 1, 100), ("a", 2, 30), ("a", 3, 0), ("a", 4, 200),
+    ("b", 5, 128), ("b", 6, 128), ("b", 7, 1),
+    ("c", 8, 1000),
+]
+
+
+@pytest.mark.parametrize("budget", [1, 64, 128, 500])
+def test_plan_matches_python_packer(spark, budget):
+    got = sequence_pack_plan(
+        _toks_df(spark, ROWS), budget, part_col="part", tokens_col="n"
+    ).collect()
+    exp = py_plan(ROWS, budget)
+    assert len(got) == len(ROWS)
+    for r in got:
+        part, n, start, end, sf, sl = exp[r["doc_id"]]
+        assert (r["part"], r["n_tokens"], r["start_tok"], r["end_tok"]) == (
+            part, n, start, end,
+        ), r["doc_id"]
+        assert (r["seq_first"], r["seq_last"]) == (sf, sl), r["doc_id"]
+
+
+def test_straddle_and_exact_fit(spark):
+    # budget 128: doc 5 fills seq 0 exactly (end=128 → seq_last = 127//128
+    # = 0), doc 6 fills seq 1, doc 7 starts seq 2 — no straddles in 'b';
+    # 'a' doc 4 spans tokens [130, 330) → sequences 1..2
+    got = {r["doc_id"]: r for r in sequence_pack_plan(
+        _toks_df(spark, ROWS), 128, part_col="part", tokens_col="n"
+    ).collect()}
+    assert (got[5]["seq_first"], got[5]["seq_last"]) == (0, 0)
+    assert (got[6]["seq_first"], got[6]["seq_last"]) == (1, 1)
+    assert (got[7]["seq_first"], got[7]["seq_last"]) == (2, 2)
+    assert (got[4]["seq_first"], got[4]["seq_last"]) == (1, 2)
+    # zero-token doc occupies no tokens: start == end, single sequence
+    assert got[3]["start_tok"] == got[3]["end_tok"] == 130
+    assert got[3]["seq_first"] == got[3]["seq_last"] == 1
+
+
+def test_plan_is_input_order_independent(spark):
+    fwd = sequence_pack_plan(
+        _toks_df(spark, ROWS), 64, part_col="part", tokens_col="n"
+    ).collect()
+    rev = sequence_pack_plan(
+        _toks_df(spark, list(reversed(ROWS))), 64, part_col="part", tokens_col="n"
+    ).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(map(tuple, fwd), key=lambda t: t[1]) == sorted(
+        map(tuple, rev), key=lambda t: t[1]
+    )
+
+
+def test_summary_rollup(spark):
+    plan = sequence_pack_plan(
+        _toks_df(spark, ROWS), 128, part_col="part", tokens_col="n"
+    )
+    got = {r["part"]: r for r in packing_summary(plan, 128).collect()}
+    # part a: 330 tokens → 3 sequences, pad 54; doc 2 [100,130) and
+    # doc 4 [130,330) straddle a 128 boundary, doc 1 [0,100) does not
+    assert (got["a"]["n_docs"], got["a"]["n_tokens"]) == (4, 330)
+    assert got["a"]["n_sequences"] == 3 and got["a"]["pad_tokens"] == 54
+    assert got["a"]["n_straddling"] == 2
+    # part b: 257 tokens → 3 sequences, pad 127, zero straddles (exact fits)
+    assert got["b"]["n_sequences"] == 3 and got["b"]["n_straddling"] == 0
+    # part c: one 1000-token doc spans 8 sequences of 128
+    assert got["c"]["n_straddling"] == 1 and got["c"]["n_sequences"] == 8
+
+
+def test_default_tokenizer_and_single_shard(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in sequence_pack_plan(docs, 4).collect()}
+    # single-space tokens: 3, 2, 1 ('' splits to one empty token)
+    assert [got[i]["n_tokens"] for i in (1, 2, 3)] == [3, 2, 1]
+    assert got[2]["start_tok"] == 3 and got[2]["end_tok"] == 5
+    assert (got[2]["seq_first"], got[2]["seq_last"]) == (0, 1)
+    assert got[1]["part"] == "all"
+
+
+def test_invalid_budget_raises(spark):
+    with pytest.raises(ValueError):
+        sequence_pack_plan(
+            _toks_df(spark, ROWS), 0, part_col="part", tokens_col="n"
+        )
+
+
+def test_one_shuffle_no_python(spark):
+    plan = sequence_pack_plan(
+        _toks_df(spark, ROWS), 64, part_col="part", tokens_col="n"
+    )
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Exchange hashpartitioning") == 1
+    assert "Window" in s and "Python" not in s
