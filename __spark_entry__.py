@@ -1126,6 +1126,54 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack_plan(docs, PACK_BUDGET, part_col="source")
 
 
+MANIFEST_SAMPLE_RATE = 0.5
+
+
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation→training composition in ONE DAG — what a
+    100 TB prep run actually executes: exact dedup (content-sha groups,
+    min-id representative), model-based quality gate (hashing-trick
+    classifier keep), deterministic hash-threshold sampling, and the
+    sequence-packing plan over the survivors. Every stage is one of the
+    engine's oracle-gated operators; this gate proves they COMPOSE
+    bit-exactly (the oracle chains the same four derivations as CTEs).
+
+    Scale shape: the dedup groupBy shuffles only (sha, id); the
+    classifier and sample are zero-shuffle scan maps; packing adds one
+    shuffle by shard. Content never crosses an exchange."""
+    from data_deduplication_service_spark.operators.classifier import (
+        classifier_stats,
+    )
+    from data_deduplication_service_spark.operators.packing import (
+        sequence_pack_plan,
+    )
+    from data_deduplication_service_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    # exact tier: min doc_id per content group; only (sha, id) shuffles
+    rep_ids = (
+        docs.select(
+            F.sha2(F.encode("text", "UTF-8"), 256).alias("key"), "doc_id"
+        )
+        .groupBy("key")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = docs.join(rep_ids, "doc_id")
+    keep_ids = (
+        classifier_stats(deduped.select("doc_id", "text"))
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = deduped.join(keep_ids, "doc_id")
+    sampled = deterministic_sample(
+        kept, MANIFEST_SAMPLE_RATE, key_col="doc_id", seed=MIXTURE_SEED
+    )
+    return sequence_pack_plan(sampled, PACK_BUDGET, part_col="source")
+
+
 def q_lm_bigram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-fit bigram LM scoring (operators/lmscore.py) — the
     CCNet-style quality signal with quantized-log2 contributions so the
@@ -1339,6 +1387,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "gopher_gates": q_gopher_gates,
         "bpe_token_stats": q_bpe_token_stats,
         "sequence_pack": q_sequence_pack,
+        "training_manifest": q_training_manifest,
 }
 
 
@@ -1700,11 +1749,13 @@ def _lm_fit_oracle_sql() -> str:
     """
 
 
-def _classifier_oracle_sql() -> str:
-    """The classifier replayed in DuckDB: identical md5-prefix bucket hash
-    (digit-by-digit hex arithmetic), identical integer weight table
-    (embedded from default_weights()), exact int64 sum, one double
-    division — bit-identical to the Spark expression path."""
+def _classifier_cte(rel: str) -> str:
+    """CTE chain computing cls(doc_id, n_tokens, score_int) from
+    rel(doc_id, text): identical md5-prefix bucket hash (digit-by-digit
+    hex arithmetic), identical integer weight table (embedded from
+    default_weights()), exact int64 sum — shared by the quality_classifier
+    oracle and the training_manifest composition so the two can never
+    drift."""
     weights = _cls_weights()
     wrows = ", ".join(f"({b}, {w})" for b, w in enumerate(weights))
     digit = "(strpos('0123456789abcdef', substring(md5(tok), {i}, 1)) - 1)"
@@ -1712,25 +1763,32 @@ def _classifier_oracle_sql() -> str:
         f"{digit.format(i=i + 1)} * {16 ** (3 - i)}" if i < 3 else digit.format(i=i + 1)
         for i in range(4)
     )
-    return f"""
-        WITH tok AS (
+    return f"""cls_tok AS (
             SELECT doc_id, t.u AS tok
             FROM (SELECT doc_id, string_split(text, ' ') AS parts
-                  FROM documents),
+                  FROM {rel}),
                  unnest(parts) AS t(u)
-        ), b AS (
-            SELECT doc_id, ({bucket}) % {len(weights)} AS bucket FROM tok
-        ), w(bucket, wt) AS (VALUES {wrows}),
-        s AS (
+        ), cls_b AS (
+            SELECT doc_id, ({bucket}) % {len(weights)} AS bucket FROM cls_tok
+        ), cls_w(bucket, wt) AS (VALUES {wrows}),
+        cls AS (
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                    CAST(sum(wt) AS BIGINT) AS score_int
-            FROM b JOIN w USING (bucket) GROUP BY doc_id
-        )
+            FROM cls_b JOIN cls_w USING (bucket) GROUP BY doc_id
+        )"""
+
+
+def _classifier_oracle_sql() -> str:
+    """The classifier replayed in DuckDB — bit-identical to the Spark
+    expression path (see _classifier_cte); one double division at the
+    end."""
+    return f"""
+        WITH {_classifier_cte("documents")}
         SELECT doc_id, n_tokens, score_int,
                round(CAST(score_int AS DOUBLE) / n_tokens / {_CLS_SCALE}.0, 6)
                    AS quality_logit,
                score_int >= 0 AS keep
-        FROM s
+        FROM cls
     """
 
 
@@ -2623,6 +2681,56 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, source AS part,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                 FROM documents
+            ), c AS (
+                SELECT part, doc_id, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY part ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS end_tok
+                FROM t
+            )
+            SELECT part, doc_id, n_tokens,
+                   (end_tok - n_tokens) AS start_tok,
+                   end_tok,
+                   CAST((end_tok - n_tokens) // {PACK_BUDGET} AS BIGINT)
+                       AS seq_first,
+                   greatest(
+                       CAST((end_tok - 1) // {PACK_BUDGET} AS BIGINT),
+                       CAST((end_tok - n_tokens) // {PACK_BUDGET} AS BIGINT)
+                   ) AS seq_last
+            FROM c
+        """,
+        # training manifest: the four oracle-gated derivations chained —
+        # exact-dedup reps (min id per content group), classifier keep
+        # (shared _classifier_cte — zero drift), 60-bit hash-threshold
+        # sample, per-shard integer packing window
+        "training_manifest": f"""
+            WITH reps AS (
+                SELECT doc_id, text, source FROM (
+                    SELECT doc_id, text, source,
+                           min(doc_id) OVER (PARTITION BY text) AS rep
+                    FROM documents
+                ) WHERE doc_id = rep
+            ), {_classifier_cte("reps")},
+            q AS (
+                SELECT reps.doc_id, reps.text, reps.source
+                FROM reps JOIN cls USING (doc_id)
+                WHERE cls.score_int >= 0
+            ), p(i, v) AS (VALUES {_POW16_ROWS}),
+            hv AS (
+                SELECT doc_id,
+                       sum((strpos('0123456789abcdef',
+                            substring(sha256(doc_id::VARCHAR || ':{MIXTURE_SEED}'),
+                                      p.i, 1)) - 1) * p.v) AS h
+                FROM q, p GROUP BY doc_id
+            ), samp AS (
+                SELECT q.* FROM q JOIN hv USING (doc_id)
+                WHERE hv.h < CAST(floor({MANIFEST_SAMPLE_RATE} * {_S_SPACE})
+                                  AS BIGINT)
+            ), t AS (
+                SELECT doc_id, source AS part,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM samp
             ), c AS (
                 SELECT part, doc_id, n_tokens,
                        SUM(n_tokens) OVER (

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "gopher_gates",  # added r5 (new operator; pre-existing keys unchanged)
     "bpe_token_stats",  # added r5 (new operator; pre-existing keys unchanged)
     "sequence_pack",  # added r5 (new operator; pre-existing keys unchanged)
+    "training_manifest",  # added r5 (new operator; pre-existing keys unchanged)
     "q1_pricing_summary",
     "revenue_topk",
     "events_hourly",

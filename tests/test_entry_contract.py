@@ -109,6 +109,7 @@ _DOC_QUERIES = [
     "gopher_gates",
     "bpe_token_stats",
     "sequence_pack",
+    "training_manifest",
 ]
 
 
