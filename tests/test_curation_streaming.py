@@ -87,6 +87,19 @@ def test_streaming_gopher_gates_matches_batch(spark, tmp_path):
     assert all(not t[-1] for t in got)
 
 
+def test_streaming_bpe_token_stats_matches_batch(spark, tmp_path):
+    from data_deduplication_service_spark.functions.text import bpe_token_stats
+
+    batch, stream = _stream_of_docs(spark, tmp_path)
+    counted = bpe_token_stats(stream.select("doc_id", "text"))
+    q = run_stream_to_memory(counted, "bpe_sink")
+    got = _rows(spark.sql("SELECT * FROM bpe_sink"))
+    q.stop()
+    assert got == _rows(bpe_token_stats(batch.select("doc_id", "text")))
+    by_id = {t[0]: t for t in got}
+    assert by_id[4][6] > 0  # n_bpe_tokens of the plain-text doc
+
+
 def test_streaming_curation_chain_single_pass(spark, tmp_path):
     """The gates compose into ONE streaming select (license → pii →
     secrets), still a stateless map — one micro-batch pass scrubs and
