@@ -140,27 +140,228 @@ BPE_WS_RE = f"[{BPE_WS_CHARS}]+"
 
 
 def _match_count(col: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+    # NOTE: F.regexp_count is RuntimeReplaceable sugar for
+    # size(regexp_extract_all(...)) — the physical plan is identical, so
+    # this spelling is brevity, not speed. The JVM regex path is kept for
+    # oracle parity and property tests only: Java regex evaluates the
+    # COMPLEMENT class BPE_PUNCT_RE ~25× slower than the positive classes
+    # (a class that can match supplementary codepoints leaves the BMP
+    # bitmap fast path — measured on the 400k corpus: [^…]+ 79 s warm vs
+    # [A-Za-z]+ 3.5 s / positive-BMP 3.4 s, values differing only on the
+    # corpus's astral chars). The measured path is the byte-LUT kernel
+    # below (impl="kernel"), which is exact for ALL of Unicode.
+    return F.regexp_count(col, F.lit(pattern))
+
+
+# byte-class LUT for the kernel: 0=punct (everything else, incl. ALL
+# bytes ≥ 0x80 — UTF-8 lead and continuation bytes of any non-ASCII char
+# are punct-class members and adjacent to each other, so byte-level run
+# counts equal codepoint-level run counts for these four classes),
+# 1=word, 2=digit, 3=whitespace.
+_CLS_P, _CLS_W, _CLS_D, _CLS_S = 0, 1, 2, 3
+
+
+def _bpe_lut():
+    import numpy as np
+
+    lut = np.zeros(256, dtype=np.uint8)
+    for lo, hi in ((ord("A"), ord("Z")), (ord("a"), ord("z"))):
+        lut[lo : hi + 1] = _CLS_W
+    lut[ord("0") : ord("9") + 1] = _CLS_D
+    for ch in " \t\n\r\f":
+        lut[ord(ch)] = _CLS_S
+    lut.flags.writeable = False
+    return lut
+
+
+_BPE_SLICE = 1 << 20  # kernel slice bytes: transients stay ~1 MB, reused
+_BPE_BUFS: dict[str, "object"] = {}
+
+
+def _bpe_buf_t(name: str, size: int, dtype):
+    """Persistent per-worker typed buffer (grow-once) — measurement rule 11:
+    batch-sized fresh numpy temporaries are mmap'd per batch and the munmap
+    TLB-shootdown cost GROWS with core count."""
+    import numpy as np
+
+    buf = _BPE_BUFS.get(name)
+    if buf is None or buf.size < size:
+        buf = np.empty(max(size, _BPE_SLICE), dtype=dtype)
+        _BPE_BUFS[name] = buf
+        if name == "arange":  # constant content, refilled only on growth
+            buf[:] = np.arange(buf.size, dtype=dtype)
+    return buf
+
+
+def _bpe_buf(name: str, nbytes: int):
+    import numpy as np
+
+    return _bpe_buf_t(name, nbytes, np.uint8)
+
+
+def _bpe_slice_counts(np, lut, v, local_offs, out, d0):
+    """Run counts for one doc-aligned byte slice `v` with per-doc byte
+    boundaries `local_offs` (int64, local_offs[0]==0), accumulated into
+    out[name][d0:d0+ndocs]. Every pass is a reused-buffer vector op."""
+    n = int(v.size)
+    ndocs = local_offs.size - 1
+    empties = local_offs[1:] == local_offs[:-1]
+    if n == 0:
+        return
+    cls = _bpe_buf("cls", n)[:n]
+    np.take(lut, v, out=cls)
+    # boundary mask: doc starts + every class change (runs never span docs)
+    b = _bpe_buf("bnd", n)[:n].view(np.bool_)
+    b[0] = True
+    np.not_equal(cls[1:], cls[:-1], out=b[1:])
+    # an EMPTY doc's start offset can equal n (out of range) — and only
+    # empty docs' starts can; a clip would wrongly split the prior run
+    doc_starts = local_offs[:-1]
+    b[doc_starts[doc_starts < n]] = True
+    m = _bpe_buf("msk", n)[:n].view(np.bool_)
+    # reduceat caveats around EMPTY docs: idx[i]==idx[i+1] returns
+    # a[idx[i]] instead of 0, and an empty doc at the slice end has
+    # start == n (out of range) — clipping that start to n-1 would STEAL
+    # the previous doc's last byte into the empty doc's segment (caught
+    # by the hypothesis sweep). Reduce over non-empty docs' starts only
+    # (strictly increasing, always < n) and scatter back.
+    nonempty = ~empties
+    ridx = local_offs[:-1][nonempty]
+
+    def per_doc(mask) -> "np.ndarray":
+        c = np.zeros(ndocs, dtype=np.int64)
+        c[nonempty] = np.add.reduceat(mask.view(np.uint8), ridx, dtype=np.int64)
+        return c
+
+    for name, c in (("word", _CLS_W), ("punct", _CLS_P), ("ws", _CLS_S)):
+        np.equal(cls, c, out=m)
+        np.logical_and(m, b, out=m)
+        out[name][d0 : d0 + ndocs] += per_doc(m)
+    # digit groups = Σ ceil(run_len / 3) over maximal digit runs (the
+    # leftmost [0-9]{1,3} chunking) = count of positions whose distance
+    # from their digit-run start is ≡ 0 mod 3. Run-start positions ride a
+    # maximum.accumulate over persistent int32 buffers — the first kernel
+    # cut materialized run indices with flatnonzero/searchsorted/bincount
+    # (~2.6 MB fresh temporaries per slice) and INVERSE-scaled 4.3 s@8c →
+    # 30 s@32c at 400k (rule 11's munmap storm); this shape allocates
+    # nothing run-sized.
+    d = _bpe_buf("dig", n)[:n].view(np.bool_)
+    np.equal(cls, _CLS_D, out=d)
+    np.logical_and(d, b, out=m)  # m: digit-run starts
+    i32 = np.int32
+    ar = _bpe_buf_t("arange", n, i32)
+    rs = _bpe_buf_t("rstart", n, i32)[:n]
+    np.multiply(m, ar[:n], out=rs, casting="unsafe")
+    np.maximum.accumulate(rs, out=rs)
+    np.subtract(ar[:n], rs, out=rs)  # rs: distance from last run start
+    np.remainder(rs, 3, out=rs)
+    np.equal(rs, 0, out=m)
+    np.logical_and(m, d, out=m)
+    out["digit"][d0 : d0 + ndocs] += per_doc(m)
+    # n_chars = bytes − UTF-8 continuation bytes (== numChars == DuckDB
+    # length() == Python len() for the valid UTF-8 Spark guarantees)
+    t8 = _bpe_buf("t8", n)[:n]
+    np.bitwise_and(v, 0xC0, out=t8)
+    np.equal(t8, 0x80, out=m)
+    cont = per_doc(m)
+    out["chars"][d0 : d0 + ndocs] += (local_offs[1:] - local_offs[:-1]) - cont
+
+
+def _bpe_counts_kernel(
+    docs: DataFrame, id_col: str, text_col: str, slice_bytes: int = _BPE_SLICE
+) -> DataFrame:
+    """mapInArrow byte-LUT run counter — the measured path of
+    bpe_token_stats. Byte-level classification over the zero-copy Arrow
+    UTF-8 buffer; per-doc counts via add.reduceat on boundary masks in
+    persistent ≤1 MB worker buffers (doc-aligned slices, rule 11).
+    ~25× the JVM regex path: Java regex evaluates the complement punct
+    class outside its BMP bitmap fast path (79 s vs this kernel's single
+    LUT pass on the 400k corpus)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .signatures import _utf8_view
+
+    lut = _bpe_lut()
+    names = ("chars", "word", "digit", "punct", "ws")
+
+    def compute(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            content = batch.column(batch.schema.get_field_index(text_col))
+            nullmask = None
+            if content.null_count:
+                nullmask = content.is_null().to_numpy(zero_copy_only=False)
+                content = pc.fill_null(content, "")
+            data, offs = _utf8_view(content)
+            out = {nm: np.zeros(nrows, dtype=np.int64) for nm in names}
+            d0 = 0
+            while d0 < nrows:
+                d1 = d0 + 1
+                while d1 < nrows and offs[d1 + 1] - offs[d0] <= slice_bytes:
+                    d1 += 1
+                s0, s1 = int(offs[d0]), int(offs[d1])
+                _bpe_slice_counts(
+                    np, lut, data[s0:s1], offs[d0 : d1 + 1] - s0, out, d0
+                )
+                d0 = d1
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(out[nm], mask=nullmask) for nm in names],
+                names=[id_col, "n_chars", "n_word_runs", "n_digit_groups",
+                       "n_punct_runs", "n_ws_runs"],
+            )
+
+    schema = StructType(
+        [docs.schema[id_col]]
+        + [
+            StructField(nm, LongType())
+            for nm in ("n_chars", "n_word_runs", "n_digit_groups",
+                       "n_punct_runs", "n_ws_runs")
+        ]
+    )
+    return docs.select(id_col, text_col).mapInArrow(compute, schema=schema)
 
 
 def bpe_token_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "kernel",
 ) -> DataFrame:
     """(id, n_chars, n_word_runs, n_digit_groups, n_punct_runs, n_ws_runs,
     n_bpe_tokens, chars_per_token): per-document BPE-ish token counting —
     the "whitespace + a BPE-ish regex" pair of signals beside the
-    single-space `token_count`. Pure codegen regex scans: zero shuffle,
-    zero Python; every count is an integer and the one division is
-    rounded, so a SQL oracle replays it bit-exactly."""
-    t = F.col(text_col)
-    counts = docs.select(
-        F.col(id_col),
-        F.length(t).cast("long").alias("n_chars"),
-        _match_count(t, BPE_WORD_RE).cast("long").alias("n_word_runs"),
-        _match_count(t, BPE_DIGIT_RE).cast("long").alias("n_digit_groups"),
-        _match_count(t, BPE_PUNCT_RE).cast("long").alias("n_punct_runs"),
-        _match_count(t, BPE_WS_RE).cast("long").alias("n_ws_runs"),
-    )
+    single-space `token_count`.
+
+    impl="kernel" (default, the measured path): vectorized byte-LUT run
+    counting over the zero-copy Arrow UTF-8 buffer — exact for all of
+    Unicode because every class is byte-decidable (word/digit/ws are
+    ASCII-only; punct is the complement, and a non-ASCII char's lead and
+    continuation bytes are all ≥ 0x80, adjacent, hence one punct-run
+    member). impl="expr": the JVM regexp_count spelling — same values
+    (parity-pinned in tests), kept because it is the oracle's shape, but
+    ~25× slower: Java regex evaluates the complement punct class outside
+    its BMP bitmap fast path. Both paths: zero shuffle; every count is an
+    integer and the one division is rounded (HALF_UP, JVM-side in both
+    impls), so a SQL oracle replays it bit-exactly."""
+    if impl == "kernel":
+        counts = _bpe_counts_kernel(docs, id_col, text_col)
+    else:
+        t = F.col(text_col)
+        counts = docs.select(
+            F.col(id_col),
+            F.length(t).cast("long").alias("n_chars"),
+            _match_count(t, BPE_WORD_RE).cast("long").alias("n_word_runs"),
+            _match_count(t, BPE_DIGIT_RE).cast("long").alias("n_digit_groups"),
+            _match_count(t, BPE_PUNCT_RE).cast("long").alias("n_punct_runs"),
+            _match_count(t, BPE_WS_RE).cast("long").alias("n_ws_runs"),
+        )
     n_bpe = F.col("n_word_runs") + F.col("n_digit_groups") + F.col("n_punct_runs")
     return counts.select(
         "*",

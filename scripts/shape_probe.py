@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Standalone interleaved probe for the document-shape gate stage.
+
+The campaign runs the stage AFTER the base job in the same JVM, so its
+32-core stage times inherit that JVM's state plus whatever the box is
+doing (measurement rules 12/13: single-window reps adjudicate nothing —
+the 400k campaign's two 32c legs both landed slower than 8c while the
+clean-window 100k campaign showed 0.44 stage efficiency). This probe is
+the established adjudication shape (same as the quality-scans probe):
+a FRESH spark-submit JVM per leg, legs interleaved 8,32,8,32..., the
+stage measured alone on the cached corpus, invariant asserted per run.
+
+Usage: python scripts/shape_probe.py --n-files 400000 --legs 8,32 --repeats 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def worker(cores: int, input_path: str) -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.appName(f"shape-probe-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        # rule 4 / session.py parity: the bpe kernel is feed-bound — the
+        # 400k diag measured 2.9s (2k-row batches) vs 6.3s (default 10k)
+        # vs 33s (64k) at 32c for IDENTICAL compute
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from data_deduplication_service_spark.functions.text import bpe_token_stats
+    from data_deduplication_service_spark.operators.gopher import (
+        gopher_quality_stats,
+    )
+
+    docs = spark.read.parquet(input_path).select(
+        "file_id", F.col("content").cast("string").alias("content")
+    )
+    t: dict[str, float] = {}
+    t0 = time.monotonic()
+    g = gopher_quality_stats(
+        docs, id_col="file_id", text_col="content", delimiter="\n"
+    ).agg(
+        F.sum(F.col("keep").cast("long")).alias("keep"),
+        F.sum(F.col("stop_hits").cast("long")).alias("stops"),
+    ).collect()[0]
+    t["gopher"] = time.monotonic() - t0
+    t1 = time.monotonic()
+    bpetok = bpe_token_stats(
+        docs, id_col="file_id", text_col="content"
+    ).agg(F.sum("n_bpe_tokens").alias("x")).collect()[0]["x"]
+    t["bpe"] = time.monotonic() - t1
+    print(
+        "PROBE_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "invariant": f"{g['keep']}/{g['stops']}/{bpetok}",
+                "gopher_sec": round(t["gopher"], 2),
+                "bpe_sec": round(t["bpe"], 2),
+                "stage_sec": round(t["gopher"] + t["bpe"], 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--input", type=str, default="")
+    ap.add_argument("--n-files", type=int, default=400_000)
+    ap.add_argument("--legs", type=str, default="8,32")
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.cores, args.input)
+        return
+
+    from scripts.scaling_bench import build_zip  # same packaging path
+
+    input_path = f"/tmp/scaling_corpus_{args.n_files}.parquet"
+    assert os.path.exists(os.path.join(input_path, "_SUCCESS")), (
+        f"run scaling_bench --n-files {args.n_files} first (corpus cache)"
+    )
+    zip_path = build_zip("/tmp/dedup_pkg.zip")
+    spark_submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = "spark-submit"
+    results = []
+    for rep in range(args.repeats):
+        for cores in (int(x) for x in args.legs.split(",")):
+            cmd = [
+                spark_submit, "--master", f"local[{cores}]",
+                "--driver-memory", "16g", "--py-files", zip_path,
+                os.path.abspath(__file__),
+                "--worker", "--cores", str(cores), "--input", input_path,
+            ]
+            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+            line = [l for l in proc.stdout.splitlines() if l.startswith("PROBE_RESULT ")]
+            if not line:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+                raise RuntimeError(f"probe at {cores} cores produced no result")
+            r = json.loads(line[0][len("PROBE_RESULT "):])
+            r["rep"] = rep
+            print(json.dumps(r))
+            results.append(r)
+    invs = {r["invariant"] for r in results}
+    assert len(invs) == 1, f"invariants differ: {invs}"
+    best = {}
+    for r in results:
+        c = r["cores"]
+        if c not in best or r["stage_sec"] < best[c]["stage_sec"]:
+            best[c] = r
+    print(json.dumps({"best": {str(c): best[c] for c in sorted(best)}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,14 +47,54 @@ CRAFTED = [
     "...---...",                           # single punct run (no ws)
     "mixed42runs7end",                     # word/digit interleave
     " \t\n\r\f ",                          # whitespace only
+    "😀😀 a😀b 🚀",                        # astral: 4-byte UTF-8 punct runs
+    "a b",                            # NBSP is punct, not whitespace
+    "é" * 300,                             # long 2-byte punct run
+    "12é34",                               # digit runs split by a punct char
+    "１２３ ½",                            # fullwidth digits are punct
+    "xy",                            # \x0b: punct here (explicit ws class)
 ]
 
 
+@pytest.mark.parametrize("impl", ["kernel", "expr"])
 @pytest.mark.parametrize("text", CRAFTED)
-def test_counts_match_python_re(spark, text):
-    got = bpe_token_stats(_docs_df(spark, [(1, text)])).collect()[0]
+def test_counts_match_python_re(spark, text, impl):
+    got = bpe_token_stats(_docs_df(spark, [(1, text)]), impl=impl).collect()[0]
     for k, v in truth(text).items():
-        assert got[k] == pytest.approx(v, abs=1e-9), (k, text)
+        assert got[k] == pytest.approx(v, abs=1e-9), (k, text, impl)
+
+
+def test_kernel_slicing_and_empty_docs(spark):
+    """Tiny slice_bytes forces multi-slice batches: doc-aligned slices,
+    docs larger than a slice, and empty docs at slice ends (the start==n
+    boundary case) must all match the expr path exactly."""
+    from data_deduplication_service_spark.functions.text import _bpe_counts_kernel
+
+    rows = [(i, t) for i, t in enumerate(
+        ["abc", "", "12 34", "", "yy🚀zz 999", "", "d" * 97, "", ""]
+    )]
+    df = _docs_df(spark, rows).coalesce(1)  # one batch → one compute() call
+    got = {
+        r["doc_id"]: r
+        for r in _bpe_counts_kernel(df, "doc_id", "text", slice_bytes=16).collect()
+    }
+    assert len(got) == len(rows)
+    for i, text in rows:
+        t = truth(text)
+        for k in ("n_chars", "n_word_runs", "n_digit_groups",
+                  "n_punct_runs", "n_ws_runs"):
+            assert got[i][k] == t[k], (i, k, text)
+
+
+def test_kernel_null_text_matches_expr(spark):
+    df = spark.createDataFrame(
+        [(1, "a 1 !"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    for impl in ("kernel", "expr"):
+        rows = {r["doc_id"]: r for r in bpe_token_stats(df, impl=impl).collect()}
+        assert rows[2]["n_chars"] is None and rows[2]["n_bpe_tokens"] is None, impl
+        assert rows[2]["chars_per_token"] is None, impl
+        assert rows[1]["n_bpe_tokens"] == 3 and rows[3]["n_bpe_tokens"] == 0, impl
 
 
 def test_digit_groups_are_llama_style(spark):
@@ -84,8 +124,18 @@ def test_tokens_reconstruct_nonws_text(spark):
     assert row["n_bpe_tokens"] == len(toks)
 
 
-def test_zero_shuffle_zero_python(spark):
-    out = bpe_token_stats(_docs_df(spark, [(1, "x")]))
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
-    assert "Python" not in plan and "ArrowEval" not in plan
+def test_zero_shuffle_both_impls(spark):
+    # kernel (default): one map-side MapInArrow, no shuffle; expr: pure
+    # codegen, no Python at all (kept for oracle parity — Java regex runs
+    # the complement punct class ~25× slower than the byte-LUT kernel)
+    df = _docs_df(spark, [(1, "x")])
+    kplan = bpe_token_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in kplan
+    assert "MapInArrow" in kplan
+    eplan = (
+        bpe_token_stats(df, impl="expr")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in eplan
+    assert "Python" not in eplan and "ArrowEval" not in eplan
+    assert "MapInArrow" not in eplan

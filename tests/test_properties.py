@@ -359,6 +359,92 @@ def test_bpe_token_counts_agree_with_duckdb(text):
 
 
 @settings(max_examples=150, deadline=None)
+@given(
+    docs=st.lists(pii_text_st, min_size=1, max_size=6),
+    slice_bytes=st.sampled_from([1, 7, 64, 1 << 20]),
+)
+def test_bpe_byte_kernel_agrees_with_python_re(docs, slice_bytes):
+    """The byte-LUT run kernel (the measured path of bpe_token_stats) over
+    arbitrary unicode and adversarial slice sizes must equal Python re on
+    codepoints — byte-level runs == codepoint-level runs because word/
+    digit/ws are ASCII-only classes and every non-ASCII byte (lead or
+    continuation) is a punct-class member adjacent to its char's other
+    bytes. Exercises the pure-numpy slice core directly (no Spark)."""
+    import numpy as np
+
+    from data_deduplication_service_spark.functions.text import (
+        BPE_DIGIT_RE,
+        BPE_PUNCT_RE,
+        BPE_WORD_RE,
+        BPE_WS_RE,
+        _bpe_lut,
+        _bpe_slice_counts,
+    )
+
+    payload = [t.encode("utf-8") for t in docs]
+    data = np.frombuffer(b"".join(payload), dtype=np.uint8)
+    offs = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in payload], out=offs[1:])
+    out = {
+        nm: np.zeros(len(docs), dtype=np.int64)
+        for nm in ("chars", "word", "digit", "punct", "ws")
+    }
+    d0 = 0
+    while d0 < len(docs):  # same doc-aligned slicing rule as the kernel
+        d1 = d0 + 1
+        while d1 < len(docs) and offs[d1 + 1] - offs[d0] <= slice_bytes:
+            d1 += 1
+        s0 = int(offs[d0])
+        _bpe_slice_counts(
+            np, _bpe_lut(), data[s0 : int(offs[d1])],
+            offs[d0 : d1 + 1] - s0, out, d0,
+        )
+        d0 = d1
+    for i, t in enumerate(docs):
+        assert out["chars"][i] == len(t), repr(t)
+        for nm, pat in (("word", BPE_WORD_RE), ("digit", BPE_DIGIT_RE),
+                        ("punct", BPE_PUNCT_RE), ("ws", BPE_WS_RE)):
+            assert out[nm][i] == len(re.findall(pat, t)), (nm, repr(t))
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    tokens=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60
+    ),
+    budget=st.sampled_from([1, 7, 128, 512]),
+)
+def test_packing_window_agrees_with_duckdb(tokens, budget):
+    """sequence_pack's relational core — per-shard running sum + integer
+    floor-division sequence indices — replayed in DuckDB must match the
+    first-principles Python packer (Spark's `div` ≡ DuckDB's `//` ≡
+    Python's `//` for the non-negative offsets the operator produces)."""
+    rows = ", ".join(f"({i}, {n})" for i, n in enumerate(tokens))
+    got = _DUCK.execute(
+        f"""WITH t(doc_id, n_tokens) AS (VALUES {rows}),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS end_tok
+            FROM t
+        )
+        SELECT doc_id, (end_tok - n_tokens), end_tok,
+               (end_tok - n_tokens) // {budget},
+               greatest((end_tok - 1) // {budget},
+                        (end_tok - n_tokens) // {budget})
+        FROM c ORDER BY doc_id
+        """
+    ).fetchall()
+    off = 0
+    for (doc_id, start, end, sf, sl), n in zip(got, tokens):
+        assert (start, end) == (off, off + n)
+        assert sf == off // budget
+        assert sl == max((off + n - 1) // budget, off // budget)
+        off += n
+
+
+@settings(max_examples=150, deadline=None)
 @given(n=st.integers(min_value=1, max_value=2**62))
 def test_qlog2_bit_length_agrees_with_duckdb(n):
     """The LM score's quantized log: Python int.bit_length ≡ DuckDB
