@@ -468,14 +468,37 @@ def main() -> None:
             "",
             "The Gopher Table A1 non-repetition gates (word-count/mean-word-",
             "length bounds, symbol/bullet/ellipsis ratios, alpha-word +",
-            "stopword floors, line granularity) and the BPE-ish pre-",
-            "tokenization counts are both pure zero-shuffle codegen maps —",
-            "one content scan each, the same measured shape as the license/",
-            "code-shape gates. Invariant = keep/stops/bpetok integer tuple,",
-            "asserted identical per corpus size. (keep ≈ 0 is expected and",
-            "honest — the Gopher gates are prose-shape rules and this is a",
-            "source-code corpus; the invariant's information is in the",
-            "stopword-hit and BPE-token totals.)",
+            "stopword floors, line granularity) are a pure zero-shuffle",
+            "codegen map; the BPE-ish pre-tokenization counts run as a",
+            "zero-shuffle mapInArrow byte-LUT kernel (see NOTE). Invariant =",
+            "keep/stops/bpetok integer tuple, asserted identical per corpus",
+            "size. (keep ≈ 0 is expected and honest — the Gopher gates are",
+            "prose-shape rules and this is a source-code corpus; the",
+            "invariant's information is in the stopword-hit and BPE-token",
+            "totals.)",
+            "",
+            "NOTE — the BPE half was REBUILT after the first 400k campaign",
+            "(sessions ≤ 2026-08-19#20260819T100043 measured the original",
+            "JVM regex expressions; later sessions measure the kernel).",
+            "The first 400k campaign showed the stage FLAT across 8/32",
+            "cores (~105-164 s); per-pattern diagnostics isolated ~80 s of",
+            "it to Java regex evaluating the complement punct class",
+            "[^A-Za-z0-9 \\t\\n\\r\\f]+ outside its BMP bitmap fast path",
+            "(79 s warm vs 2.5-3.4 s for positive classes on the same",
+            "corpus; regexp_count is RuntimeReplaceable sugar for",
+            "size(regexp_extract_all) — no expression-level fix exists, and",
+            "a positive-BMP class rewrite is wrong on astral chars).",
+            "bpe_token_stats now defaults to a byte-LUT run kernel over the",
+            "zero-copy Arrow UTF-8 buffer (functions/text.py): 400k corpus,",
+            "warm workers, 91.7 s@8c / 81.3 s@32c (regex) → 2.7 s@8c /",
+            "4.3 s@32c (kernel), invariant identical. Two inverse-scaling",
+            "traps were burned down on the way, both rule-11 shapes: run-",
+            "index temporaries (flatnonzero/searchsorted: 30 s@32c) and",
+            "Arrow batch size (2k rows 2.9 s / 10k 6.3 s / 64k 33 s at 32c,",
+            "identical compute). At 400k the kernel stage is feed/overhead-",
+            "bound (each of 32 workers sees ~22 MB), so its 8→32 ratio",
+            "measures worker startup + Arrow feed, not the plan — the",
+            "rule-6 regime, reached by making the compute ~25× cheaper.",
             "",
         ]
         for nf in sorted({r["n_files"] for r in sg}):
