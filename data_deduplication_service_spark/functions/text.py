@@ -199,13 +199,33 @@ def _bpe_buf(name: str, nbytes: int):
     return _bpe_buf_t(name, nbytes, np.uint8)
 
 
+def _make_per_doc(np, local_offs, n: int):
+    """Per-doc summation closure over a byte slice's doc boundaries.
+
+    reduceat caveats around EMPTY docs: idx[i]==idx[i+1] returns
+    a[idx[i]] instead of 0, and an empty doc at the slice end has
+    start == n (out of range) — clipping that start to n-1 would STEAL
+    the previous doc's last byte into the empty doc's segment (caught
+    by the hypothesis sweep). Reduce over non-empty docs' starts only
+    (strictly increasing, always < n) and scatter back."""
+    ndocs = local_offs.size - 1
+    nonempty = local_offs[1:] != local_offs[:-1]
+    ridx = local_offs[:-1][nonempty]
+
+    def per_doc(mask) -> "np.ndarray":
+        c = np.zeros(ndocs, dtype=np.int64)
+        c[nonempty] = np.add.reduceat(mask.view(np.uint8), ridx, dtype=np.int64)
+        return c
+
+    return per_doc
+
+
 def _bpe_slice_counts(np, lut, v, local_offs, out, d0):
     """Run counts for one doc-aligned byte slice `v` with per-doc byte
     boundaries `local_offs` (int64, local_offs[0]==0), accumulated into
     out[name][d0:d0+ndocs]. Every pass is a reused-buffer vector op."""
     n = int(v.size)
     ndocs = local_offs.size - 1
-    empties = local_offs[1:] == local_offs[:-1]
     if n == 0:
         return
     cls = _bpe_buf("cls", n)[:n]
@@ -219,19 +239,7 @@ def _bpe_slice_counts(np, lut, v, local_offs, out, d0):
     doc_starts = local_offs[:-1]
     b[doc_starts[doc_starts < n]] = True
     m = _bpe_buf("msk", n)[:n].view(np.bool_)
-    # reduceat caveats around EMPTY docs: idx[i]==idx[i+1] returns
-    # a[idx[i]] instead of 0, and an empty doc at the slice end has
-    # start == n (out of range) — clipping that start to n-1 would STEAL
-    # the previous doc's last byte into the empty doc's segment (caught
-    # by the hypothesis sweep). Reduce over non-empty docs' starts only
-    # (strictly increasing, always < n) and scatter back.
-    nonempty = ~empties
-    ridx = local_offs[:-1][nonempty]
-
-    def per_doc(mask) -> "np.ndarray":
-        c = np.zeros(ndocs, dtype=np.int64)
-        c[nonempty] = np.add.reduceat(mask.view(np.uint8), ridx, dtype=np.int64)
-        return c
+    per_doc = _make_per_doc(np, local_offs, n)
 
     for name, c in (("word", _CLS_W), ("punct", _CLS_P), ("ws", _CLS_S)):
         np.equal(cls, c, out=m)

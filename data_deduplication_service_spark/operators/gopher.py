@@ -29,11 +29,16 @@ Signals (all per-document):
 - ``keep`` — the conjunction, evaluated on the ROUNDED ratios so the
   DuckDB oracle replays the identical comparisons.
 
-Scale shape: pure whole-stage-codegen expressions over ONE split array —
-zero shuffle, zero Python, zero explode; the scan prunes to (id, text).
-Every ratio is derived from INTEGER counts with one final rounded
-division (measurement rule 14: no float accumulation an oracle must
-reorder), and ``stop_hits`` is an integer sum of boolean casts.
+Scale shape: the measured path (impl="kernel") is a zero-shuffle
+mapInArrow byte-LUT kernel in persistent worker buffers (rules 11/15) —
+the expression path's per-token translate/filter allocations made it
+~3× slower; impl="expr" keeps the pure whole-stage-codegen expressions
+over ONE split array (zero shuffle, zero Python, zero explode — the
+oracle's shape). Either way the scan prunes to (id, text), every ratio
+is derived from INTEGER counts with one final rounded division
+(measurement rule 14: no float accumulation an oracle must reorder),
+and ``stop_hits`` is an integer sum of boolean presence bits — so the
+two impls are bit-identical and the SQL oracle replays both.
 
 No reference analog (the reference treats content as opaque bytes;
 SURVEY.md §2 has no quality tier) — this is part of the
@@ -75,17 +80,274 @@ def _unit_frac(units: Column, pred, n_units: Column) -> Column:
     )
 
 
+# delimiters the byte kernel handles (single ASCII byte, literal under
+# F.split's regex, not '.', '#', or a letter/digit — the kernel's
+# dot-run / marker / word logic assumes the delimiter is none of those)
+_KERNEL_DELIMS = (" ", "\n", "\t")
+
+
+def _gopher_slice_counts(np, v, local_offs, out, d0, delim_byte: int):
+    """Integer Gopher counts for one doc-aligned byte slice — the same
+    persistent-buffer vectorized shape as functions/text.py's BPE kernel
+    (measurement rules 11/15): every full-length pass writes into a reused
+    worker buffer, nothing slice-sized is freshly allocated. Byte-level is
+    exact: words/units split on single ASCII bytes, markers and stopwords
+    are ASCII, and word chars = (bytes − UTF-8 continuations) − spaces.
+    Adds separator counts for words/units; the caller owns the +1."""
+    from ..functions.text import _bpe_buf_t, _make_per_doc
+
+    n = int(v.size)
+    ndocs = local_offs.size - 1
+    if n == 0:
+        return
+    per_doc = _make_per_doc(np, local_offs, n)
+    i32 = np.int32
+
+    def buf8(name):
+        return _bpe_buf_t("g_" + name, n, np.uint8)[:n].view(np.bool_)
+
+    def acc(name, mask):
+        out[name][d0 : d0 + ndocs] += per_doc(mask)
+
+    doc_starts = local_offs[:-1]
+    ds_mask = buf8("ds")  # doc-start positions
+    ds_mask[:] = False
+    ds_mask[doc_starts[doc_starts < n]] = True
+    de_mask = buf8("de")  # doc-LAST positions (≠ unit-last)
+    de_mask[:] = False
+    inner = doc_starts[(doc_starts > 0) & (doc_starts < n)]
+    de_mask[inner - 1] = True
+    de_mask[n - 1] = True
+
+    m = buf8("m")
+    t = buf8("t")
+    t2 = buf8("t2")
+
+    sp = buf8("sp")
+    np.equal(v, 0x20, out=sp)
+    acc("n_words", sp)
+    u8 = _bpe_buf_t("g_u8", n, np.uint8)[:n]
+    np.bitwise_and(v, 0xC0, out=u8)
+    np.equal(u8, 0x80, out=m)
+    cont = per_doc(m)
+    out["sum_word_chars"][d0 : d0 + ndocs] += (
+        (local_offs[1:] - local_offs[:-1]) - cont - per_doc(sp)
+    )
+    np.equal(v, ord("#"), out=m)
+    acc("n_hash", m)
+
+    # '...' occurrences (replace non-overlap semantics): Σ floor(L/3) over
+    # maximal dot runs = positions at distance ≡ 2 (mod 3) from run start
+    dot = buf8("dot")
+    np.equal(v, ord("."), out=dot)
+    m[0] = dot[0]
+    np.less(dot[:-1], dot[1:], out=m[1:])  # dot & ~prev_dot
+    np.logical_or(m, ds_mask, out=m)
+    np.logical_and(m, dot, out=m)  # dot-run starts (doc-bounded)
+    ar = _bpe_buf_t("arange", n, i32)
+    rs = _bpe_buf_t("g_rs", n, i32)[:n]
+    np.multiply(m, ar[:n], out=rs, casting="unsafe")
+    np.maximum.accumulate(rs, out=rs)
+    np.subtract(ar[:n], rs, out=rs)
+    np.remainder(rs, 3, out=rs)
+    np.equal(rs, 2, out=m)
+    np.logical_and(m, dot, out=m)
+    acc("n_ellipsis_occ", m)
+
+    dl = buf8("dl")
+    np.equal(v, delim_byte, out=dl)
+    acc("n_units", dl)
+    # unit starts: doc start or right after a delimiter (an empty trailing
+    # unit has no in-range position — correctly never bullet/ellipsis)
+    us = buf8("us")
+    us[0] = True
+    np.copyto(us[1:], dl[:-1])
+    np.logical_or(us, ds_mask, out=us)
+    np.equal(v, ord("-"), out=m)
+    np.equal(v, ord("*"), out=t)
+    np.logical_or(m, t, out=m)
+    np.equal(v, ord("+"), out=t)
+    np.logical_or(m, t, out=m)
+    np.logical_and(m, us, out=m)
+    acc("n_bullet_units", m)
+
+    # unit-last positions: byte before a delimiter, or a doc's last byte
+    ul = buf8("ul")
+    np.copyto(ul[: n - 1], dl[1:])
+    ul[n - 1] = False
+    np.logical_or(ul, de_mask, out=ul)
+    # distance from doc start (persists through the stopword section)
+    np.multiply(ds_mask, ar[:n], out=rs, casting="unsafe")
+    np.maximum.accumulate(rs, out=rs)
+    np.subtract(ar[:n], rs, out=rs)
+    # unit ends with '...': three dots at the end, all inside one doc (the
+    # delimiter is never '.', so same-unit is automatic; cross-doc reads
+    # are cut by distance-from-doc-start ≥ 2)
+    np.logical_and(ul, dot, out=m)
+    np.logical_and(m[2:], dot[1:-1], out=m[2:])
+    np.logical_and(m[2:], dot[:-2], out=m[2:])
+    np.greater_equal(rs, 2, out=t)
+    np.logical_and(m, t, out=m)
+    m[: min(2, n)] = False
+    acc("n_ellipsis_units", m)
+
+    # words containing ≥1 ASCII letter, counted at their FIRST letter:
+    # letter positions whose last-letter-before sits before the word start
+    L = buf8("L")
+    np.greater_equal(v, ord("A"), out=L)
+    np.less_equal(v, ord("Z"), out=t)
+    np.logical_and(L, t, out=L)
+    np.greater_equal(v, ord("a"), out=m)
+    np.less_equal(v, ord("z"), out=t)
+    np.logical_and(m, t, out=m)
+    np.logical_or(L, m, out=L)
+    wsm = buf8("wsm")  # word starts: doc start or right after a space
+    wsm[0] = True
+    np.copyto(wsm[1:], sp[:-1])
+    np.logical_or(wsm, ds_mask, out=wsm)
+    ws_pos = _bpe_buf_t("g_ws", n, i32)[:n]
+    np.multiply(wsm, ar[:n], out=ws_pos, casting="unsafe")
+    np.maximum.accumulate(ws_pos, out=ws_pos)
+    lastL = _bpe_buf_t("g_ll", n, i32)[:n]
+    lastL[:] = -1
+    np.copyto(lastL, ar[:n], where=L)
+    np.maximum.accumulate(lastL, out=lastL)
+    m[0] = L[0]
+    np.less(lastL[:-1], ws_pos[1:], out=m[1:])
+    np.logical_and(m, L, out=m)
+    acc("n_alpha_words", m)
+
+    # stopword presence (exact word equality, array_contains parity):
+    # match at a word start, every byte in the starting doc (rs ≥ k-1 at
+    # the last byte — docs cut words), next byte a space or doc-last
+    for w in REQUIRED_STOPWORDS:
+        wb = w.encode("ascii")
+        k = len(wb)
+        if n < k:
+            continue
+        h = n - k + 1  # valid match-start positions
+        np.equal(v[:h], wb[0], out=m[:h])
+        for j in range(1, k):
+            np.equal(v[j : h + j], wb[j], out=t[:h])
+            np.logical_and(m[:h], t[:h], out=m[:h])
+        m[h:] = False
+        np.logical_and(m, wsm, out=m)
+        np.greater_equal(rs[k - 1 :], k - 1, out=t[:h])
+        np.logical_and(m[:h], t[:h], out=m[:h])
+        # next byte: space at p+k, or p+k-1 is the doc's last byte
+        np.copyto(t2[: n - k], sp[k:])
+        t2[n - k] = False
+        np.logical_or(t2[:h], de_mask[k - 1 :], out=t2[:h])
+        np.logical_and(m[:h], t2[:h], out=m[:h])
+        out["stop_hits"][d0 : d0 + ndocs] += per_doc(m) > 0
+
+
+def _gopher_counts_kernel(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str,
+    slice_bytes: int | None = None,
+) -> DataFrame:
+    """mapInArrow integer-count kernel for gopher_quality_stats — the same
+    byte-LUT/boundary-mask shape as functions/text.py's BPE kernel. Emits
+    per-doc INTEGER counts only; every rounded ratio and the keep
+    conjunction stay JVM-side so both impls are bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions.signatures import _utf8_view
+    from ..functions.text import _BPE_SLICE
+
+    if slice_bytes is None:
+        slice_bytes = _BPE_SLICE
+    delim_byte = ord(delimiter)
+    names = (
+        "n_words", "sum_word_chars", "n_hash", "n_ellipsis_occ", "n_units",
+        "n_bullet_units", "n_ellipsis_units", "n_alpha_words", "stop_hits",
+    )
+
+    def compute(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            content = batch.column(batch.schema.get_field_index(text_col))
+            nullmask = None
+            if content.null_count:
+                nullmask = content.is_null().to_numpy(zero_copy_only=False)
+                content = pc.fill_null(content, "")
+            data, offs = _utf8_view(content)
+            out = {nm: np.zeros(nrows, dtype=np.int64) for nm in names}
+            # split(text, sep) yields separators+1 tokens, so every doc —
+            # including the empty one — has one (empty) word and unit; the
+            # slice core adds only the separator counts
+            out["n_words"] += 1
+            out["n_units"] += 1
+            d0 = 0
+            while d0 < nrows:
+                d1 = d0 + 1
+                while d1 < nrows and offs[d1 + 1] - offs[d0] <= slice_bytes:
+                    d1 += 1
+                s0 = int(offs[d0])
+                _gopher_slice_counts(
+                    np, data[s0 : int(offs[d1])],
+                    offs[d0 : d1 + 1] - s0, out, d0, delim_byte,
+                )
+                d0 = d1
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(out[nm], mask=nullmask) for nm in names],
+                names=[id_col, *names],
+            )
+
+    schema = StructType(
+        [docs.schema[id_col]] + [StructField(nm, LongType()) for nm in names]
+    )
+    return docs.select(id_col, text_col).mapInArrow(compute, schema=schema)
+
+
 def gopher_quality_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     delimiter: str = "\n",
+    impl: str = "kernel",
 ) -> DataFrame:
     """(id, n_words, mean_word_len, symbol_ratio, bullet_frac,
     ellipsis_frac, alpha_word_frac, stop_hits, keep): the per-document
     Gopher shape row. ``delimiter`` sets the bullet/ellipsis unit
     granularity (lines in production, tokens on single-line corpora);
-    the word-level signals always tokenize on a single space."""
+    the word-level signals always tokenize on a single space.
+
+    impl="kernel" (default): the byte-LUT mapInArrow integer-count kernel
+    (see _gopher_slice_counts) for the supported single-byte delimiters —
+    the measured path; the per-token translate/filter expressions made
+    the expr path allocation-heavy (alpha filter alone 7.1 s of the 16.6 s
+    stage at 400k/8c). impl="expr" (and unsupported delimiters): the pure
+    codegen expressions — the oracle's shape. Both impls derive the SAME
+    rounded ratios and keep conjunction JVM-side from identical integer
+    counts, so outputs are bit-identical (parity-pinned in tests)."""
+    if impl == "kernel" and delimiter in _KERNEL_DELIMS:
+        counts = _gopher_counts_kernel(docs, id_col, text_col, delimiter)
+        nw1 = F.greatest(F.col("n_words"), F.lit(1))
+        nu1 = F.greatest(F.col("n_units"), F.lit(1))
+        stats = counts.select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.round(F.col("sum_word_chars") / nw1, 4).alias("mean_word_len"),
+            F.round(
+                (F.col("n_hash") + F.col("n_ellipsis_occ")) / nw1, 4
+            ).alias("symbol_ratio"),
+            F.round(F.col("n_bullet_units") / nu1, 4).alias("bullet_frac"),
+            F.round(F.col("n_ellipsis_units") / nu1, 4).alias("ellipsis_frac"),
+            F.round(F.col("n_alpha_words") / nw1, 4).alias("alpha_word_frac"),
+            F.col("stop_hits").cast("int").alias("stop_hits"),
+        )
+        return _with_keep(stats)
     text = F.col(text_col)
     words = F.split(text, " ")
     units = F.split(text, delimiter)
@@ -126,6 +388,10 @@ def gopher_quality_stats(
         ).alias("alpha_word_frac"),
         stop_hits.cast("int").alias("stop_hits"),
     )
+    return _with_keep(stats)
+
+
+def _with_keep(stats: DataFrame) -> DataFrame:
     return stats.withColumn(
         "keep",
         (F.col("n_words") >= MIN_WORDS)

@@ -76,12 +76,77 @@ CRAFTED = [
 ]
 
 
+@pytest.mark.parametrize("impl", ["kernel", "expr"])
 @pytest.mark.parametrize("text", CRAFTED)
-def test_metrics_match_python_truth(spark, text):
-    got = gopher_quality_stats(_docs_df(spark, [(1, text)]), delimiter=" ").collect()[0]
+def test_metrics_match_python_truth(spark, text, impl):
+    got = gopher_quality_stats(
+        _docs_df(spark, [(1, text)]), delimiter=" ", impl=impl
+    ).collect()[0]
     exp = truth(text)
     for k, v in exp.items():
-        assert got[k] == pytest.approx(v, abs=1e-9), (k, text)
+        assert got[k] == pytest.approx(v, abs=1e-9), (k, text, impl)
+
+
+KERNEL_EDGES = [
+    "the\nfoo of and",            # 'the\nfoo' is ONE word — no 'the' hit
+    "of and the",                 # stopword at doc end (no trailing space)
+    "the",                        # stopword is the whole doc
+    "çé the привет of",           # multi-byte words around stopwords
+    "naïve café... the of\nmore", # multi-byte chars inside ellipsis units
+    "a\u00a0the of",              # NBSP glues — 'a\u00a0the' is one word
+    "😀 the... of...",            # astral char words
+    " the  of ",                  # empty words from double/edge spaces
+    "...",                        # single ellipsis doc
+    "123 #the# of the",           # '#' adjacent to a stopword
+]
+
+
+@pytest.mark.parametrize("text", KERNEL_EDGES)
+def test_kernel_matches_expr_on_edges(spark, text):
+    df = _docs_df(spark, [(1, text)])
+    for delim in (" ", "\n"):
+        k = gopher_quality_stats(df, delimiter=delim, impl="kernel").collect()[0]
+        e = gopher_quality_stats(df, delimiter=delim, impl="expr").collect()[0]
+        assert k.asDict() == e.asDict(), (text, delim)
+
+
+def test_kernel_slicing_empty_docs_and_nulls(spark):
+    from data_deduplication_service_spark.operators.gopher import (
+        _gopher_counts_kernel,
+    )
+
+    rows = [(i, t) for i, t in enumerate(
+        ["the of and", "", "- a...\n- the of", "", "x" * 97, "the", ""]
+    )]
+    df = _docs_df(spark, rows).coalesce(1)
+    got = {
+        r["doc_id"]: r
+        for r in _gopher_counts_kernel(
+            df, "doc_id", "text", "\n", slice_bytes=8
+        ).collect()
+    }
+    for i, text in rows:
+        words = text.split(" ")
+        units = text.split("\n")
+        assert got[i]["n_words"] == len(words), (i, text)
+        assert got[i]["n_units"] == len(units), (i, text)
+        assert got[i]["sum_word_chars"] == sum(len(w) for w in words)
+        assert got[i]["n_bullet_units"] == sum(
+            1 for u in units if u.startswith(("-", "*", "+"))
+        )
+        assert got[i]["n_ellipsis_units"] == sum(
+            1 for u in units if u.endswith("...")
+        )
+        assert got[i]["stop_hits"] == sum(
+            1 for w in REQUIRED_STOPWORDS if w in words
+        )
+    nulls = spark.createDataFrame(
+        [(1, "the of"), (2, None)], "doc_id long, text string"
+    )
+    for impl in ("kernel", "expr"):
+        r = {x["doc_id"]: x for x in gopher_quality_stats(nulls, impl=impl).collect()}
+        assert r[2]["n_words"] is None and r[2]["keep"] is None, impl
+        assert r[1]["stop_hits"] == 2, impl
 
 
 def test_keep_doc_passes_every_gate(spark):
@@ -134,8 +199,25 @@ def test_stop_hits_counts_presence_not_frequency(spark):
     assert row["stop_hits"] == 2
 
 
-def test_zero_shuffle_zero_python(spark):
-    out = gopher_quality_stats(_docs_df(spark, [(1, "x")]), delimiter=" ")
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
-    assert "Python" not in plan and "ArrowEval" not in plan
+def test_zero_shuffle_both_impls(spark):
+    # kernel (default): one map-side MapInArrow, no shuffle; expr: pure
+    # codegen, no Python at all (kept as the oracle's shape)
+    df = _docs_df(spark, [(1, "x")])
+    kplan = (
+        gopher_quality_stats(df, delimiter=" ")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in kplan
+    assert "MapInArrow" in kplan
+    eplan = (
+        gopher_quality_stats(df, delimiter=" ", impl="expr")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in eplan
+    assert "Python" not in eplan and "ArrowEval" not in eplan
+    # unsupported delimiter falls back to the expression path
+    fplan = (
+        gopher_quality_stats(df, delimiter="|")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInArrow" not in fplan

@@ -407,6 +407,72 @@ def test_bpe_byte_kernel_agrees_with_python_re(docs, slice_bytes):
             assert out[nm][i] == len(re.findall(pat, t)), (nm, repr(t))
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    docs=st.lists(pii_text_st, min_size=1, max_size=6),
+    delim=st.sampled_from([" ", "\n", "\t"]),
+    slice_bytes=st.sampled_from([1, 7, 64, 1 << 20]),
+)
+def test_gopher_byte_kernel_agrees_with_python(docs, delim, slice_bytes):
+    """The gopher byte kernel's integer counts over arbitrary unicode,
+    every supported delimiter, and adversarial slice sizes must equal a
+    first-principles Python computation of the SAME quantities the
+    expression path feeds its ratios (split semantics, array_contains
+    word equality, replace-non-overlap '...' counting). Exercises the
+    pure-numpy slice core directly (no Spark)."""
+    import numpy as np
+
+    from data_deduplication_service_spark.operators.gopher import (
+        REQUIRED_STOPWORDS,
+        _gopher_slice_counts,
+    )
+
+    payload = [t.encode("utf-8") for t in docs]
+    data = np.frombuffer(b"".join(payload), dtype=np.uint8)
+    offs = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in payload], out=offs[1:])
+    names = ("n_words", "sum_word_chars", "n_hash", "n_ellipsis_occ",
+             "n_units", "n_bullet_units", "n_ellipsis_units",
+             "n_alpha_words", "stop_hits")
+    out = {nm: np.zeros(len(docs), dtype=np.int64) for nm in names}
+    out["n_words"] += 1
+    out["n_units"] += 1
+    d0 = 0
+    while d0 < len(docs):
+        d1 = d0 + 1
+        while d1 < len(docs) and offs[d1 + 1] - offs[d0] <= slice_bytes:
+            d1 += 1
+        s0 = int(offs[d0])
+        _gopher_slice_counts(
+            np, data[s0 : int(offs[d1])], offs[d0 : d1 + 1] - s0,
+            out, d0, ord(delim),
+        )
+        d0 = d1
+    ascii_alpha = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
+    for i, t in enumerate(docs):
+        words = t.split(" ")
+        units = t.split(delim)
+        # replace-non-overlap '...' count == Σ floor(dot_run/3)
+        ell = (len(t) - len(t.replace("...", ""))) // 3
+        assert out["n_words"][i] == len(words), repr(t)
+        assert out["sum_word_chars"][i] == sum(len(w) for w in words), repr(t)
+        assert out["n_hash"][i] == t.count("#"), repr(t)
+        assert out["n_ellipsis_occ"][i] == ell, repr(t)
+        assert out["n_units"][i] == len(units), repr(t)
+        assert out["n_bullet_units"][i] == sum(
+            1 for u in units if u.startswith(("-", "*", "+"))
+        ), repr(t)
+        assert out["n_ellipsis_units"][i] == sum(
+            1 for u in units if u.endswith("...")
+        ), repr(t)
+        assert out["n_alpha_words"][i] == sum(
+            1 for w in words if any(c in ascii_alpha for c in w)
+        ), repr(t)
+        assert out["stop_hits"][i] == sum(
+            1 for w in REQUIRED_STOPWORDS if w in words
+        ), repr(t)
+
+
 @settings(max_examples=80, deadline=None)
 @given(
     tokens=st.lists(
