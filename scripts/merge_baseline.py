@@ -500,6 +500,16 @@ def main() -> None:
             "measures worker startup + Arrow feed, not the plan — the",
             "rule-6 regime, reached by making the compute ~25× cheaper.",
             "",
+            "The GOPHER half then got the same treatment (sessions from",
+            "2026-08-19#20260819T164151 measure both kernels): the expr",
+            "path's per-token translate/filter allocations cost 7.1 s",
+            "(alpha filter) + 5.8 s ('#'/'...' full-string copies) of its",
+            "16.6 s at 400k/8c; the byte kernel (space/letter/marker masks,",
+            "exact-word stopword matching at word starts) runs 11.0 s@8c —",
+            "probe best-of-2 stage pair 24.1→13.8 s@8c / 14.7 s@32c. At",
+            "1.6M (the compute-dominated tier) the pair scales positively:",
+            "best 40.4 s@8c vs 18.0 s@32c, stage efficiency 8→32 ≈ 0.56.",
+            "",
         ]
         for nf in sorted({r["n_files"] for r in sg}):
             rows = [r for r in sg if r["n_files"] == nf]
