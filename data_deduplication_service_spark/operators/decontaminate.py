@@ -190,16 +190,15 @@ def token_grams(
     files: DataFrame, n_tokens: int, id_col: str = "file_id", text_col: str = "content"
 ) -> DataFrame:
     """(file_id, gram): DISTINCT whitespace-token n-grams per doc — pure
-    JVM expressions (split/sequence/slice/array_join), no Python. Docs
-    shorter than n tokens contribute nothing (the published convention)."""
+    JVM expressions, no Python. Docs shorter than n tokens contribute
+    nothing (the published convention). The gram build is the shared
+    arrays_zip formulation (functions/repetition.py:token_ngram_array —
+    the original dynamic-slice-per-gram transform measured 4.35× slower
+    at 13-grams on the 400k corpus, identical strings)."""
+    from ..functions.repetition import token_ngram_array
+
     toks = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(toks) >= n_tokens,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n_tokens + 1),
-            lambda i: F.array_join(F.slice(toks, i, n_tokens), " "),
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    grams = token_ngram_array(toks, n_tokens, sep=" ")
     return files.select(
         F.col(id_col).alias("file_id"), F.explode(F.array_distinct(grams)).alias("gram")
     )

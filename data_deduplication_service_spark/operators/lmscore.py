@@ -40,15 +40,14 @@ DEFAULT_VOCAB_SIZE = 65536
 
 
 def bigrams(col: Column) -> Column:
-    """Array of 'tok_i tok_{i+1}' bigram strings (empty if < 2 tokens)."""
-    t = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(t) - 1)
-    return F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
-        )
-    )
+    """Array of 'tok_i tok_{i+1}' bigram strings (empty if < 2 tokens) —
+    the shared arrays_zip gram build (functions/repetition.py:
+    token_ngram_array; the per-element element_at transform it replaces
+    pays the interpreted-HOF dynamic-index tax, same family as the
+    slice-per-gram shape that measured 15× slower on bigrams)."""
+    from ..functions.repetition import token_ngram_array
+
+    return token_ngram_array(tokens(col), 2, sep=" ")
 
 
 def bigram_counts(
