@@ -370,6 +370,16 @@ def main() -> None:
             "19.6→8.1, repetition 30.1→13.3, classifier 1.5→1.0, normalize flat",
             "4.4s fixed overhead at this size).",
             "",
+            "NOTE — sessions from 2026-08-19#20260819T184535 measure the",
+            "arrays_zip gram rebuild (functions/repetition.py): the original",
+            "transform(sequence, i → array_join(slice(tokens,i,n))) paid the",
+            "interpreted-HOF dynamic-slice tax — the bigram BUILD alone was",
+            "107.6 s of repetition_stats' 120.8 s at 400k/8c; one arrays_zip",
+            "of fixed-start slices + one concat_ws per gram builds IDENTICAL",
+            "strings (repetition_stats 17.9 s@8c / 7.6 s@32c at 400k,",
+            "invariant tuple bit-identical). The family invariants here are",
+            "unchanged; PII redaction is now the dominant scan in the stage.",
+            "",
         ]
         for nf in sorted({r["n_files"] for r in qs}):
             rows = [r for r in qs if r["n_files"] == nf]
