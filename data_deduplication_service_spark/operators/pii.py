@@ -11,13 +11,17 @@ into whole-stage codegen, zero shuffle, zero Python, and the parquet scan
 prunes to (id, text). At 100 TB this is scan-bound, exactly what a rewrite
 pass should be.
 
-Cross-engine parity (the oracle replays every rule in DuckDB): patterns
-are restricted to the syntax subset where Java regex and RE2 agree —
-no lookaround, no backrefs, explicit ASCII classes (`\\d` is ASCII in
-both Java and RE2; `\\s` is NOT the same set in the two engines and is
-deliberately avoided). Rules apply IN ORDER, each counting/rewriting the
-output of the previous rule, so counts and the final text stay mutually
-consistent and replayable.
+Cross-engine parity (the oracle replays every rule in DuckDB): the
+ORACLE patterns (PII_RULES) are restricted to the syntax subset where
+Java regex and RE2 agree — no lookaround, no backrefs, explicit ASCII
+classes (`\\d` is ASCII in both Java and RE2; `\\s` is NOT the same set
+in the two engines and is deliberately avoided). The ENGINE side may
+substitute a provably-equivalent Java spelling (ENGINE_PATTERNS below —
+the email rule carries a lookbehind guard purely to defeat Java's
+quadratic restart cost; matches are identical by construction and by
+the hypothesis sweep). Rules apply IN ORDER, each counting/rewriting
+the output of the previous rule, so counts and the final text stay
+mutually consistent and replayable.
 """
 
 from __future__ import annotations
@@ -34,12 +38,38 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("number", r"\b\d{9,}\b", "<NUM>"),
 )
 
+# Engine-side spellings (Spark/Java only; the DuckDB oracle keeps the
+# PII_RULES spellings — RE2 has no lookaround and is linear-time anyway).
+# Java regex restarts a failed match attempt at EVERY position, so a
+# pattern whose head is an unguarded char class costs O(run²) across the
+# alphanumeric runs code is made of: the email rule measured 195 s of
+# the 199 s redaction pass at 400k/8c while finding ZERO emails. A
+# one-codepoint negative lookbehind on the local-part class makes every
+# interior restart O(1). EQUIVALENCE PROOF (matches, spans, and resume
+# points identical): '@' is not in the local-part class X, so within one
+# maximal X-run every attempt — from the run start r or any interior
+# p — greedily consumes to the same run end e, can only see '@' at e
+# (backtracking exposes X-chars, never '@'), and then runs the identical
+# domain match from e+1; hence an interior attempt succeeds iff the
+# run-start attempt succeeds, find() is leftmost-first, and every match
+# starts at a run start — exactly the set the lookbehind admits. The
+# ipv4/number rules open with \b, which already rejects interior
+# restarts in O(1). Pinned empirically by the hypothesis sweep (engine
+# spelling ≡ plain spelling under Python re over arbitrary unicode).
+ENGINE_PATTERNS: dict[str, str] = {
+    "email": r"(?<![A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+}
+
+
+def _engine_pattern(name: str, pattern: str) -> str:
+    return ENGINE_PATTERNS.get(name, pattern)
+
 
 def redact_text(col: Column) -> Column:
     """The fully-redacted text: every rule's replacement applied in order."""
     out = col
-    for _, pattern, replacement in PII_RULES:
-        out = F.regexp_replace(out, pattern, replacement)
+    for name, pattern, replacement in PII_RULES:
+        out = F.regexp_replace(out, _engine_pattern(name, pattern), replacement)
     return out
 
 
@@ -57,8 +87,9 @@ def redact_pii(
     staged: Column = F.col(text_col)
     counts: list[Column] = []
     for name, pattern, replacement in PII_RULES:
-        counts.append(F.regexp_count(staged, F.lit(pattern)).alias(f"n_{name}"))
-        staged = F.regexp_replace(staged, pattern, replacement)
+        ep = _engine_pattern(name, pattern)
+        counts.append(F.regexp_count(staged, F.lit(ep)).alias(f"n_{name}"))
+        staged = F.regexp_replace(staged, ep, replacement)
     keep = [c for c in docs.columns if c != text_col]
     return docs.select(*keep, *counts, staged.alias(text_col))
 

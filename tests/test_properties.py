@@ -148,6 +148,27 @@ def test_pii_rules_agree_with_duckdb_re2(text):
     assert cur == redacted, text
 
 
+@settings(max_examples=200, deadline=None)
+@given(text=pii_text_st)
+def test_pii_engine_spelling_equals_plain_spelling(text):
+    """The Java-side ENGINE_PATTERNS spellings (lookbehind guard against
+    quadratic restarts) must produce the IDENTICAL match sequence and
+    rewrite as the plain oracle spellings — the empirical pin of the
+    equivalence proof in operators/pii.py."""
+    from data_deduplication_service_spark.operators.pii import ENGINE_PATTERNS
+
+    for name, pattern, replacement in PII_RULES:
+        ep = ENGINE_PATTERNS.get(name, pattern)
+        if ep == pattern:
+            continue
+        plain = [m.span() for m in re.finditer(pattern, text, re.ASCII)]
+        guard = [m.span() for m in re.finditer(ep, text, re.ASCII)]
+        assert plain == guard, (name, repr(text))
+        assert re.sub(pattern, replacement, text, flags=re.ASCII) == re.sub(
+            ep, replacement, text, flags=re.ASCII
+        ), (name, repr(text))
+
+
 @settings(max_examples=150, deadline=None)
 @given(text=pii_text_st)
 def test_pii_redaction_is_idempotent_and_clean(text):
