@@ -546,6 +546,29 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding auto-tuner (operators/lsh.py:lsh_banding_plan): every
+    (bands, rows) factorization of the production 128-hash signature scored
+    against the production Jaccard threshold 0.7 — S-curve false-positive /
+    false-negative Riemann masses with the FN-weighted objective (a missed
+    dup is unrecoverable against recall ≥0.99; a false candidate costs one
+    exact-verify probe). ``chosen`` pins config.py's 32×4 banding as the
+    argmin, cross-engine. Per measurement rule 14, every per-term
+    probability is micro-rounded and accumulated as a bigint so float sum
+    order never enters the value hash; the oracle recomputes the identical
+    grid in DuckDB SQL (generate_series). Input-independent by design —
+    this is the planning table that justifies the production layout."""
+    from data_deduplication_service_spark.operators.lsh import lsh_banding_plan
+
+    return lsh_banding_plan(
+        spark,
+        n_hashes=CFG.minhash_n,
+        threshold=CFG.jaccard_threshold,
+        grid=100,
+        fn_weight=100,
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline clustering (exact-verified LSH pairs → connected
     components → singleton fill). The oracle recomputes the same pairs
@@ -1364,6 +1387,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_hourly": q_events_hourly,
         "embedding_topk": q_embedding_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_plan": q_lsh_plan,
         "simhash_pairs": q_simhash_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "corpus_curation": q_corpus_curation,
@@ -2751,4 +2775,34 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "lm_bigram_fit": _lm_fit_oracle_sql(),
+        # micro-rounded bigint accumulation on both engines (rule 14); the
+        # FN weight 100 and cut index 70 mirror q_lsh_plan's constants
+        "lsh_plan": """
+            WITH plans AS (
+                SELECT CAST(b AS BIGINT) AS n_bands,
+                       CAST(128 // b AS BIGINT) AS n_rows
+                FROM generate_series(1, 128) t(b)
+                WHERE 128 % b = 0
+            ), terms AS (
+                SELECT n_bands, n_rows, k,
+                       CAST(round(
+                           (1 - pow(1 - pow(k / 100.0, n_rows), n_bands)) * 1e6
+                       ) AS BIGINT) AS p_micro
+                FROM plans, generate_series(1, 99) g(k)
+            ), agg AS (
+                SELECT n_bands, n_rows,
+                       CAST(sum(CASE WHEN k < 70 THEN p_micro ELSE 0 END)
+                            AS BIGINT) AS fp_micro,
+                       CAST(sum(CASE WHEN k >= 70 THEN 1000000 - p_micro ELSE 0 END)
+                            AS BIGINT) AS fn_micro
+                FROM terms GROUP BY 1, 2
+            )
+            SELECT n_bands, n_rows,
+                   round(pow(1.0 / n_bands, 1.0 / n_rows), 6) AS est_threshold,
+                   fp_micro, fn_micro,
+                   (fp_micro + 100 * fn_micro) AS err_micro,
+                   ((fp_micro + 100 * fn_micro) =
+                    min(fp_micro + 100 * fn_micro) OVER ()) AS chosen
+            FROM agg
+        """,
     }

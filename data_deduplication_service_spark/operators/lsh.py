@@ -388,3 +388,87 @@ def simhash_overflow_blocks(
         .agg(F.count("*").alias("bucket_size"))
         .filter(F.col("bucket_size") > max_bucket_size)
     )
+
+
+def lsh_banding_plan(
+    spark,
+    n_hashes: int = 128,
+    threshold: float = 0.7,
+    grid: int = 100,
+    fn_weight: int = 100,
+) -> DataFrame:
+    """Banding auto-tuner: score every (bands, rows) factorization of an
+    ``n_hashes``-long MinHash signature against a target Jaccard threshold.
+
+    For each layout the S-curve collision probability at similarity s is
+    p(s) = 1 − (1 − s^r)^b (Leskovec/Rajaraman/Ullman, MMDS §3.4). Error
+    masses are Riemann sums over the similarity grid s = k/grid:
+
+      fp — Σ p(s) over s BELOW the threshold (boilerplate pairs the bands
+           would surface anyway; each costs verify work),
+      fn — Σ (1 − p(s)) over s AT/ABOVE it (true dups the bands miss;
+           each costs recall).
+
+    Cross-engine determinism (the oracle recomputes this in DuckDB): every
+    per-term probability is rounded to MICRO units and accumulated as a
+    bigint — float sum order never matters (CLAUDE.md measurement rule 14)
+    — and the masses are exposed as the bigint sums themselves. The two
+    engines' ``pow`` may differ in the last ulp; after micro-rounding a
+    divergence needs a term within 1e-10 of a rounding boundary (none on
+    this grid, pinned by the entry-contract hash gate).
+
+    Returns one row per layout: (n_bands, n_rows, est_threshold, fp_micro,
+    fn_micro, err_micro, chosen) — ``est_threshold`` is the S-curve's
+    inflection estimate (1/b)^(1/r); ``chosen`` marks the argmin of
+    err = fp + fn_weight·fn. The asymmetric default (fn_weight=100)
+    encodes the pipeline's real cost model: a false positive costs one
+    exact-verify probe (cheap, and the verify removes it), a false
+    negative is a MISSED DUPLICATE — unrecoverable against a recall ≥0.99
+    target. The unweighted objective (fn_weight=1) would pick 16×8 for
+    n=128/t=0.7, a layout whose miss mass (2.29 of the 30 grid points
+    above threshold) could never hold recall 0.99. The whole table is
+    ``divisors(n_hashes) × grid`` rows of pure JVM expressions — the
+    unpartitioned ranking window at the end sees one row per layout
+    (≤ d(n_hashes) ≈ 16), so the single-partition window is fine by
+    construction.
+
+    The production config (32 bands × 4 rows at threshold 0.7,
+    config.py:DedupConfig) is this planner's argmin for n=128, t=0.7 at
+    the default weight — pinned by tests/test_lsh_plan.py.
+    """
+    if n_hashes <= 0 or grid <= 1 or not (0.0 < threshold < 1.0) or fn_weight < 1:
+        raise ValueError("need n_hashes ≥ 1, grid ≥ 2, threshold in (0,1), fn_weight ≥ 1")
+    cut = int(round(threshold * grid))  # first grid index counted as FN
+    layouts = (
+        spark.range(1, n_hashes + 1)
+        .select(F.col("id").alias("n_bands"))
+        .filter(F.lit(n_hashes) % F.col("n_bands") == 0)
+        .withColumn("n_rows", (F.lit(n_hashes) / F.col("n_bands")).cast("long"))
+    )
+    s = F.col("k") / F.lit(float(grid))
+    p = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(s, F.col("n_rows")), F.col("n_bands"))
+    terms = layouts.withColumn(
+        "k", F.explode(F.sequence(F.lit(1), F.lit(grid - 1)))
+    ).withColumn("p_micro", F.round(p * F.lit(1e6)).cast("long"))
+    agg = terms.groupBy("n_bands", "n_rows").agg(
+        F.sum(F.when(F.col("k") < cut, F.col("p_micro")).otherwise(F.lit(0))).alias("fp_micro"),
+        F.sum(
+            F.when(F.col("k") >= cut, F.lit(1_000_000) - F.col("p_micro")).otherwise(F.lit(0))
+        ).alias("fn_micro"),
+    )
+    from pyspark.sql import Window
+
+    err = (F.col("fp_micro") + F.lit(int(fn_weight)) * F.col("fn_micro")).alias("err_micro")
+    return agg.select(
+        "n_bands",
+        "n_rows",
+        F.round(F.pow(F.lit(1.0) / F.col("n_bands"), F.lit(1.0) / F.col("n_rows")), 6).alias(
+            "est_threshold"
+        ),
+        "fp_micro",
+        "fn_micro",
+        err,
+    ).withColumn(
+        "chosen",
+        F.col("err_micro") == F.min("err_micro").over(Window.partitionBy()),
+    )

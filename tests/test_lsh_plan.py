@@ -1,0 +1,67 @@
+"""Banding planner (operators/lsh.py:lsh_banding_plan) semantics.
+
+Pins the claim the production config rests on: 32 bands × 4 rows is the
+FN-weighted argmin for the 128-hash signature at threshold 0.7, and the
+UNWEIGHTED objective would instead pick 16×8 — whose miss mass could never
+hold the recall ≥0.99 gate. A pure-Python reimplementation cross-checks
+every cell (the DuckDB cross-check is tests/test_entry_contract.py's
+``lsh_plan`` oracle)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_deduplication_service_spark.operators.lsh import lsh_banding_plan
+
+
+def _reference_rows(n: int, t: float, grid: int, fn_weight: int):
+    rows = {}
+    cut = round(t * grid)
+    for b in [x for x in range(1, n + 1) if n % x == 0]:
+        r = n // b
+        fp = fn = 0
+        for k in range(1, grid):
+            p = 1 - (1 - (k / grid) ** r) ** b
+            pm = round(p * 1e6)
+            if k < cut:
+                fp += pm
+            else:
+                fn += 1_000_000 - pm
+        rows[(b, r)] = (fp, fn, fp + fn_weight * fn)
+    return rows
+
+
+@pytest.mark.parametrize("fn_weight,expect", [(100, (32, 4)), (1, (16, 8))])
+def test_argmin_layout(spark, fn_weight, expect):
+    plan = lsh_banding_plan(spark, 128, 0.7, 100, fn_weight=fn_weight)
+    got = {
+        (r["n_bands"], r["n_rows"]): r for r in plan.collect()
+    }
+    ref = _reference_rows(128, 0.7, 100, fn_weight)
+    assert set(got) == set(ref)  # all 8 divisor layouts, nothing else
+    for key, (fp, fn, err) in ref.items():
+        row = got[key]
+        assert (row["fp_micro"], row["fn_micro"], row["err_micro"]) == (fp, fn, err)
+    chosen = [k for k, r in got.items() if r["chosen"]]
+    assert chosen == [expect]
+
+
+def test_est_threshold_is_the_inflection_estimate(spark):
+    plan = {
+        (r["n_bands"], r["n_rows"]): r["est_threshold"]
+        for r in lsh_banding_plan(spark, 128, 0.7).collect()
+    }
+    assert plan[(32, 4)] == round((1 / 32) ** (1 / 4), 6)  # 0.420448
+    assert plan[(1, 128)] == 1.0
+
+
+def test_bad_params_raise(spark):
+    for kwargs in (
+        dict(n_hashes=0),
+        dict(grid=1),
+        dict(threshold=0.0),
+        dict(threshold=1.0),
+        dict(fn_weight=0),
+    ):
+        with pytest.raises(ValueError):
+            lsh_banding_plan(spark, **{"n_hashes": 128, **kwargs})
