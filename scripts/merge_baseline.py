@@ -34,6 +34,11 @@ def load_runs() -> list[dict]:
             r = json.loads(line)
             if "cores" not in r or "files_per_sec" not in r or "rep" not in r:
                 continue  # campaign summary line
+            if r.get("cluster_mode"):
+                continue  # local-cluster executor legs (runs_cluster_*.jsonl
+                # matches this glob) are a DIFFERENT measured layout —
+                # separate JVMs, 4g executor heaps — reported in
+                # BENCH/CLUSTER.md, never mixed into the local[N] series
             # two campaigns may append to one per-day file and same-window
             # pairing must never mix runs from different invocations. New
             # records carry an explicit campaign id (orchestrate start

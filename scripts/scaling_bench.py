@@ -1,12 +1,23 @@
 #!/usr/bin/env python
 """Two-cluster-size scaling measurement (the north-rule criterion).
 
-No real multi-executor cluster exists in this sandbox, so cluster sizes
+No real multi-machine cluster exists in this sandbox, so cluster sizes
 N and 4N are evidenced by running the IDENTICAL job via
 `spark-submit --py-files dedup.zip` at local[8] and local[32] over the
 same deterministic synthetic corpus (bench tier, FIXTURES.md §4), and
 reporting throughput at both plus
     efficiency = (files_per_sec_32 / files_per_sec_8) / (32 / 8).
+
+--cluster-mode upgrades the evidence from threads to EXECUTORS: legs
+become executor counts and each leg runs on
+`--master local-cluster[N, executor-cores, executor-mem-mb]` — Spark's
+testing master that launches N real standalone executor JVMs (separate
+processes, real netty shuffle + Arrow sockets per executor, the zip
+shipped to each executor's python workers via --py-files), so the
+2-vs-8-executor pair measures an actual N→4N executor scale-up, not
+thread-pool growth inside one JVM. Results go to BENCH/CLUSTER.md and
+runs_cluster_*.jsonl (a DIFFERENT measured job layout than the local[N]
+series — measurement rule 9: never mix layouts in one efficiency ratio).
 
 Orchestrator mode (default):
     python scripts/scaling_bench.py [--n-files 100000] [--out BENCH/BASELINE.md]
@@ -477,6 +488,9 @@ def orchestrate(
     with_shape_gates: bool = False,
     containment_cap: int = 50,
     legs: tuple[int, ...] = (8, 32),
+    cluster_mode: bool = False,
+    executor_cores: int = 4,
+    executor_mem_mb: int = 4096,
 ) -> None:
     from data_deduplication_service_spark.session import get_spark
     from data_deduplication_service_spark.sources import synthesize_corpus, with_file_identity
@@ -508,13 +522,24 @@ def orchestrate(
             # fixed 16g heap at both levels: measured 64g made the 32-thread
             # leg 3x slower in shuffle stages (G1 pause pathology), and 16g
             # showed no spill at either level
+            if cluster_mode:
+                # `cores` is the EXECUTOR count; total parallelism is
+                # cores*executor_cores. Driver heap stays moderate — the
+                # compute lives in the executor JVMs now.
+                master = f"local-cluster[{cores},{executor_cores},{executor_mem_mb}]"
+                total_cores = cores * executor_cores
+                driver_mem = "8g"
+            else:
+                master = f"local[{cores}]"
+                total_cores = cores
+                driver_mem = "16g"
             cmd = [
                 spark_submit,
-                "--master", f"local[{cores}]",
-                "--driver-memory", "16g",
+                "--master", master,
+                "--driver-memory", driver_mem,
                 "--py-files", zip_path,
                 os.path.abspath(__file__),
-                "--worker", "--cores", str(cores), "--input", input_path,
+                "--worker", "--cores", str(total_cores), "--input", input_path,
                 "--minhash-bits", str(minhash_bits),
             ] + (["--fused"] if fused else []) + (
                 ["--with-global-repeats"] if with_global_repeats else []
@@ -538,19 +563,28 @@ def orchestrate(
                 ["--with-containment", "--containment-cap", str(containment_cap)]
                 if with_containment else []
             )
-            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+            env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3600, env=env
+            )
             line = [l for l in proc.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
             if not line:
                 sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
                 raise RuntimeError(f"worker at {cores} cores produced no result")
             r = json.loads(line[0][len("WORKER_RESULT "):])
             r["campaign"] = campaign
+            if cluster_mode:
+                r["cluster_mode"] = True
+                r["executors"] = cores
+                r["executor_cores"] = executor_cores
             print(json.dumps({"rep": rep, **r}))
             # raw-run provenance for scripts/merge_baseline.py (best-of-N
-            # across sessions): one JSON line per worker run
+            # across sessions): one JSON line per worker run. Cluster-mode
+            # runs get their own namespace — a different measured layout.
             runs_log = os.path.join(
                 REPO, "BENCH",
-                f"runs_{time.strftime('%Y-%m-%d')}_{'_'.join(map(str, legs))}.jsonl",
+                f"runs_{'cluster_' if cluster_mode else ''}"
+                f"{time.strftime('%Y-%m-%d')}_{'_'.join(map(str, legs))}.jsonl",
             )
             os.makedirs(os.path.dirname(runs_log), exist_ok=True)
             with open(runs_log, "a") as f:
@@ -582,6 +616,8 @@ def orchestrate(
             )
     summary = {
         "n_files": n_files,
+        "cluster_mode": cluster_mode,
+        "leg_unit": "executors" if cluster_mode else "cores",
         "throughput_files_per_sec": {c: results[c]["files_per_sec"] for c in sorted(results)},
         "scaling_efficiency": effs,
         "results": results,
@@ -596,17 +632,35 @@ def write_md(path: str, s: dict) -> None:
     legs = sorted(s["results"])
     r0 = s["results"][legs[0]]
     pair_counts = {s["results"][c]["n_pairs"] for c in legs}
-    lines = [
-        "# BENCH/BASELINE — two-cluster-size scaling evidence",
+    unit = s.get("leg_unit", "cores")
+    if s.get("cluster_mode"):
+        ec = r0.get("executor_cores", 4)
+        header = [
+            "# BENCH/CLUSTER — two-cluster-size scaling evidence (real executors)",
+            "",
+            "North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N",
+            "executors. These legs run on `--master local-cluster[N," + str(ec),
+            ",mem]` — N REAL standalone executor JVMs (separate processes, netty",
+            "shuffle between them, the package zip shipped to every executor's",
+            "python workers via `spark-submit --py-files`) — so N→4N here is an",
+            "actual executor-count scale-up, not thread growth inside one JVM.",
+            f"Identical deterministic synthetic corpus ({s['n_files']:,} files,",
+            "seed=42, FIXTURES.md recipes), best-of-repeats interleaved.",
+        ]
+    else:
+        header = [
+            "# BENCH/BASELINE — two-cluster-size scaling evidence",
+            "",
+            "North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N",
+            "executors. No real cluster exists in this sandbox; per the driver's",
+            "instruction the same `spark-submit --py-files` job ran at multiple",
+            "parallelism levels (local[N] legs, best-of-repeats interleaved) on the",
+            f"identical deterministic synthetic corpus ({s['n_files']:,} files,",
+            "seed=42, FIXTURES.md recipes).",
+        ]
+    lines = header + [
         "",
-        "North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N",
-        "executors. No real cluster exists in this sandbox; per the driver's",
-        "instruction the same `spark-submit --py-files` job ran at multiple",
-        "parallelism levels (local[N] legs, best-of-repeats interleaved) on the",
-        f"identical deterministic synthetic corpus ({s['n_files']:,} files,",
-        "seed=42, FIXTURES.md recipes).",
-        "",
-        "| cores | total sec | files/sec | " + " | ".join(r0["stages_sec"]) + " |",
+        f"| {unit} | total sec | files/sec | " + " | ".join(r0["stages_sec"]) + " |",
         "|---" * (3 + len(r0["stages_sec"])) + "|",
     ]
     for c in legs:
@@ -619,7 +673,7 @@ def write_md(path: str, s: dict) -> None:
     lines += [""]
     for pair, eff in s["scaling_efficiency"].items():
         n, m = pair.split("_to_")
-        lines.append(f"**Scaling efficiency {n}→{m} cores (N→4N): {eff}**")
+        lines.append(f"**Scaling efficiency {n}→{m} {unit} (N→4N): {eff}**")
         lines.append("")
     lines += [
         f"Verified pairs found: {s['results'][legs[-1]]['n_pairs']} "
@@ -684,7 +738,15 @@ def main() -> None:
                     help="max_shingle_doc_freq for the containment leg "
                          "(50 = the published 400k protocol)")
     ap.add_argument("--legs", type=str, default="8,32",
-                    help="comma-separated core counts, e.g. 2,8,32")
+                    help="comma-separated core counts, e.g. 2,8,32 "
+                         "(EXECUTOR counts under --cluster-mode)")
+    ap.add_argument("--cluster-mode", action="store_true",
+                    help="run each leg on --master local-cluster[N,"
+                         "executor-cores,executor-mem-mb]: N real executor "
+                         "JVMs instead of N threads; legs become executor "
+                         "counts (default out: BENCH/CLUSTER.md)")
+    ap.add_argument("--executor-cores", type=int, default=4)
+    ap.add_argument("--executor-mem-mb", type=int, default=4096)
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
     if args.worker:
@@ -702,6 +764,9 @@ def main() -> None:
                with_shape_gates=args.with_shape_gates,
                containment_cap=args.containment_cap)
     else:
+        default_out = os.path.join(REPO, "BENCH", "BASELINE.md")
+        if args.cluster_mode and args.out == default_out:
+            args.out = os.path.join(REPO, "BENCH", "CLUSTER.md")
         orchestrate(args.n_files, args.out, repeats=args.repeats,
                     fused=args.fused, minhash_bits=args.minhash_bits,
                     with_global_repeats=args.with_global_repeats,
@@ -715,7 +780,10 @@ def main() -> None:
                     with_secret_scan=args.with_secret_scan,
                     with_shape_gates=args.with_shape_gates,
                     containment_cap=args.containment_cap,
-                    legs=tuple(int(x) for x in args.legs.split(",")))
+                    legs=tuple(int(x) for x in args.legs.split(",")),
+                    cluster_mode=args.cluster_mode,
+                    executor_cores=args.executor_cores,
+                    executor_mem_mb=args.executor_mem_mb)
 
 
 if __name__ == "__main__":
