@@ -1253,6 +1253,29 @@ def q_delta_exact_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("store_rep").cast("long").alias("store_rep"))
 
 
+def q_delta_global_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix tier of the batch delta fold (operators/suffix.py:
+    fold_repeated_substrings_global): the repeat pairs (≥100-byte shared
+    verbatim run) the 20% delta slice ADDS — against the 80% base via its
+    persisted anchor store, and within itself — without re-anchoring the
+    base. Oracle-complete config: max_anchor_members=10^9, where the
+    exemplar cap never binds, so the fold is id-order-independent and the
+    interleaved %5 split is exact. Output == the global_repeats gram join
+    restricted to pairs with ≥1 delta endpoint (base-base pairs belong to
+    the base snapshot, not the fold)."""
+    from data_deduplication_service_spark.operators.suffix import (
+        fold_repeated_substrings_global,
+        repeat_anchor_table,
+    )
+
+    base, delta = _delta_split_files(spark, sf_dir)
+    anchors = repeat_anchor_table(base, min_len=100)
+    pairs, _delta_anchors = fold_repeated_substrings_global(
+        base, anchors, delta, min_len=100, max_anchor_members=10**9
+    )
+    return pairs.select("file_a", "file_b").distinct()
+
+
 def q_delta_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup tier of the batch delta fold: the TOUCHED-BUCKET signature-
     store probe (streaming/neardup_stream.py:incremental_candidate_pairs,
@@ -1380,6 +1403,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_segment_stats": q_cdc_segment_stats,
         "delta_exact_vs_store": q_delta_exact_vs_store,
         "delta_minhash_pairs": q_delta_minhash_pairs,
+        "delta_global_repeats": q_delta_global_repeats,
         "delta_ingest_histogram": q_delta_ingest_histogram,
         "event_sessions": q_event_sessions,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -2155,6 +2179,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS file_a, b.doc_id AS file_b
             FROM lg a JOIN lg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        # the fold's slice of the same gram join: pairs with ≥1 endpoint in
+        # the %5==4 delta slice (base-base pairs belong to the base run)
+        "delta_global_repeats": f"""
+            WITH lg AS (
+              SELECT DISTINCT doc_id,
+                     substring({_HX}, 2*(t.i-1)+1, 2*100) AS gram
+              FROM documents,
+                   unnest(generate_series(1, octet_length(encode(text)) - 100 + 1)) AS t(i)
+              WHERE octet_length(encode(text)) >= 100
+            )
+            SELECT a.doc_id AS file_a, b.doc_id AS file_b
+            FROM lg a JOIN lg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 5 = 4 OR b.doc_id % 5 = 4
             GROUP BY 1, 2
         """,
         # same-cluster pairs sharing a ≥100-byte verbatim run: the

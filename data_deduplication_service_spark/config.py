@@ -87,3 +87,65 @@ class DedupConfig:
 
     def with_(self, **kwargs: Any) -> "DedupConfig":
         return replace(self, **kwargs)
+
+    @classmethod
+    def tuned(
+        cls,
+        minhash_n: int = 128,
+        jaccard_threshold: float = 0.7,
+        fn_weight: int = 100,
+        **kwargs: Any,
+    ) -> "DedupConfig":
+        """Config with the (bands, rows) layout ``plan_banding`` picks for
+        this signature length + threshold — the programmatic form of the
+        oracle-gated planning table (operators/lsh.py:lsh_banding_plan).
+        The class defaults ARE ``tuned(128, 0.7)`` — pinned by
+        tests/test_lsh_plan.py."""
+        bands, rows = plan_banding(minhash_n, jaccard_threshold, fn_weight=fn_weight)
+        return cls(
+            minhash_n=minhash_n,
+            jaccard_threshold=jaccard_threshold,
+            bands=bands,
+            rows_per_band=rows,
+            **kwargs,
+        )
+
+
+def plan_banding(
+    n_hashes: int,
+    threshold: float,
+    grid: int = 100,
+    fn_weight: int = 100,
+) -> tuple[int, int]:
+    """Driver-side argmin of the banding planner: the (bands, rows)
+    factorization of an ``n_hashes`` signature minimizing the FN-weighted
+    S-curve error mass around ``threshold``.
+
+    Same micro-rounded integer accumulation as the Spark/DuckDB planner
+    pair (operators/lsh.py:lsh_banding_plan and the ``lsh_plan`` oracle) —
+    tests/test_lsh_plan.py asserts all three agree cell-by-cell. Pure
+    Python on ≤ d(n)·grid terms: a config decision, not a distributed job.
+    Ties break toward more bands (more recall) — currently unreachable on
+    any divisor grid we ship, but deterministic by construction.
+    """
+    if n_hashes <= 0 or grid <= 1 or not (0.0 < threshold < 1.0) or fn_weight < 1:
+        raise ValueError("need n_hashes ≥ 1, grid ≥ 2, threshold in (0,1), fn_weight ≥ 1")
+    cut = round(threshold * grid)
+    best: tuple[int, int, int] | None = None  # (err, -bands, bands)
+    for b in (x for x in range(1, n_hashes + 1) if n_hashes % x == 0):
+        r = n_hashes // b
+        fp = fn = 0
+        for k in range(1, grid):
+            # HALF_UP like Spark/DuckDB round() — Python round() is
+            # half-to-even (no term on this grid lands on .5, but the
+            # three planners must share one rounding rule on principle)
+            p_micro = int((1.0 - (1.0 - (k / grid) ** r) ** b) * 1e6 + 0.5)
+            if k < cut:
+                fp += p_micro
+            else:
+                fn += 1_000_000 - p_micro
+        key = (fp + fn_weight * fn, -b, b)
+        if best is None or key < best:
+            best = key
+    assert best is not None
+    return best[2], n_hashes // best[2]

@@ -569,9 +569,7 @@ def cluster_repeat_overflow_anchors(
     """(cluster_id, anchor, n_members) rows the CLUSTER tier's exemplar cap
     truncated — same anchor construction as repeated_substrings_by_cluster,
     so every cap on that path has its matching overflow report."""
-    anchor_k = min(anchor_k, min_len)
-    window = max(1, min_len - anchor_k + 1)
-    anchors = winnowed_anchor_table(files, anchor_k, window, id_col, text_col).join(
+    anchors = repeat_anchor_table(files, min_len, anchor_k, id_col, text_col).join(
         clusters.select("file_id", "cluster_id"), "file_id"
     )
     return global_repeat_overflow_anchors(
@@ -613,11 +611,103 @@ def repeated_substrings_global(
     Output: (file_a, file_b, match_len, sample) — same schema as the
     cluster tier; union them for full coverage.
     """
-    anchor_k = min(anchor_k, min_len)  # winnow guarantee needs min_len ≥ k
-    window = max(1, min_len - anchor_k + 1)
-    anchors = winnowed_anchor_table(files, anchor_k, window, id_col, text_col)
+    anchors = repeat_anchor_table(files, min_len, anchor_k, id_col, text_col)
     evidence = _pair_evidence(anchors, max_anchor_members)
     return _extension_verified_pairs(files, evidence, min_len, id_col, text_col)
+
+
+def repeat_anchor_table(
+    files: DataFrame,
+    min_len: int = 50,
+    anchor_k: int = 16,
+    id_col: str = "file_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """The repeat tiers' anchor table with the (anchor_k, window)
+    derivation all of them share: window = min_len − k + 1, so the winnow
+    guarantee covers every run ≥ min_len. This is the SINGLE derivation
+    point — ``repeated_substrings_global`` builds its anchors here, and a
+    persisted anchor store fed to ``fold_repeated_substrings_global`` must
+    be built here too (same min_len/anchor_k), or fold results are
+    undefined."""
+    anchor_k = min(anchor_k, min_len)  # winnow guarantee needs min_len ≥ k
+    window = max(1, min_len - anchor_k + 1)
+    return winnowed_anchor_table(files, anchor_k, window, id_col, text_col)
+
+
+def fold_repeated_substrings_global(
+    base_files: DataFrame,
+    base_anchors: DataFrame,
+    delta_files: DataFrame,
+    min_len: int = 50,
+    anchor_k: int = 16,
+    max_anchor_members: int = 16,
+    id_col: str = "file_id",
+    text_col: str = "content",
+) -> tuple[DataFrame, DataFrame]:
+    """Delta fold for the GLOBAL repeat tier: the repeat pairs a new batch
+    adds, computed O(delta + touched-anchor-slivers), never O(base) anchor
+    recompute — the suffix-tier analog of plans.incremental.dedup_delta.
+
+    ``base_anchors`` is the persisted anchor store for the base corpus —
+    ``repeat_anchor_table(base_files, min_len, anchor_k)`` materialized at
+    base-pipeline time (a few % of corpus bytes). The fold:
+
+      1. anchors the DELTA only (one narrow content pass over new docs),
+      2. prunes the base store to TOUCHED anchors (values the delta
+         carries — a pair with a delta endpoint can only form at an anchor
+         the delta doc has, so untouched anchors cannot contribute; on a
+         real warehouse an anchor-bucketed store layout makes this
+         semi-join partition-prunable instead of a store shuffle),
+      3. runs the SAME exemplar pair-gen over touched-base ∪ delta anchors
+         (membership per touched anchor is identical to a full recompute,
+         so exemplars and evidence are identical), keeps pairs with ≥1
+         delta endpoint (broadcast of the delta id set — base-base pairs
+         at touched anchors were already reported at base time), and
+      4. extension-verifies against the base∪delta content — semi-join
+         pruned to involved docs inside ``_extension_verified_pairs``, so
+         base content ships as an O(matched docs) sliver (file_id-bucketed
+         base layout makes the probe partition-prunable at 10^12 scale).
+
+    Returns ``(new_pairs, delta_anchors)``: append ``delta_anchors`` to
+    the store for the next fold. Parity (pinned by
+    tests/test_suffix.py): full-recompute pairs on base∪delta ==
+    base-run pairs ∪ fold pairs whenever delta ids sort after base ids —
+    the same append-only caveat as dedup_delta (an exemplar cap elects the
+    ``max_anchor_members`` SMALLEST ids per anchor; a delta id sorting
+    before base ids could evict a base exemplar in the full recompute).
+    Cap overflow stays observable: run ``global_repeat_overflow_anchors``
+    on the step-3 union for the touched-anchor report."""
+    from data_deduplication_service_spark.cache import persist_scoped
+
+    delta_anchors = persist_scoped(
+        repeat_anchor_table(delta_files, min_len, anchor_k, id_col, text_col)
+    )
+    touched = delta_anchors.select("anchor").distinct()
+    base_touched = base_anchors.join(touched, "anchor", "left_semi")
+    union = base_touched.unionByName(delta_anchors)
+    evidence = _pair_evidence(union, max_anchor_members)
+
+    delta_ids = delta_files.select(F.col(id_col).alias("_d")).distinct()
+    flagged = (
+        evidence.join(
+            F.broadcast(delta_ids.select(F.col("_d").alias("a"), F.lit(True).alias("_ia"))),
+            "a",
+            "left",
+        )
+        .join(
+            F.broadcast(delta_ids.select(F.col("_d").alias("b"), F.lit(True).alias("_ib"))),
+            "b",
+            "left",
+        )
+        .filter(F.col("_ia").isNotNull() | F.col("_ib").isNotNull())
+        .drop("_ia", "_ib")
+    )
+    files_all = base_files.select(id_col, text_col).unionByName(
+        delta_files.select(id_col, text_col)
+    )
+    pairs = _extension_verified_pairs(files_all, flagged, min_len, id_col, text_col)
+    return pairs, delta_anchors
 
 
 def _extension_verified_pairs(
@@ -748,14 +838,12 @@ def repeated_substrings_by_cluster(
     cap, and reports ALL qualifying within-cluster pairs (the per-pair
     suffix-array answer — property-tested; the SA scan survives as the
     test oracle in repeated_substrings_in_partition)."""
-    anchor_k = min(anchor_k, min_len)  # winnow guarantee needs min_len ≥ k
-    window = max(1, min_len - anchor_k + 1)
     # anchor FIRST (one narrow content pass, zero shuffles), then attach
     # cluster ids to the anchor table — a few % of corpus bytes. Joining
     # clusters onto files before anchoring would shuffle every content
     # byte on file_id, breaking the content-never-crosses-a-shuffle
     # invariant. The inner join drops un-clustered files, same semantics.
-    anchors = winnowed_anchor_table(files, anchor_k, window, id_col, text_col).join(
+    anchors = repeat_anchor_table(files, min_len, anchor_k, id_col, text_col).join(
         clusters.select(F.col("file_id"), "cluster_id"), "file_id"
     )
     evidence = _pair_evidence(anchors, max_anchor_members, bucket_cols=("cluster_id", "anchor"))

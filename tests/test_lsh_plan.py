@@ -55,6 +55,25 @@ def test_est_threshold_is_the_inflection_estimate(spark):
     assert plan[(1, 128)] == 1.0
 
 
+def test_driver_side_planner_agrees_and_tunes_the_defaults(spark):
+    from data_deduplication_service_spark.config import DedupConfig, plan_banding
+
+    assert plan_banding(128, 0.7) == (32, 4)
+    assert plan_banding(128, 0.7, fn_weight=1) == (16, 8)
+    # the class defaults ARE tuned(128, 0.7)
+    assert DedupConfig.tuned(128, 0.7) == DedupConfig()
+    # a different signature length round-trips the n==b*r invariant
+    cfg = DedupConfig.tuned(64, 0.5)
+    assert cfg.bands * cfg.rows_per_band == 64
+    assert plan_banding(64, 0.5) == (cfg.bands, cfg.rows_per_band)
+    # three-way agreement: driver-side == Spark planner argmin
+    plan = lsh_banding_plan(spark, 64, 0.5, fn_weight=100)
+    chosen = [(r["n_bands"], r["n_rows"]) for r in plan.collect() if r["chosen"]]
+    assert chosen == [(cfg.bands, cfg.rows_per_band)]
+    with pytest.raises(ValueError):
+        plan_banding(0, 0.7)
+
+
 def test_bad_params_raise(spark):
     for kwargs in (
         dict(n_hashes=0),

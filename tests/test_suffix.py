@@ -439,3 +439,97 @@ def test_cluster_tier_matches_per_pair_suffix_array(spark):
         ).collect()
     }
     assert got == exp
+
+
+def _planted_corpus(min_len: int):
+    """Deterministic fixture for the fold tests: noise bodies with blocks
+    planted so every pair CLASS exists — base-base (1,2), base-delta
+    (0,9 and hot-anchor pairs), delta-delta (8,10). Base ids 0..7 sort
+    before delta ids 8..11 (the fold's append-only contract)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    blocks = {
+        name: bytes(rng.integers(97, 123, size=min_len + extra, dtype=np.uint8))
+        for name, extra in [("bd", 25), ("bb", 5), ("dd", 40), ("hot", 13)]
+    }
+    plant = {
+        0: ["bd"], 9: ["bd"],          # base-delta
+        1: ["bb"], 2: ["bb"],          # base-base: fold must NOT emit
+        8: ["dd"], 10: ["dd"],         # delta-delta
+        3: ["hot"], 4: ["hot"], 5: ["hot"], 11: ["hot"],  # hot anchor
+    }
+    raw = {}
+    for i in range(12):
+        body = bytearray(bytes(rng.integers(32, 127, size=350, dtype=np.uint8)))
+        for name in plant.get(i, []):
+            p = int(rng.integers(0, len(body)))
+            body[p:p] = blocks[name]
+        raw[i] = bytes(body)
+    return raw
+
+
+def test_global_fold_matches_full_recompute(spark):
+    """Uncapped parity: full-recompute repeat pairs on base∪delta ==
+    base-run pairs ∪ fold pairs, fold pairs all touch a delta doc, and the
+    returned delta anchors are store-appendable (same schema)."""
+    from data_deduplication_service_spark.operators.suffix import (
+        fold_repeated_substrings_global,
+        repeat_anchor_table,
+        repeated_substrings_global,
+    )
+
+    min_len = 60
+    raw = _planted_corpus(min_len)
+    rows = [(i, t.decode("ascii")) for i, t in raw.items()]
+    all_files = spark.createDataFrame(rows, "file_id long, content string")
+    base_files = all_files.filter("file_id < 8")
+    delta_files = all_files.filter("file_id >= 8")
+
+    def pairs(df):
+        return {(r.file_a, r.file_b): r.match_len for r in df.collect()}
+
+    full = pairs(repeated_substrings_global(all_files, min_len, max_anchor_members=10**9))
+    base_run = pairs(repeated_substrings_global(base_files, min_len, max_anchor_members=10**9))
+    base_anchors = repeat_anchor_table(base_files, min_len)
+    fold_df, delta_anchors = fold_repeated_substrings_global(
+        base_files, base_anchors, delta_files, min_len, max_anchor_members=10**9
+    )
+    fold = pairs(fold_df)
+
+    assert (0, 9) in fold and (8, 10) in fold  # base-delta and delta-delta found
+    assert all(a >= 8 or b >= 8 for a, b in fold)  # every fold pair touches delta
+    assert (1, 2) in base_run and (1, 2) not in fold  # base-base stays base's
+    assert full == {**base_run, **fold}
+    assert delta_anchors.columns == base_anchors.columns
+
+
+def test_global_fold_capped_matches_full_delta_slice(spark):
+    """Capped config: with delta ids sorting after base ids, the fold's
+    pairs equal exactly the delta-touching slice of the capped full
+    recompute (identical per-anchor membership ⇒ identical exemplars)."""
+    from data_deduplication_service_spark.operators.suffix import (
+        fold_repeated_substrings_global,
+        repeat_anchor_table,
+        repeated_substrings_global,
+    )
+
+    min_len = 60
+    raw = _planted_corpus(min_len)
+    rows = [(i, t.decode("ascii")) for i, t in raw.items()]
+    all_files = spark.createDataFrame(rows, "file_id long, content string")
+    base_files = all_files.filter("file_id < 8")
+    delta_files = all_files.filter("file_id >= 8")
+
+    def pairs(df):
+        return {(r.file_a, r.file_b): r.match_len for r in df.collect()}
+
+    cap = 4  # hot anchor has 3 base + 1 delta member: delta still exemplar'd
+    full = pairs(repeated_substrings_global(all_files, min_len, max_anchor_members=cap))
+    fold_df, _ = fold_repeated_substrings_global(
+        base_files, repeat_anchor_table(base_files, min_len), delta_files,
+        min_len, max_anchor_members=cap,
+    )
+    fold = pairs(fold_df)
+    assert fold == {k: v for k, v in full.items() if k[0] >= 8 or k[1] >= 8}
+    assert any(k[1] == 11 for k in fold)  # the hot anchor's delta exemplar paired
