@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Regenerate BENCH/CLUSTER.md from every logged cluster-mode scaling run.
+
+Reads all BENCH/runs_cluster_*.jsonl (one JSON object per worker run,
+written by `scripts/scaling_bench.py --cluster-mode` campaigns, where legs
+are EXECUTOR counts on `--master local-cluster[N,cores,mem]` — N real
+standalone executor JVMs with netty shuffle between them). Asserts the
+north-rule invariant that every run produced identical pair/component
+counts — including across executor-JVM layouts AND against the local[N]
+thread-series runs — then reports per-layout best-of-N throughput and the
+N→4N executor-count efficiencies.
+
+Why this exists separately from merge_baseline.py: cluster-mode legs are a
+DIFFERENT measured layout (separate executor JVMs + netty shuffle + 6g
+executor heaps vs one 16g driver JVM), so mixing them into the local[N]
+best-of series would compare apples to oranges; and the in-campaign
+report writer only fires when a campaign completes, losing evidence from
+killed sessions. This script is idempotent over the raw logs.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load(pattern: str) -> list[dict]:
+    runs = []
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH", pattern))):
+        session = os.path.basename(path).split(".jsonl")[0].replace("runs_cluster_", "")
+        for line in open(path):
+            r = json.loads(line)
+            if "files_per_sec" not in r or "rep" not in r:
+                continue  # campaign summary line
+            r["session"] = f"{session}#{r.get('campaign', '?')}"
+            runs.append(r)
+    return runs
+
+
+def main() -> None:
+    runs = [r for r in load("runs_cluster_*.jsonl") if r.get("cluster_mode")]
+    if not runs:
+        print("no cluster-mode runs logged yet")
+        return
+
+    # north-rule output invariant, across executor layouts AND against the
+    # thread-series runs at the same corpus size
+    thread = [r for r in load("runs_*.jsonl")
+              if not r.get("cluster_mode") and "cores" in r]
+    for nf in sorted({r["n_files"] for r in runs}):
+        counts = {(r["n_pairs"], r["n_component_rows"])
+                  for r in runs if r["n_files"] == nf}
+        assert len(counts) == 1, f"cluster outputs differ at n_files={nf}: {counts}"
+        tcounts = {(r["n_pairs"], r["n_component_rows"])
+                   for r in thread if r.get("n_files") == nf}
+        if tcounts:
+            assert counts == tcounts, (
+                f"cluster vs thread-series outputs differ at n_files={nf}: "
+                f"{counts} vs {tcounts}")
+
+    lines = [
+        "# BENCH/CLUSTER — two-cluster-size scaling evidence (real executors)",
+        "",
+        "North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N",
+        "executors. These legs run on `--master local-cluster[N,cores,mem]` —",
+        "N REAL standalone executor JVMs (separate processes, netty shuffle",
+        "between them, the package zip shipped to every executor's python",
+        "workers via `spark-submit --py-files`) — so N→4N here is an actual",
+        "executor-count scale-up, not thread growth inside one JVM. The",
+        "physical box is still one socket: all executors share its memory",
+        "bandwidth, which is the binding ceiling the thread-series already",
+        "mapped (BENCH/BASELINE.md, 'Why job-level 8→32 efficiency…').",
+        "",
+        "Identical deterministic synthetic corpus (seed=42, FIXTURES.md",
+        "recipes), legs interleaved within each campaign, best-of-N reported.",
+        "",
+        "**Output invariant: every executor layout at every executor count",
+        "produced pair/component counts identical to each other AND to the",
+        "local[N] thread-series runs (asserted by this script):**",
+        "",
+    ]
+    for nf in sorted({r["n_files"] for r in runs}):
+        r0 = next(r for r in runs if r["n_files"] == nf)
+        lines.append(f"- {nf:,} files → {r0['n_pairs']:,} verified pairs, "
+                     f"{r0['n_component_rows']:,} component rows")
+    lines.append("")
+
+    # tables only for compute-meaningful corpora: ≤400k is overhead-bound on
+    # this box (CLAUDE.md rule 6) and tiny smoke runs would read as data
+    layouts = sorted({(r["n_files"], r["executor_cores"]) for r in runs
+                      if r["n_files"] >= 100_000})
+    for nf, ec in layouts:
+        rows = [r for r in runs if r["n_files"] == nf and r["executor_cores"] == ec]
+        best: dict[int, dict] = {}
+        for r in rows:
+            n = r["executors"]
+            if n not in best or r["files_per_sec"] > best[n]["files_per_sec"]:
+                best[n] = r
+        n_runs = {n: sum(1 for r in rows if r["executors"] == n) for n in best}
+        stage_keys = list(best[min(best)]["stages_sec"])
+        lines += [
+            f"## {nf:,} files, {ec}-core executors "
+            f"(`local-cluster[N,{ec},{rows[0].get('executor_mem_mb', 6144)}]`)",
+            "",
+            "| executors | total cores | total sec | files/sec | runs | "
+            + " | ".join(stage_keys) + " |",
+            "|---" * (5 + len(stage_keys)) + "|",
+        ]
+        for n in sorted(best):
+            r = best[n]
+            lines.append(
+                f"| {n} | {n * ec} | {r['total_sec']} | {r['files_per_sec']} | "
+                f"{n_runs[n]} | "
+                + " | ".join(str(round(r["stages_sec"].get(k, -1), 1)) for k in stage_keys)
+                + " |"
+            )
+        lines.append("")
+        for n in sorted(best):
+            if 4 * n in best:
+                eff = best[4 * n]["files_per_sec"] / best[n]["files_per_sec"] / 4
+                lines.append(
+                    f"**Scaling efficiency {n}→{4 * n} executors (N→4N), "
+                    f"best-of-N legs: {eff:.3f}** "
+                    f"(total cores {n * ec}→{4 * n * ec})")
+                lines.append("")
+        # same-window pairs: both legs of one interleaved rep
+        by_rep: dict[tuple, dict[int, float]] = {}
+        for r in rows:
+            by_rep.setdefault((r["session"], r["rep"]), {})[r["executors"]] = r["files_per_sec"]
+        for n in sorted(best):
+            if 4 * n not in best:
+                continue
+            pairs = [
+                (v[4 * n] / v[n] / 4, sess, rep)
+                for (sess, rep), v in sorted(by_rep.items())
+                if n in v and 4 * n in v
+            ]
+            if pairs:
+                effs = ", ".join(f"{e:.2f}" for e, _, _ in pairs)
+                bm, sess, rep = max(pairs)
+                lines.append(
+                    f"Same-window (single interleaved rep) {n}→{4 * n} "
+                    f"executor efficiencies: [{effs}]; "
+                    f"**best same-window: {bm:.3f}** ({sess} rep {rep}).")
+                lines.append("")
+        lines += [
+            "| session | rep | executors | total sec | files/sec |",
+            "|---|---|---|---|---|",
+        ]
+        for r in rows:
+            lines.append(f"| {r['session']} | {r['rep']} | {r['executors']} | "
+                         f"{r['total_sec']} | {r['files_per_sec']} |")
+        lines.append("")
+
+    lines += [
+        "## Reading the two layouts together",
+        "",
+        "- The 1-core-executor layout (`local-cluster[N,1]`) puts the 2→8",
+        "  EXECUTOR window inside the box's bandwidth-unsaturated regime —",
+        "  the same window where the thread series meets the ≥0.8 criterion —",
+        "  so it isolates what adding real executor JVMs (process isolation,",
+        "  netty shuffle, per-executor python worker pools) costs relative",
+        "  to adding threads.",
+        "- The 4-core-executor layout (`local-cluster[N,4]`) spans 8→32 total",
+        "  cores, where the thread series already measured the DRAM-streaming",
+        "  ceiling (~0.34 job-level); its 2→8-executor efficiency reads on",
+        "  the same envelope, now with real shuffle serialization on top.",
+        "- Identical outputs across both layouts and the thread series are",
+        "  the determinism half of the north rule: the plan's results do not",
+        "  depend on partitioning, executor count, or shuffle transport.",
+        "",
+        "Regenerate: `python scripts/merge_cluster.py` (campaigns append raw",
+        "runs via `python scripts/scaling_bench.py --cluster-mode ...`).",
+        "",
+    ]
+    out = os.path.join(REPO, "BENCH", "CLUSTER.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out} ({len(runs)} cluster runs, {len(layouts)} layouts)")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
