@@ -106,6 +106,12 @@ def main() -> None:
         "over the same deterministic 1,600,000-file synthetic corpus (seed=42,",
         "FIXTURES.md recipes), 16 GB heap at every level.",
         "",
+        "REAL multi-executor evidence also exists: BENCH/CLUSTER.md runs the",
+        "identical job on `--master local-cluster[N,cores,mem]` — N separate",
+        "executor JVM processes with netty shuffle between them — so N→4N",
+        "there is a true executor-count scale-up (same box, same memory-",
+        "bandwidth ceiling; regenerate via scripts/merge_cluster.py).",
+        "",
         "Measured job (the production near-dup scale path, minhash_bits=32):",
         "segment → salted segment store; signatures (positional Arrow kernel) →",
         "LSH bands → capped candidates → 3-zone exact verify; connected",
