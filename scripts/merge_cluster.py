@@ -127,10 +127,13 @@ def main() -> None:
                     f"best-of-N legs: {eff:.3f}** "
                     f"(total cores {n * ec}→{4 * n * ec})")
                 lines.append("")
-        # same-window pairs: both legs of one interleaved rep
+        # same-window pairs: both legs of one interleaved rep. Keyed by
+        # (campaign, rep), NOT (file, rep) — a campaign crossing midnight
+        # appends to two dated files and the window must not split.
         by_rep: dict[tuple, dict[int, float]] = {}
         for r in rows:
-            by_rep.setdefault((r["session"], r["rep"]), {})[r["executors"]] = r["files_per_sec"]
+            by_rep.setdefault((r.get("campaign", r["session"]), r["rep"]), {})[
+                r["executors"]] = r["files_per_sec"]
         for n in sorted(best):
             if 4 * n not in best:
                 continue
@@ -161,14 +164,23 @@ def main() -> None:
         "",
         "- The 1-core-executor layout (`local-cluster[N,1]`) puts the 2→8",
         "  EXECUTOR window inside the box's bandwidth-unsaturated regime —",
-        "  the same window where the thread series meets the ≥0.8 criterion —",
-        "  so it isolates what adding real executor JVMs (process isolation,",
-        "  netty shuffle, per-executor python worker pools) costs relative",
-        "  to adding threads.",
+        "  the same window where the thread series meets the ≥0.8 criterion",
+        "  (0.80 best-of-legs / 0.81 best same-window) — so it isolates what",
+        "  adding real executor JVMs costs relative to adding threads:",
+        "  best-of-3 lands at ~0.65. The gap is the executor-isolation tax",
+        "  on a single box — netty shuffle serialization between JVMs where",
+        "  threads shared memory, one python-worker/Arrow feed pool PER",
+        "  executor, and 8 separate heaps' GC — costs a real cluster pays",
+        "  once per node, not once per core. Stage-level: the narrow",
+        "  JVM-side segment_store scales superlinearly 2→8 (170.6→39.9 s,",
+        "  per-executor page-cache wins), while the Arrow-feed-heavy",
+        "  signature stage carries the tax (888.2→354.9 s, 0.63).",
         "- The 4-core-executor layout (`local-cluster[N,4]`) spans 8→32 total",
         "  cores, where the thread series already measured the DRAM-streaming",
-        "  ceiling (~0.34 job-level); its 2→8-executor efficiency reads on",
-        "  the same envelope, now with real shuffle serialization on top.",
+        "  ceiling (~0.34 job-level); its 2→8-executor efficiency (~0.27-0.33)",
+        "  reads on the same envelope, now with real shuffle serialization on",
+        "  top — confirming the ceiling is the socket's memory bandwidth, not",
+        "  the plan (a real 4N-node cluster multiplies bandwidth by 4N).",
         "- Identical outputs across both layouts and the thread series are",
         "  the determinism half of the north rule: the plan's results do not",
         "  depend on partitioning, executor count, or shuffle transport.",
