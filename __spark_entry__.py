@@ -1013,6 +1013,104 @@ def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clone_rename_twin(t):
+    """Type-2-preserving rename of one token (gate scaffolding): keywords
+    and punctuation verbatim, numbers suffixed '9', other identifiers
+    prefixed 'vx' (never a keyword — none starts 'vx'). Token classes and
+    order are preserved, raw text differs."""
+    from data_deduplication_service_spark.operators.clones import CLONE_KEYWORDS
+
+    first = F.substring(t, 1, 1)
+    is_digit = (first >= "0") & (first <= "9")
+    is_word = ((first >= "A") & (first <= "Z")) | (
+        (first >= "a") & (first <= "z")
+    ) | (first == "_")
+    return (
+        F.when(t.isin(*CLONE_KEYWORDS), t)
+        .when(is_digit, F.concat(t, F.lit("9")))
+        .when(is_word, F.concat(F.lit("vx"), t))
+        .otherwise(t)
+    )
+
+
+def q_clone_type2_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 code clone groups (operators/clones.py): identifier/literal
+    abstraction over a code-lexer token stream, sha256 of the class stream
+    as the duplicate key — catches renamed copies exact dedup and
+    normalization-keyed dedup both miss. The corpus is unioned with a
+    shadow RENAMED twin (doc_id + 1e9: every non-keyword identifier
+    prefixed, every number literal bumped) so each document provably
+    groups with a true type-2 clone whose raw text differs; the oracle
+    replays the identical tokenize → classify → sha256 chain in DuckDB
+    with the pattern and keyword list embedded from the operator
+    constants. Only (key, id) crosses the shuffle."""
+    from data_deduplication_service_spark.operators.clones import (
+        clone_tokens,
+        type2_clone_groups,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    twin = docs.select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform(clone_tokens(F.col("text")), _clone_rename_twin)
+        ).alias("text"),
+    )
+    groups = type2_clone_groups(docs.unionByName(twin))
+    return groups.select(
+        "doc_id",
+        "type2_sha256",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "is_dup",
+    )
+
+
+def q_clone_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bag overlap clone pairs (operators/clones.py) — the
+    SourcererCC shape: pairs with multiset overlap ≥ ⌈0.8·max(|A|,|B|)⌉,
+    found EXACTLY via prefix filtering (bags ordered by global token
+    rarity; only the first n−⌈0.8n⌉+1 slots are indexed). Oracle-complete
+    config: max_docs_per_token=None, so the output is precisely the
+    brute-force pair set, which DuckDB computes as a token self-join.
+
+    Run on the doc_id%20 slice (the synthetic corpus' ~40-word vocabulary
+    makes every token globally hot, so the oracle's self-join is O(Σdf²))
+    unioned with a partial twin per doc (every 10th token slot dropped →
+    overlap 0.9 ≥ 0.8) so qualifying pairs provably exist at every sf.
+    The integer threshold compare (overlap·5 ≥ 4·max) is replayed
+    bit-identically by the oracle (no float, no ceil)."""
+    from data_deduplication_service_spark.operators.clones import (
+        clone_overlap_pairs,
+        clone_tokens,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+    )
+    # drop 0-based slots 0, 10, 20, … (DuckDB's 1-based lambda index uses
+    # i % 10 != 1 for the same slots — pinned by the oracle gate)
+    twin = docs.select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.filter(clone_tokens(F.col("text")), lambda t, i: i % 10 != 0),
+        ).alias("text"),
+    )
+    pairs = clone_overlap_pairs(
+        docs.unionByName(twin), theta_num=4, theta_den=5, max_docs_per_token=None
+    )
+    return pairs.select(
+        "a",
+        "b",
+        F.col("overlap").cast("long").alias("overlap"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
 # planted license headers, index = doc_id % 7 (slot 6 = no header). Mixed
 # case + multi-space noise proves the fold_and_collapse normalization does
 # the matching; slot 4 carries BOTH the LGPL and GPL fingerprints to pin
@@ -1427,6 +1525,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pii_redaction": q_pii_redaction,
         "secret_scan": q_secret_scan,
         "normalized_dedup": q_normalized_dedup,
+        "clone_type2_groups": q_clone_type2_groups,
+        "clone_token_overlap": q_clone_token_overlap,
         "repetition_stats": q_repetition_stats,
         "quality_classifier": q_quality_classifier,
         "license_tag": q_license_tag,
@@ -1849,6 +1949,59 @@ def _norm_key_sql(expr: str) -> str:
     return (
         f"sha256(trim(regexp_replace(translate(nfc_normalize({expr}), "
         f"'{_NORM_UP}', '{_NORM_LO}'), '{_NORM_WS}', ' ', 'g'), ' '))"
+    )
+
+
+def _clone_sql_consts() -> tuple[str, str]:
+    """(pattern, keyword-IN-list) embedded from operators/clones.py —
+    oracle drift impossible. The pattern contains no quote characters by
+    construction (positive ASCII classes only)."""
+    from data_deduplication_service_spark.operators.clones import (
+        CLONE_KEYWORDS,
+        CLONE_TOKEN_PATTERN,
+    )
+
+    return CLONE_TOKEN_PATTERN, ", ".join(f"'{k}'" for k in CLONE_KEYWORDS)
+
+
+def _clone_classify_sql(t: str) -> str:
+    """classify_token replayed in DuckDB: keyword verbatim, digit-run →
+    'N', identifier → 'I', punctuation verbatim. First-char ASCII range
+    compares, binary collation on both engines."""
+    _, kw = _clone_sql_consts()
+    return (
+        f"CASE WHEN {t} IN ({kw}) THEN {t} "
+        f"WHEN substr({t},1,1) BETWEEN '0' AND '9' THEN 'N' "
+        f"WHEN substr({t},1,1) BETWEEN 'A' AND 'Z' "
+        f"  OR substr({t},1,1) BETWEEN 'a' AND 'z' "
+        f"  OR substr({t},1,1) = '_' THEN 'I' "
+        f"ELSE {t} END"
+    )
+
+
+def _clone_rename_sql(t: str) -> str:
+    """The gate's rename-twin derivation replayed in DuckDB (keywords and
+    punctuation verbatim, numbers suffixed '9', identifiers prefixed 'vx')."""
+    _, kw = _clone_sql_consts()
+    return (
+        f"CASE WHEN {t} IN ({kw}) THEN {t} "
+        f"WHEN substr({t},1,1) BETWEEN '0' AND '9' THEN {t} || '9' "
+        f"WHEN substr({t},1,1) BETWEEN 'A' AND 'Z' "
+        f"  OR substr({t},1,1) BETWEEN 'a' AND 'z' "
+        f"  OR substr({t},1,1) = '_' THEN 'vx' || {t} "
+        f"ELSE {t} END"
+    )
+
+
+def _clone_type2_key_sql(expr: str) -> str:
+    """sha256 of the abstracted token stream. coalesce: DuckDB's
+    array_to_string of an EMPTY list is NULL where Spark's concat_ws is ''
+    (caught building this oracle — same family as the trim trap)."""
+    pat, _ = _clone_sql_consts()
+    return (
+        f"sha256(coalesce(array_to_string(list_transform("
+        f"regexp_extract_all({expr}, '{pat}'), "
+        f"t -> {_clone_classify_sql('t')}), ' '), ''))"
     )
 
 
@@ -2541,6 +2694,66 @@ def oracle_sql() -> dict[str, str]:
         + _PAIRS_FROM_GH
         + """
             SELECT a, b, round(jaccard, 6) AS jaccard FROM pr
+        """,
+        # type-2 clone groups: identical tokenize → classify → sha256 chain,
+        # corpus ∪ rename-twin, window-function group labeling
+        "clone_type2_groups": f"""
+            WITH both_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000 AS doc_id,
+                       coalesce(array_to_string(list_transform(
+                           regexp_extract_all(text, '{_clone_sql_consts()[0]}'),
+                           t -> {_clone_rename_sql('t')}), ' '), '') AS text
+                FROM documents
+            ), k AS (
+                SELECT doc_id, {_clone_type2_key_sql("text")} AS type2_sha256
+                FROM both_docs
+            )
+            SELECT doc_id, type2_sha256,
+                   CAST(count(*) OVER (PARTITION BY type2_sha256) AS BIGINT)
+                       AS group_size,
+                   CAST(min(doc_id) OVER (PARTITION BY type2_sha256) AS BIGINT)
+                       AS canonical_id,
+                   doc_id <> min(doc_id) OVER (PARTITION BY type2_sha256)
+                       AS is_dup
+            FROM k
+        """,
+        # token-bag overlap clones, brute force (the Spark side is the
+        # uncapped prefix-filter join — provably the same set). DuckDB's
+        # 1-based lambda index: i % 10 != 1 drops the same slots Spark's
+        # 0-based i % 10 != 0 keeps out.
+        "clone_token_overlap": f"""
+            WITH base AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+                UNION ALL
+                SELECT doc_id + 1000000000 AS doc_id,
+                       coalesce(array_to_string(list_filter(
+                           regexp_extract_all(text, '{_clone_sql_consts()[0]}'),
+                           (t, i) -> i % 10 != 1), ' '), '') AS text
+                FROM documents WHERE doc_id % 20 = 0
+            ), tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '{_clone_sql_consts()[0]}'))
+                           AS tok
+                FROM base
+            ), tc AS (
+                SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2
+            ), n AS (
+                SELECT doc_id, sum(cnt) AS n FROM tc GROUP BY 1
+            ), ov AS (
+                SELECT ta.doc_id AS a, tb.doc_id AS b,
+                       sum(least(ta.cnt, tb.cnt)) AS overlap
+                FROM tc ta JOIN tc tb
+                  ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b, CAST(overlap AS BIGINT) AS overlap,
+                   CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b
+            FROM ov
+            JOIN n na ON na.doc_id = a
+            JOIN n nb ON nb.doc_id = b
+            WHERE overlap * 5 >= 4 * greatest(na.n, nb.n)
         """,
         # delta fold, exact tier: min base doc per delta content, else -1
         "delta_exact_vs_store": """

@@ -1,0 +1,287 @@
+"""Code clone detection: type-2 identifier abstraction + token-bag overlap.
+
+Two tiers a source-code training corpus needs that no other operator in
+this engine covers (the reference dedups verbatim segment bytes,
+lib/dbCommon.cpp:204-229; MinHash/LSH catches shingle-level similarity):
+
+1. **Type-2 clone groups** (:func:`type2_clone_groups`) — Roy & Cordy's
+   clone taxonomy: fragments identical up to identifier names and literal
+   values. The text is tokenized with a code lexer pattern, every
+   non-keyword identifier is abstracted to ``I``, every number literal to
+   ``N``, keywords and punctuation kept verbatim; the sha256 of the
+   re-joined class stream is the duplicate key. A renamed copy of a
+   function (the single most common vendored-copy edit) lands in the same
+   group; exact-dedup and normalization-keyed dedup both miss it.
+
+2. **Token-bag overlap pairs** (:func:`clone_overlap_pairs`) — the
+   SourcererCC shape (Sajnani et al., ICSE'16): doc pairs whose token
+   multisets overlap by at least ``⌈θ·max(|A|,|B|)⌉`` tokens, computed
+   EXACTLY (no probabilistic recall) via prefix filtering (Chaudhuri et
+   al. ICDE'06; Xiao et al. WWW'08 PPJoin): order every bag by global
+   token rarity ``(df ASC, token ASC)``; only the first
+   ``n − ⌈θ·n⌉ + 1`` bag slots of each doc are indexed, and two docs can
+   qualify only if their prefixes share a token value (lemma below). Hot
+   tokens (the ``{``/``;``/keyword mass of a code corpus) sort LAST, so
+   they almost never enter a prefix — the candidate index is built from
+   each doc's rarest tokens, the natural skew-resistant shape.
+
+Prefix-filter completeness (bag form): expand each bag into occurrence
+elements ``(token, k)``, totally ordered by ``(df, token, k)`` — exactly
+the slot order the cumulative-sum window materializes. For sorted SETS,
+if ``|A∩B| ≥ c`` then the first ``|A|−c+1`` elements of A and the first
+``|B|−c+1`` of B intersect (else every shared element exceeds
+``max(prefix_A)``, and at most ``c−1`` elements of A do). Applied to the
+expanded bags with ``c = ⌈θ·max⌉ ≥ ⌈θ·n_d⌉``: some occurrence ``(t, k)``
+is shared by both prefixes, so the FIRST occurrence ``(t, 1)`` — an
+earlier slot — is too. Indexing each doc's distinct prefix-token VALUES
+(a token row enters the index iff its first bag slot is inside the
+prefix) is therefore complete; ``(t, k≥2)`` entries would add no pair.
+
+Scale shape (what survives 100 TB):
+  - content is tokenized map-side; only ``(doc, token, count)`` rows and
+    the final pair slivers cross exchanges — never document text;
+  - the prefix is computed with ONE per-doc window (cumulative count in
+    slot order; window buffers are bounded by a single doc's distinct
+    tokens);
+  - candidate generation reuses the capped sorted-member-list map-side
+    pair expansion of lsh.py/repos.py — no self-join of an exploded
+    index; prefix tokens hotter than ``max_docs_per_token`` are excluded
+    and reported via :func:`clone_overflow_tokens`, never silently;
+  - the verify is relational (two shuffle joins on the candidate sliver +
+    one aggregate), all whole-stage codegen, and the threshold compare is
+    INTEGER (``overlap·θ_den ≥ θ_num·max(n_a,n_b)``) so Spark, DuckDB and
+    Python agree bit-for-bit (CLAUDE.md rule 14).
+
+Lexer pattern: three POSITIVE ASCII character classes (identifier, digit
+run, ASCII-punctuation run) — first-char-disjoint, so leftmost-first
+(Java, RE2) and leftmost-longest agree by construction, and no complement
+class ever leaves Java's BMP bitmap fast path (CLAUDE.md rule 15).
+Non-ASCII codepoints act as separators, a documented choice for
+ASCII-dominated source code: full Unicode identifier alphabets are
+engine- and version-dependent, token boundaries here are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from data_deduplication_service_spark.cache import persist_scoped
+
+# identifier | digit run | ASCII punctuation run (0x21-0x2F, 0x3A-0x40,
+# 0x5B-0x5E, 0x60, 0x7B-0x7E — everything printable that is not
+# [A-Za-z0-9_] or whitespace). Java ∩ RE2 ∩ Python-re syntax subset.
+CLONE_TOKEN_PATTERN = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[!-/:-@\[-\^\x60{-~]+"
+
+# Keywords survive identifier abstraction (a `for` swapped for a `while`
+# is NOT the same code; a renamed loop variable is). Imperative + SQL
+# surface keywords — the corpus under test is code in both families.
+CLONE_KEYWORDS: tuple[str, ...] = (
+    "and", "break", "case", "catch", "class", "const", "continue", "def",
+    "do", "else", "false", "for", "from", "function", "group", "if",
+    "import", "in", "is", "join", "key", "let", "merge", "new", "not",
+    "null", "or", "order", "return", "select", "static", "switch",
+    "table", "true", "try", "var", "void", "when", "where", "while",
+)
+
+
+def clone_tokens(col: Column) -> Column:
+    """Token array of a code string (array<string>, may be empty)."""
+    return F.regexp_extract_all(col, F.lit(CLONE_TOKEN_PATTERN), 0)
+
+
+def classify_token(t: Column, keywords: tuple[str, ...] = CLONE_KEYWORDS) -> Column:
+    """Type-2 abstraction of one token: keywords and punctuation verbatim,
+    other identifiers → ``I``, number literals → ``N``. Dispatch is on the
+    FIRST CHARACTER with ASCII range compares (binary collation on both
+    engines), not a regex — the token is already a single-class run."""
+    first = F.substring(t, 1, 1)
+    is_digit = (first >= "0") & (first <= "9")
+    is_word = ((first >= "A") & (first <= "Z")) | (
+        (first >= "a") & (first <= "z")
+    ) | (first == "_")
+    return (
+        F.when(t.isin(*keywords), t)
+        .when(is_digit, F.lit("N"))
+        .when(is_word, F.lit("I"))
+        .otherwise(t)
+    )
+
+
+def type2_stream(col: Column, keywords: tuple[str, ...] = CLONE_KEYWORDS) -> Column:
+    """Space-joined abstracted token stream (the type-2 canonical form)."""
+    return F.concat_ws(
+        " ", F.transform(clone_tokens(col), lambda t: classify_token(t, keywords))
+    )
+
+
+def type2_key(col: Column, keywords: tuple[str, ...] = CLONE_KEYWORDS) -> Column:
+    """sha256 hex of the type-2 canonical form."""
+    return F.sha2(type2_stream(col, keywords).cast("binary"), 256)
+
+
+def type2_clone_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keywords: tuple[str, ...] = CLONE_KEYWORDS,
+) -> DataFrame:
+    """(id, type2_sha256, group_size, canonical_id, is_dup): every document
+    labeled with its type-2 clone group.
+
+    Same skew-safe shape as normalize.py's groups: the key is computed
+    map-side, ONLY (key, id) crosses the exchange, groupBy (map-side
+    partial agg — a hot key reaches its reducer pre-collapsed) + join
+    back; canonical = min(id), deterministic and oracle-exact."""
+    keyed = persist_scoped(
+        docs.select(
+            F.col(id_col), type2_key(F.col(text_col), keywords).alias("type2_sha256")
+        )
+    )
+    groups = keyed.groupBy("type2_sha256").agg(
+        F.count("*").alias("group_size"),
+        F.min(id_col).alias("canonical_id"),
+    )
+    return keyed.join(groups, "type2_sha256").select(
+        id_col,
+        "type2_sha256",
+        "group_size",
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
+def clone_token_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, tok, cnt): per-document token bag (raw tokens, not abstracted —
+    the overlap tier is rename-SENSITIVE by design, SourcererCC's type-3
+    configuration; feed :func:`type2_stream` output in for the
+    rename-insensitive variant). One exchange with map-side combine."""
+    return (
+        docs.select(F.col(id_col), F.explode(clone_tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _prefix_index(
+    tc: DataFrame,
+    sizes: DataFrame,
+    id_col: str,
+    theta_num: int,
+    theta_den: int,
+) -> DataFrame:
+    """(id, tok) rows whose FIRST bag slot falls inside the doc's prefix.
+
+    Slot order = (df ASC, tok ASC), ties impossible (one row per (id,tok)).
+    Prefix length L = n − ⌈θ·n⌉ + 1, all-integer: ⌈p·n/q⌉ = (p·n+q−1) div q.
+    """
+    dfreq = tc.groupBy("tok").agg(F.count("*").alias("_df"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_df", "tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ceil_theta_n = F.expr(
+        f"CAST(({theta_num} * n + {theta_den - 1}) DIV {theta_den} AS BIGINT)"
+    )
+    return (
+        tc.join(dfreq, "tok")
+        .join(sizes, id_col)
+        .withColumn("_cum", F.sum("cnt").over(w))
+        .withColumn("_L", F.col("n") - ceil_theta_n + F.lit(1))
+        .filter(F.col("_cum") - F.col("cnt") < F.col("_L"))
+        .select(id_col, "tok")
+    )
+
+
+def clone_overlap_pairs(
+    docs: DataFrame,
+    theta_num: int = 4,
+    theta_den: int = 5,
+    max_docs_per_token: int | None = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, overlap, n_a, n_b): doc pairs with token-multiset overlap
+    ``Σ_t min(cnt_a, cnt_b) ≥ ⌈θ·max(n_a, n_b)⌉`` where θ = num/den and
+    n_d = total tokens of d. a < b. Exact — with ``max_docs_per_token=None``
+    the prefix filter is provably complete (module docstring) and the
+    output is precisely the brute-force pair set.
+
+    ``max_docs_per_token`` caps the candidate fan-out of one prefix token
+    (a token rare enough to enter prefixes yet shared by millions of docs
+    would emit O(df²) candidate pairs from one key at corpus scale);
+    excluded tokens are observable via :func:`clone_overflow_tokens`.
+    Capped pairs remain a SUBSET of the exact answer — the verify never
+    admits a false positive; the cap can only lose candidates.
+    """
+    tc = persist_scoped(clone_token_counts(docs, id_col, text_col))
+    sizes = persist_scoped(
+        tc.groupBy(id_col).agg(F.sum("cnt").alias("n"))
+    )
+    pre = _prefix_index(tc, sizes, id_col, theta_num, theta_den)
+
+    members = (
+        pre.groupBy("tok")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_m"))
+        .filter(F.size("_m") >= 2)
+    )
+    if max_docs_per_token is not None:
+        members = members.filter(F.size("_m") <= max_docs_per_token)
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size("_m")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cands = (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+
+    ta = tc.select(F.col(id_col).alias("a"), "tok", F.col("cnt").alias("_ca"))
+    tb = tc.select(F.col(id_col).alias("b"), "tok", F.col("cnt").alias("_cb"))
+    ov = (
+        cands.join(ta, "a")
+        .join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.least("_ca", "_cb")).alias("overlap"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b"))
+    return (
+        ov.join(na, "a")
+        .join(nb, "b")
+        .filter(
+            F.col("overlap") * theta_den
+            >= theta_num * F.greatest("n_a", "n_b")
+        )
+        .select("a", "b", "overlap", "n_a", "n_b")
+    )
+
+
+def clone_overflow_tokens(
+    docs: DataFrame,
+    theta_num: int = 4,
+    theta_den: int = 5,
+    max_docs_per_token: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(tok, n_docs): prefix-index tokens the fan-out cap excluded — the
+    observability half of the cap, same contract as every other cap."""
+    tc = clone_token_counts(docs, id_col, text_col)
+    sizes = tc.groupBy(id_col).agg(F.sum("cnt").alias("n"))
+    pre = _prefix_index(tc, sizes, id_col, theta_num, theta_den)
+    return (
+        pre.groupBy("tok")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs_per_token)
+    )

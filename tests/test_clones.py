@@ -1,0 +1,309 @@
+"""Code clone detection (operators/clones.py): type-2 groups + token-bag
+overlap join with prefix filtering."""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.operators.clones import (
+    CLONE_KEYWORDS,
+    CLONE_TOKEN_PATTERN,
+    clone_overflow_tokens,
+    clone_overlap_pairs,
+    clone_tokens,
+    type2_clone_groups,
+    type2_stream,
+)
+
+# ---------------------------------------------------------------- helpers
+
+EDGE_DOCS = [
+    "for i in range ( 10 ) : total = total + i ; print ( total )",
+    "",
+    "   \t\n",
+    "if(x){return 0;}else{y+=1;}",
+    "__init__ _ x_1 2x 3.14 0xFF",
+    "!@#$%^&*()_+ `~ [a]|{b} \\ \" '",
+    "café eéf  nbsp \U0001f600!! fullwidthａx",
+    "a" * 500,
+    "SELECT col FROM t WHERE k = 1 ORDER BY col",
+]
+
+
+def _py_tokens(text: str) -> list[str]:
+    return re.findall(CLONE_TOKEN_PATTERN, text)
+
+
+def _py_classify(tok: str) -> str:
+    if tok in CLONE_KEYWORDS:
+        return tok
+    c = tok[0]
+    if "0" <= c <= "9":
+        return "N"
+    if "A" <= c <= "Z" or "a" <= c <= "z" or c == "_":
+        return "I"
+    return tok
+
+
+def _py_overlap_pairs(docs, theta=(4, 5)):
+    bags = {i: Counter(_py_tokens(t)) for i, t in docs}
+    ns = {i: sum(b.values()) for i, b in bags.items()}
+    out = set()
+    ids = sorted(bags)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ov = sum(min(bags[a][t], bags[b][t]) for t in bags[a])
+            if ov > 0 and ov * theta[1] >= theta[0] * max(ns[a], ns[b]):
+                out.add((a, b, ov, ns[a], ns[b]))
+    return out
+
+
+def _random_corpus(seed: int, n_docs: int) -> list[tuple[int, str]]:
+    """Clone-dense corpus: a few base templates, each emitted with rename /
+    token-drop / token-swap edits so the θ boundary is actually exercised."""
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "count", "x", "y", "tmp"]
+    punct = ["(", ")", ";", "{", "}", "=", "+", ","]
+    kw = ["for", "if", "return", "while", "in"]
+    bases = [
+        [rng.choice(vocab + punct + kw) for _ in range(rng.randint(1, 30))]
+        for _ in range(4)
+    ]
+    docs = []
+    for i in range(n_docs):
+        toks = list(rng.choice(bases))
+        for _ in range(rng.randint(0, 3)):
+            op = rng.randint(0, 2)
+            if not toks:
+                break
+            j = rng.randrange(len(toks))
+            if op == 0:
+                toks[j] = rng.choice(vocab)
+            elif op == 1:
+                del toks[j]
+            else:
+                toks.insert(j, rng.choice(vocab + punct))
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+# ------------------------------------------------------------ tokenization
+
+
+def test_spark_tokens_equal_python_re(spark):
+    df = spark.createDataFrame(
+        list(enumerate(EDGE_DOCS)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select("doc_id", clone_tokens(F.col("text")).alias("toks")).collect()
+    }
+    for i, text in enumerate(EDGE_DOCS):
+        assert got[i] == _py_tokens(text), (i, text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(
+            min_codepoint=1, max_codepoint=0x2FFFF, exclude_categories=("Cs",)
+        ),
+        max_size=120,
+    )
+)
+def test_duckdb_re2_tokens_equal_python_re(text):
+    got = (
+        duckdb.connect()
+        .execute("select regexp_extract_all(?, ?)", [text, CLONE_TOKEN_PATTERN])
+        .fetchone()[0]
+    )
+    assert got == _py_tokens(text)
+
+
+def test_classification_stream(spark):
+    df = spark.createDataFrame(
+        [(0, "for vx1 in table ( 42 ) ; _tmp é 0xAB")],
+        "doc_id long, text string",
+    )
+    got = df.select(type2_stream(F.col("text")).alias("s")).collect()[0]["s"]
+    want = " ".join(_py_classify(t) for t in _py_tokens("for vx1 in table ( 42 ) ; _tmp é 0xAB"))
+    assert got == want
+    # keywords survive, identifiers/numbers abstract, punct verbatim
+    assert got == "for I in table ( N ) ; I N I"
+
+
+# ------------------------------------------------------------ type-2 groups
+
+
+def test_type2_groups_match_first_principles(spark):
+    docs = [
+        (0, "for i in range ( 10 ) : acc = acc + i"),
+        (1, "for j in range ( 99 ) : tot = tot + j"),  # rename + literal edit
+        (2, "for j in range ( 99 ) : tot = tot - j"),  # operator differs
+        (3, ""),
+        (4, "   "),
+        (5, "while k : k = k - 1"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = type2_clone_groups(df).collect()
+    keys = {}
+    for i, t in docs:
+        keys[i] = " ".join(_py_classify(x) for x in _py_tokens(t))
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[0]["type2_sha256"] == by_id[1]["type2_sha256"]
+    assert by_id[0]["type2_sha256"] != by_id[2]["type2_sha256"]
+    assert by_id[3]["type2_sha256"] == by_id[4]["type2_sha256"]  # both empty streams
+    groups: dict[str, list[int]] = {}
+    for i in keys:
+        groups.setdefault(keys[i], []).append(i)
+    for i, t in docs:
+        g = groups[keys[i]]
+        assert by_id[i]["group_size"] == len(g)
+        assert by_id[i]["canonical_id"] == min(g)
+        assert by_id[i]["is_dup"] == (i != min(g))
+
+
+def test_type2_rename_insensitive_but_structure_sensitive(spark):
+    base = "def run ( data ) : return data + 1"
+    renamed = "def process ( rows ) : return rows + 7"
+    reordered = "def run ( data ) : return 1 + data"
+    df = spark.createDataFrame(
+        [(0, base), (1, renamed), (2, reordered)], "doc_id long, text string"
+    )
+    k = {r["doc_id"]: r["type2_sha256"] for r in type2_clone_groups(df).collect()}
+    assert k[0] == k[1]
+    assert k[0] != k[2]
+
+
+# ---------------------------------------------------------- overlap pairs
+
+
+def test_overlap_uncapped_equals_brute_force(spark):
+    docs = _random_corpus(seed=7, n_docs=40)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"], r["overlap"], r["n_a"], r["n_b"])
+        for r in clone_overlap_pairs(df, max_docs_per_token=None).collect()
+    }
+    assert got == _py_overlap_pairs(docs)
+
+
+@pytest.mark.parametrize("theta", [(1, 2), (7, 10), (1, 1)])
+def test_overlap_thresholds(spark, theta):
+    docs = _random_corpus(seed=theta[0] * 31 + theta[1], n_docs=25)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"], r["overlap"], r["n_a"], r["n_b"])
+        for r in clone_overlap_pairs(
+            df, theta_num=theta[0], theta_den=theta[1], max_docs_per_token=None
+        ).collect()
+    }
+    assert got == _py_overlap_pairs(docs, theta)
+
+
+def test_overlap_cap_is_subset_and_observable(spark):
+    docs = _random_corpus(seed=3, n_docs=40)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    full = {
+        (r["a"], r["b"]) for r in clone_overlap_pairs(df, max_docs_per_token=None).collect()
+    }
+    capped = {
+        (r["a"], r["b"]) for r in clone_overlap_pairs(df, max_docs_per_token=3).collect()
+    }
+    assert capped <= full
+    ovf = {r["tok"]: r["n_docs"] for r in clone_overflow_tokens(df, max_docs_per_token=3).collect()}
+    assert ovf, "clone-dense corpus must overflow a 3-doc token cap"
+    assert all(n > 3 for n in ovf.values())
+
+
+def test_overlap_no_pairs_between_disjoint_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "aaa bbb ccc"), (1, "ddd eee fff"), (2, ""), (3, "")],
+        "doc_id long, text string",
+    )
+    assert clone_overlap_pairs(df, max_docs_per_token=None).count() == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    num=st.sampled_from([1, 3, 4, 9]),
+)
+def test_prefix_filter_completeness_pure_python(seed, num):
+    """The value-level prefix index (first bag slot < L) is complete vs the
+    θ-overlap predicate — the lemma the Spark plan relies on, swept over
+    random bags without a JVM in the loop."""
+    den = 10 if num != 1 else 2
+    rng = random.Random(seed)
+    vocab = list("abcdefgh")
+    bags = [
+        Counter(rng.choices(vocab, k=rng.randint(0, 12))) for _ in range(12)
+    ]
+    ns = [sum(b.values()) for b in bags]
+    dfreq = Counter()
+    for b in bags:
+        dfreq.update(set(b))
+    order = lambda t: (dfreq[t], t)  # noqa: E731
+
+    def prefix_values(i):
+        n = ns[i]
+        L = n - -(-num * n // den) + 1
+        out, cum = set(), 0
+        for t in sorted(bags[i], key=order):
+            if cum < L:
+                out.add(t)
+            cum += bags[i][t]
+        return out
+
+    for i in range(len(bags)):
+        for j in range(i + 1, len(bags)):
+            ov = sum(min(bags[i][t], bags[j][t]) for t in bags[i])
+            if ov > 0 and ov * den >= num * max(ns[i], ns[j]):
+                assert prefix_values(i) & prefix_values(j), (
+                    seed, num, bags[i], bags[j],
+                )
+
+
+# ------------------------------------------------------------- plan shape
+
+
+def test_overlap_plan_no_cartesian_and_mapside_expansion(spark):
+    docs = _random_corpus(seed=1, n_docs=12)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = clone_overlap_pairs(df)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "explode" in plan, "map-side pair expansion missing"
+    physical = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "extended"
+    )
+    assert "CartesianProduct" not in physical
+    assert "Generate explode" in physical or "explode" in physical
+
+
+def test_type2_key_only_shuffle(spark):
+    df = spark.createDataFrame(
+        [(0, "x y z"), (1, "a b c")], "doc_id long, text string"
+    )
+    out = type2_clone_groups(df)
+    physical = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    # content never crosses an exchange: every exchange hash-partitions on
+    # the key, and the rows entering it (the cached keyed sliver) carry
+    # only (doc_id, type2_sha256). The InMemoryRelation's re-embedded
+    # child plan prints text#N below the exchange, but what shuffles is
+    # the InMemoryTableScan's column set.
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange hashpartitioning\((\w+)", physical)
+    assert exchanges and set(exchanges) == {"type2_sha256"}
+    for cols in _re.findall(r"InMemoryTableScan \[([^\]]*)\]", physical):
+        assert "text" not in cols, cols

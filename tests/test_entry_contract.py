@@ -110,6 +110,8 @@ _DOC_QUERIES = [
     "bpe_token_stats",
     "sequence_pack",
     "training_manifest",
+    "clone_type2_groups",
+    "clone_token_overlap",
 ]
 
 
