@@ -73,7 +73,8 @@ def main() -> None:
                 and not r.get("quality_invariant", "")
                 and not r.get("code_gates_invariant", "")
                 and not r.get("secrets_invariant", "")
-                and not r.get("shape_gates_invariant", ""))
+                and not r.get("shape_gates_invariant", "")
+                and not r.get("clones_invariant", ""))
 
     lean = [r for r in runs
             if not r.get("fused") and r.get("n_files") == 1_600_000 and is_base_job(r)]
@@ -410,6 +411,42 @@ def main() -> None:
                 )
             lines.append("")
             eff = stage_eff_line(rows, "quality_scans")
+            if eff:
+                lines += [eff, ""]
+
+    cl = [r for r in runs if r.get("clones_invariant", "")]
+    if cl:
+        lines += [
+            "## Code-clone tiers on the measured scale path",
+            "",
+            "Type-2 clone groups (lexer tokenize -> identifier/literal",
+            "abstraction -> sha256 class-stream key; one content scan, one",
+            "(key, id) exchange) and the SourcererCC-style token-bag overlap",
+            "join (theta=0.8, prefix filtering by global token rarity,",
+            "max_docs_per_token=256 with overflow observability). Invariant =",
+            "t2dups/pairs/overlapsum integer tuple, asserted identical per",
+            "corpus size.",
+            "",
+        ]
+        for nf in sorted({r["n_files"] for r in cl}):
+            rows = [r for r in cl if r["n_files"] == nf]
+            inv = {r["clones_invariant"] for r in rows}
+            assert len(inv) == 1, f"clone invariants differ at {nf}: {inv}"
+            lines += [
+                f"{nf:,}-file corpus — **invariant {inv.pop()}, identical at",
+                "every parallelism level:**",
+                "",
+                "| session | rep | cores | clone_type2 sec | clone_overlap sec | job total sec |",
+                "|---|---|---|---|---|---|",
+            ]
+            for r in rows:
+                lines.append(
+                    f"| {r['session']} | {r['rep']} | {r['cores']} | "
+                    f"{r['stages_sec'].get('clone_type2', '-')} | "
+                    f"{r['stages_sec'].get('clone_overlap', '-')} | {r['total_sec']} |"
+                )
+            lines.append("")
+            eff = stage_eff_line(rows, "clone_overlap")
             if eff:
                 lines += [eff, ""]
 

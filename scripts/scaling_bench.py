@@ -75,6 +75,7 @@ def worker(
     with_code_gates: bool = False,
     with_secret_scan: bool = False,
     with_shape_gates: bool = False,
+    with_clones: bool = False,
     containment_cap: int = 50,
 ) -> None:
     from pyspark.sql import SparkSession
@@ -403,6 +404,39 @@ def worker(
         shape_gates_invariant = f"{g['keep']}/{g['stops']}/{bpetok}"
         t["shape_gates"] = time.monotonic() - tsg
 
+    clones_invariant = ""
+    if with_clones:
+        # code clone tiers on the measured path: type-2 abstraction groups
+        # (one content scan -> class-stream sha key -> one (key, id)
+        # exchange) and the prefix-filtered token-bag overlap join at the
+        # production capped config (theta=0.8, max_docs_per_token=256).
+        # Both deterministic under parallelism: the prefix order
+        # (df, tok) is unique per doc, members are sort_array'd, the cap
+        # is a set property. Invariant = "t2dups/pairs/overlapsum".
+        from data_deduplication_service_spark.operators.clones import (
+            clone_overlap_pairs,
+            type2_clone_groups,
+        )
+
+        tcl = time.monotonic()
+        docs = files.select(
+            "file_id", F.col("content").cast("string").alias("content")
+        )
+        t2 = type2_clone_groups(docs, id_col="file_id", text_col="content").agg(
+            F.sum(F.col("is_dup").cast("long")).alias("d")
+        ).collect()[0]["d"]
+        t["clone_type2"] = time.monotonic() - tcl
+        tcl = time.monotonic()
+        p = clone_overlap_pairs(
+            docs, id_col="file_id", text_col="content",
+            theta_num=4, theta_den=5, max_docs_per_token=256,
+        ).agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("overlap"), F.lit(0)).cast("long").alias("s"),
+        ).collect()[0]
+        clones_invariant = f"{t2}/{p['n']}/{p['s']}"
+        t["clone_overlap"] = time.monotonic() - tcl
+
     n_boilerplate = -1
     if with_boilerplate:
         # line-level boilerplate removal on the measured path: the synthetic
@@ -461,6 +495,7 @@ def worker(
                 "code_gates_invariant": code_gates_invariant,
                 "secrets_invariant": secrets_invariant,
                 "shape_gates_invariant": shape_gates_invariant,
+                "clones_invariant": clones_invariant,
                 "stages_sec": {k: round(v, 2) for k, v in t.items()},
                 "total_sec": round(total, 2),
                 "files_per_sec": round(n_files / total, 1),
@@ -486,6 +521,7 @@ def orchestrate(
     with_code_gates: bool = False,
     with_secret_scan: bool = False,
     with_shape_gates: bool = False,
+    with_clones: bool = False,
     containment_cap: int = 50,
     legs: tuple[int, ...] = (8, 32),
     cluster_mode: bool = False,
@@ -560,6 +596,8 @@ def orchestrate(
             ) + (
                 ["--with-shape-gates"] if with_shape_gates else []
             ) + (
+                ["--with-clones"] if with_clones else []
+            ) + (
                 ["--with-containment", "--containment-cap", str(containment_cap)]
                 if with_containment else []
             )
@@ -602,6 +640,8 @@ def orchestrate(
                 or prev.get("quality_invariant", "") != r.get("quality_invariant", "")
                 or prev.get("code_gates_invariant", "") != r.get("code_gates_invariant", "")
                 or prev.get("secrets_invariant", "") != r.get("secrets_invariant", "")
+                or prev.get("shape_gates_invariant", "") != r.get("shape_gates_invariant", "")
+                or prev.get("clones_invariant", "") != r.get("clones_invariant", "")
             ):
                 raise RuntimeError(f"outputs differ across runs at {cores} cores: {prev} vs {r}")
             if prev is None or r["files_per_sec"] > prev["files_per_sec"]:
@@ -734,6 +774,10 @@ def main() -> None:
     ap.add_argument("--with-shape-gates", action="store_true",
                     help="also measure the document-shape gate pair (Gopher "
                          "Table A1 gates + BPE-ish token counts)")
+    ap.add_argument("--with-clones", action="store_true",
+                    help="also measure the code-clone tiers (type-2 "
+                         "abstraction groups + prefix-filtered token-bag "
+                         "overlap join, capped config)")
     ap.add_argument("--containment-cap", type=int, default=50,
                     help="max_shingle_doc_freq for the containment leg "
                          "(50 = the published 400k protocol)")
@@ -762,6 +806,7 @@ def main() -> None:
                with_code_gates=args.with_code_gates,
                with_secret_scan=args.with_secret_scan,
                with_shape_gates=args.with_shape_gates,
+               with_clones=args.with_clones,
                containment_cap=args.containment_cap)
     else:
         default_out = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -779,6 +824,7 @@ def main() -> None:
                     with_code_gates=args.with_code_gates,
                     with_secret_scan=args.with_secret_scan,
                     with_shape_gates=args.with_shape_gates,
+                    with_clones=args.with_clones,
                     containment_cap=args.containment_cap,
                     legs=tuple(int(x) for x in args.legs.split(",")),
                     cluster_mode=args.cluster_mode,
