@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "bpe_token_stats",  # added r5 (new operator; pre-existing keys unchanged)
     "sequence_pack",  # added r5 (new operator; pre-existing keys unchanged)
     "training_manifest",  # added r5 (new operator; pre-existing keys unchanged)
+    "clone_type2_groups",  # added r5 (new operator; pre-existing keys unchanged)
+    "clone_token_overlap",  # added r5 (new operator; pre-existing keys unchanged)
     "q1_pricing_summary",
     "revenue_topk",
     "events_hourly",
