@@ -168,7 +168,6 @@ def clone_token_counts(
 
 def _prefix_index(
     tc: DataFrame,
-    sizes: DataFrame,
     id_col: str,
     theta_num: int,
     theta_den: int,
@@ -179,20 +178,32 @@ def _prefix_index(
 
     Slot order = (df ASC, tok ASC), ties impossible (one row per (id,tok)).
     Prefix length L = n − ⌈θ·n⌉ + 1, all-integer: ⌈p·n/q⌉ = (p·n+q−1) div q.
+
+    ``n`` (the per-doc total) is a second frame of the SAME window the
+    cumulative sum already pays for — one exchange + one sort serve both —
+    instead of a separate groupBy + shuffle join back onto tc (profiled at
+    100k/8c: the join formulation made prefix_index the most expensive
+    phase of the overlap stage, and it inverse-scaled 8→32c).
     """
     dfreq = tc.groupBy("tok").agg(F.count("*").alias("_df"))
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("_df", "tok")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy(id_col).orderBy("_df", "tok")
     ceil_theta_n = F.expr(
         f"CAST(({theta_num} * n + {theta_den - 1}) DIV {theta_den} AS BIGINT)"
     )
     return (
         tc.join(dfreq, "tok")
-        .join(sizes, id_col)
-        .withColumn("_cum", F.sum("cnt").over(w))
+        .withColumn(
+            "_cum",
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "n",
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
         .withColumn("_L", F.col("n") - ceil_theta_n + F.lit(1))
         .filter(F.col("_cum") - F.col("cnt") < F.col("_L"))
         .select(id_col, "tok", (F.col("_cum") - F.col("cnt")).alias("c"), "n")
@@ -253,23 +264,27 @@ def _bag_overlap_kernel(iterator):
         )
 
 
-def doc_token_bags(tc: DataFrame, sizes: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def doc_token_bags(tc: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, n, bag): each doc's token bag as an h-sorted
     ``array<struct<h, cnt>>`` where h = xxhash64(token). The 64-bit image
     is what the verify kernel intersects — exact unless two DISTINCT
     tokens of the same pair collide in 64 bits (≪ 10⁻⁹ even at 10⁸-token
     vocabularies; the same negligible-collision contract as the engine's
-    xxhash64 file identity in sources/corpus.py)."""
+    xxhash64 file identity in sources/corpus.py). ``n`` rides the same
+    groupBy as the bag — no separate sizes aggregate or join."""
     return (
         tc.select(
             F.col(id_col),
+            F.col("cnt").cast("long").alias("_c"),
             F.struct(
                 F.xxhash64("tok").alias("h"), F.col("cnt").cast("long").alias("cnt")
             ).alias("_e"),
         )
         .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("_e")).alias("bag"))
-        .join(sizes, id_col)
+        .agg(
+            F.array_sort(F.collect_list("_e")).alias("bag"),
+            F.sum("_c").alias("n"),
+        )
     )
 
 
@@ -313,8 +328,7 @@ def clone_overlap_pairs(
     admits a false positive; the cap can only lose candidates.
     """
     tc = persist_scoped(clone_token_counts(docs, id_col, text_col))
-    sizes = tc.groupBy(id_col).agg(F.sum("cnt").alias("n"))
-    pre = _prefix_index(tc, sizes, id_col, theta_num, theta_den)
+    pre = _prefix_index(tc, id_col, theta_num, theta_den)
 
     members = (
         pre.groupBy("tok")
@@ -351,7 +365,7 @@ def clone_overlap_pairs(
         .distinct()
     )
 
-    bags = persist_scoped(doc_token_bags(tc, sizes, id_col))
+    bags = persist_scoped(doc_token_bags(tc, id_col))
     with_bags = cands.join(
         bags.select(
             F.col(id_col).alias("a"), F.col("bag").alias("_ba"), F.col("n").alias("n_a")
@@ -383,8 +397,7 @@ def clone_overflow_tokens(
     """(tok, n_docs): prefix-index tokens the fan-out cap excluded — the
     observability half of the cap, same contract as every other cap."""
     tc = clone_token_counts(docs, id_col, text_col)
-    sizes = tc.groupBy(id_col).agg(F.sum("cnt").alias("n"))
-    pre = _prefix_index(tc, sizes, id_col, theta_num, theta_den)
+    pre = _prefix_index(tc, id_col, theta_num, theta_den)
     return (
         pre.groupBy("tok")
         .agg(F.count("*").alias("n_docs"))

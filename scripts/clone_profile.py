@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Per-phase profile of the clone token-bag overlap join at one
+parallelism level — the adjudicator for WHERE the stage's time goes
+(tokenize/count, prefix index, expansion+distinct, bag build, kernel
+verify). One process per leg (CLAUDE.md rule 2); same session conf as
+scripts/scaling_bench.py so numbers line up with BENCH/BASELINE.md.
+
+Usage: python scripts/clone_profile.py --cores 8 [--n-files 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--n-files", type=int, default=100_000)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cores}]")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", str(max(args.cores * 4, 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.local.dir", "/dev/shm/spark-scaling")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_deduplication_service_spark.operators.clones import (
+        _bag_overlap_kernel,
+        _prefix_index,
+        clone_token_counts,
+        doc_token_bags,
+    )
+
+    files = spark.read.parquet(f"/tmp/scaling_corpus_{args.n_files}.parquet")
+    docs = files.select("file_id", F.col("content").cast("string").alias("content"))
+    n = docs.count()  # warm the scan
+
+    t: dict[str, float] = {}
+
+    def mark(key: str, t0: float) -> float:
+        t[key] = round(time.monotonic() - t0, 2)
+        return time.monotonic()
+
+    theta_num, theta_den, cap = 4, 5, 256
+
+    t0 = time.monotonic()
+    tc = clone_token_counts(docs, id_col="file_id", text_col="content")
+    tc.persist()
+    tc.write.mode("overwrite").format("noop").save()
+    t0 = mark("token_counts", t0)
+
+    pre = _prefix_index(tc, "file_id", theta_num, theta_den)
+    pre.persist()
+    pre.write.mode("overwrite").format("noop").save()
+    t0 = mark("prefix_index", t0)
+
+    members = (
+        pre.groupBy("tok")
+        .agg(F.sort_array(F.collect_list(F.struct("file_id", "c", "n"))).alias("_m"))
+        .filter(F.size("_m") >= 2)
+        .filter(F.size("_m") <= cap)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size("_m")),
+                lambda y: F.struct(
+                    x["file_id"].alias("a"),
+                    y["file_id"].alias("b"),
+                    (
+                        F.least(x["c"], y["c"])
+                        + F.least(x["n"] - x["c"], y["n"] - y["c"])
+                    ).alias("ub"),
+                    F.greatest(x["n"], y["n"]).alias("mx"),
+                ),
+            ),
+        )
+    )
+    cands = (
+        members.select(F.explode(pair_expr).alias("p"))
+        .filter(F.col("p.ub") * theta_den >= theta_num * F.col("p.mx"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    cands.persist()
+    n_cands = cands.count()
+    t0 = mark("expand_distinct", t0)
+
+    bags = doc_token_bags(tc, id_col="file_id")
+    bags.persist()
+    bags.write.mode("overwrite").format("noop").save()
+    t0 = mark("bag_build", t0)
+
+    with_bags = cands.join(
+        bags.select(
+            F.col("file_id").alias("a"), F.col("bag").alias("_ba"), F.col("n").alias("n_a")
+        ),
+        "a",
+    ).join(
+        bags.select(
+            F.col("file_id").alias("b"), F.col("bag").alias("_bb"), F.col("n").alias("n_b")
+        ),
+        "b",
+    )
+    verified = with_bags.select("a", "b", "n_a", "n_b", "_ba", "_bb").mapInArrow(
+        _bag_overlap_kernel,
+        "a long, b long, n_a long, n_b long, overlap long",
+    )
+    out = verified.filter(
+        F.col("overlap") * theta_den >= theta_num * F.greatest("n_a", "n_b")
+    ).agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("overlap"), F.lit(0)).cast("long").alias("s"),
+    ).collect()[0]
+    t0 = mark("join_verify", t0)
+
+    print(json.dumps({
+        "cores": args.cores,
+        "n_files": n,
+        "n_cands": n_cands,
+        "invariant": f"{out['n']}/{out['s']}",
+        "phases_sec": t,
+        "total_sec": round(sum(t.values()), 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
