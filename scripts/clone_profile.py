@@ -41,8 +41,8 @@ def main() -> None:
     from data_deduplication_service_spark.operators.clones import (
         _bag_overlap_kernel,
         _prefix_index,
-        clone_token_counts,
         doc_token_bags,
+        hashed_token_counts,
     )
 
     files = spark.read.parquet(f"/tmp/scaling_corpus_{args.n_files}.parquet")
@@ -58,7 +58,7 @@ def main() -> None:
     theta_num, theta_den, cap = 4, 5, 256
 
     t0 = time.monotonic()
-    tc = clone_token_counts(docs, id_col="file_id", text_col="content")
+    tc = hashed_token_counts(docs, id_col="file_id", text_col="content")
     tc.persist()
     tc.write.mode("overwrite").format("noop").save()
     t0 = mark("token_counts", t0)
@@ -69,7 +69,7 @@ def main() -> None:
     t0 = mark("prefix_index", t0)
 
     members = (
-        pre.groupBy("tok")
+        pre.groupBy("h")
         .agg(F.sort_array(F.collect_list(F.struct("file_id", "c", "n"))).alias("_m"))
         .filter(F.size("_m") >= 2)
         .filter(F.size("_m") <= cap)

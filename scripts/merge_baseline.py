@@ -424,17 +424,30 @@ def main() -> None:
             "(key, id) exchange) and the SourcererCC-style token-bag overlap",
             "join (theta=0.8, prefix filtering by global token rarity,",
             "max_docs_per_token=256 with overflow observability). Invariant =",
-            "t2dups/pairs/overlapsum integer tuple, asserted identical per",
-            "corpus size.",
+            "t2dups/pairs/overlapsum integer tuple, asserted identical across",
+            "parallelism levels WITHIN each campaign (the scaling criterion).",
+            "Across code eras the capped overlap invariant may legitimately",
+            "shift by a few pairs: the doc-frequency cap excludes prefix-TOKEN",
+            "groups, prefix membership depends on the (df, tiebreak) slot",
+            "order, and the tiebreak changed from token string to token hash",
+            "when the pipeline went long-keyed; capped output is a documented",
+            "subset-of-exact under ANY consistent order (uncapped parity is",
+            "pytest-pinned order-independent).",
             "",
         ]
         for nf in sorted({r["n_files"] for r in cl}):
             rows = [r for r in cl if r["n_files"] == nf]
-            inv = {r["clones_invariant"] for r in rows}
-            assert len(inv) == 1, f"clone invariants differ at {nf}: {inv}"
+            for camp in {r.get("campaign", "") for r in rows}:
+                inv = {
+                    r["clones_invariant"] for r in rows
+                    if r.get("campaign", "") == camp
+                }
+                assert len(inv) == 1, \
+                    f"clone invariants differ within campaign {camp} at {nf}: {inv}"
+            invs = sorted({r["clones_invariant"] for r in rows})
             lines += [
-                f"{nf:,}-file corpus — **invariant {inv.pop()}, identical at",
-                "every parallelism level:**",
+                f"{nf:,}-file corpus — **invariant(s) {'; '.join(invs)},",
+                "identical at every parallelism level within each campaign:**",
                 "",
                 "| session | rep | cores | clone_type2 sec | clone_overlap sec | job total sec |",
                 "|---|---|---|---|---|---|",
