@@ -307,3 +307,58 @@ def test_type2_key_only_shuffle(spark):
     assert exchanges and set(exchanges) == {"type2_sha256"}
     for cols in _re.findall(r"InMemoryTableScan \[([^\]]*)\]", physical):
         assert "text" not in cols, cols
+
+
+# ------------------------------------------------- boilerplate composition
+
+
+def test_scrub_then_overlap_dissolves_boilerplate_class(spark):
+    """The BENCH/CLONE_SKEW.md composition at pytest scale: on a
+    boilerplate-heavy corpus the raw overlap join's TRUE answer is
+    quadratic in the hot class (any two hot docs share >=theta token
+    mass through the common prefix), while one remove_hot_units
+    pre-pass dissolves the hot class WITHOUT losing genuine twins —
+    their unique lines sit below the df threshold."""
+    from data_deduplication_service_spark.operators.boilerplate import (
+        remove_hot_units,
+    )
+
+    boiler = "\n".join(
+        f"standard header line number {i} shared by the whole corpus ;;"
+        for i in range(40)
+    )
+    rng = random.Random(7)
+    rows = []
+    # 12 hot docs: shared 40-line boiler + a short unique tail each
+    for d in range(12):
+        tail = "\n".join(
+            f"unique_{d}_{j} = compute_{d} ( {rng.randrange(1000)} )"
+            for j in range(6)
+        )
+        rows.append((d, boiler + "\n" + tail))
+    # one planted twin pair OUTSIDE the hot slice: identical unique docs
+    twin = "\n".join(
+        f"twin_only_line_{j} = special ( {j} )" for j in range(30)
+    )
+    rows += [(100, twin), (101, twin)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    raw = {
+        (r["a"], r["b"])
+        for r in clone_overlap_pairs(df, max_docs_per_token=None).collect()
+    }
+    # every hot-hot pair qualifies (boiler is ~40/46 of each doc's lines)
+    hot_pairs = {(a, b) for a in range(12) for b in range(a + 1, 12)}
+    assert hot_pairs <= raw
+    assert (100, 101) in raw
+
+    scrubbed = remove_hot_units(
+        df, min_df=10, min_unit_len=8, id_col="doc_id", content_col="text"
+    ).select(F.col("doc_id"), F.col("content").alias("text"))
+    after = {
+        (r["a"], r["b"])
+        for r in clone_overlap_pairs(scrubbed, max_docs_per_token=None).collect()
+    }
+    # the quadratic hot class dissolves; the genuine twin survives
+    assert not (hot_pairs & after)
+    assert (100, 101) in after
