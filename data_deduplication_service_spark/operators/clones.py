@@ -201,6 +201,7 @@ def _prefix_index(
     id_col: str,
     theta_num: int,
     theta_den: int,
+    broadcast_df: bool = False,
 ) -> DataFrame:
     """(id, h, c, n) rows whose FIRST bag slot falls inside the doc's
     prefix; ``c`` = the bag mass strictly before this token in slot order
@@ -219,6 +220,14 @@ def _prefix_index(
     expensive phase of the overlap stage, and it inverse-scaled 8→32c).
     """
     dfreq = thc.groupBy("h").agg(F.count("*").alias("_df"))
+    if broadcast_df:
+        # bounded-vocabulary lever (BENCH/CLONE_PROFILE.md): broadcasting
+        # the (h, df) table saves the by-hash reshuffle of the counts
+        # table ahead of the rarity window — the join's only purpose is
+        # attaching the sort key. Opt-in: the general 10^12-file case
+        # has an unbounded identifier vocabulary and must not force a
+        # driver-side build.
+        dfreq = F.broadcast(dfreq)
     w = Window.partitionBy(id_col).orderBy("_df", "h")
     ceil_theta_n = F.expr(
         f"CAST(({theta_num} * n + {theta_den - 1}) DIV {theta_den} AS BIGINT)"
@@ -328,6 +337,7 @@ def clone_overlap_pairs(
     max_docs_per_token: int | None = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_token_df: bool = False,
 ) -> DataFrame:
     """(a, b, overlap, n_a, n_b): doc pairs with token-multiset overlap
     ``Σ_t min(cnt_a, cnt_b) ≥ ⌈θ·max(n_a, n_b)⌉`` where θ = num/den and
@@ -353,6 +363,11 @@ def clone_overlap_pairs(
       instead of the relational (cand ⋈ bag_a ⋈ bag_b) row explosion,
       whose ~500M-row shuffle was 383s at 10k files/8 cores.
 
+    ``broadcast_token_df=True`` broadcasts the (h, df) table into the
+    rarity join (output-identical; saves the by-hash reshuffle of the
+    counts table) — opt in ONLY when the corpus vocabulary is known
+    bounded; see BENCH/CLONE_PROFILE.md.
+
     ``max_docs_per_token`` caps the candidate fan-out of one prefix token
     (a token rare enough to enter prefixes yet shared by millions of docs
     would emit O(df²) candidate pairs from one key at corpus scale);
@@ -361,7 +376,7 @@ def clone_overlap_pairs(
     admits a false positive; the cap can only lose candidates.
     """
     thc = persist_scoped(hashed_token_counts(docs, id_col, text_col))
-    pre = _prefix_index(thc, id_col, theta_num, theta_den)
+    pre = _prefix_index(thc, id_col, theta_num, theta_den, broadcast_token_df)
 
     members = (
         pre.groupBy("h")

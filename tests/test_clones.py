@@ -362,3 +362,19 @@ def test_scrub_then_overlap_dissolves_boilerplate_class(spark):
     # the quadratic hot class dissolves; the genuine twin survives
     assert not (hot_pairs & after)
     assert (100, 101) in after
+
+
+def test_overlap_broadcast_df_is_output_identical(spark):
+    docs = _random_corpus(seed=11, n_docs=30)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = {
+        (r["a"], r["b"], r["overlap"])
+        for r in clone_overlap_pairs(df, max_docs_per_token=None).collect()
+    }
+    bcast = {
+        (r["a"], r["b"], r["overlap"])
+        for r in clone_overlap_pairs(
+            df, max_docs_per_token=None, broadcast_token_df=True
+        ).collect()
+    }
+    assert base == bcast and base
