@@ -865,8 +865,17 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
     )
+    # Arrow path (from-pandas): a Python-LIST createDataFrame plans a
+    # pickled-RDD scan that re-spins python workers on EVERY downstream
+    # action (~4 s per job on this box; the dim feeds two join branches)
+    import pandas as _pd
+
+    items = sorted(MIXTURE_BUDGETS.items())
     budgets = spark.createDataFrame(
-        sorted(MIXTURE_BUDGETS.items()), "lang string, budget long"
+        _pd.DataFrame(
+            {"lang": [k for k, _ in items], "budget": [v for _, v in items]}
+        ),
+        "lang string, budget long",
     )
     rates, sampled = mixture_sample(
         docs, budgets, ["lang"], "n_tokens", key_col="doc_id", seed=MIXTURE_SEED

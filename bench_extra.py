@@ -1,0 +1,289 @@
+#!/usr/bin/env python
+"""Round-6 measurement harness (bench.py is FROZEN; extra probes live here).
+
+Modes (first CLI arg):
+  pipeline   — run_pipeline at $SPARK_GRAFT_SF_DIR, print per-stage seconds
+               (3 reps, fresh warehouse each, same force=True shape bench.py
+               times).
+  phases     — isolate the expensive sub-computations of the heavy bench
+               queries with the noop sink (signature kernel with/without
+               simhash, LSH candidate/verify split, mixture double-scan, …).
+  explain    — dump .explain('formatted') for selected queries to
+               plans/r06/<name>_<tag>.txt (tag = 2nd arg, default 'before').
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark import DedupConfig, get_spark
+from data_deduplication_service_spark.cache import release_scoped
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def noop(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+def timed(label, fn):
+    t0 = time.monotonic()
+    out = fn()
+    dt = time.monotonic() - t0
+    print(f"{label:44s} {dt:8.3f}s", flush=True)
+    return out
+
+
+def mode_pipeline(spark):
+    from data_deduplication_service_spark.plans.pipeline import run_pipeline
+    from data_deduplication_service_spark.sources import (
+        corpus_from_documents,
+        with_file_identity,
+    )
+
+    corpus = with_file_identity(corpus_from_documents(spark, SF_DIR))
+    corpus.count()
+    for rep in range(3):
+        wh = tempfile.mkdtemp(prefix="dedup_bx_wh_")
+        t0 = time.monotonic()
+        result = run_pipeline(
+            spark, corpus, DedupConfig(minhash_bits=32), wh, force=True,
+            collect_lineage=False,
+        )
+        result.clusters.count()
+        total = time.monotonic() - t0
+        print(f"rep{rep}: total {total:7.3f}s  stages: "
+              + " ".join(f"{k}={v}" for k, v in result.stage_seconds.items()),
+              flush=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        release_scoped()
+
+
+def mode_pipedetail(spark):
+    """run_pipeline body with a timer around EVERY step, incl. non-stage work."""
+    from data_deduplication_service_spark.plans.checkpoint import StageStore
+    from data_deduplication_service_spark.plans.lineage import MetricsLog
+    from data_deduplication_service_spark.plans.pipeline import exact_representatives
+    from data_deduplication_service_spark.functions.signatures import (
+        lean_signature_compat,
+        signature_table,
+    )
+    from data_deduplication_service_spark.operators.components import (
+        clusters_with_singletons,
+        connected_components,
+    )
+    from data_deduplication_service_spark.operators.lsh import (
+        band_table,
+        candidate_pairs,
+        overflow_buckets,
+        verified_pairs,
+    )
+    from data_deduplication_service_spark.operators.segmentation import (
+        build_segments_table,
+        segment_files,
+    )
+    from data_deduplication_service_spark.sources import (
+        corpus_from_documents,
+        with_file_identity,
+    )
+
+    cfg = DedupConfig(minhash_bits=32)
+    corpus = with_file_identity(corpus_from_documents(spark, SF_DIR))
+    corpus.count()
+    for rep in range(2):
+        print(f"--- rep {rep}", flush=True)
+        wh = tempfile.mkdtemp(prefix="dedup_bxd_wh_")
+        t_all = time.monotonic()
+        store = StageStore(spark, wh, cfg)
+        metrics = MetricsLog(spark, f"{wh}/metrics")
+
+        def stage(name, build, rec=True):
+            out = timed(f"stage:{name}", lambda: store.run_stage(name, build, force=True))
+            if rec:
+                timed(f"metrics:{name}", lambda: metrics.record(name, 0.0, -1))
+            return out
+
+        files = stage("files", lambda: corpus)
+        file_segments = stage("file_segments", lambda: segment_files(files, cfg))
+        segments = stage("segments", lambda: build_segments_table(file_segments, cfg))
+        reps_, exact_edges = exact_representatives(files)
+        signatures = lean_signature_compat(
+            stage("signatures", lambda: signature_table(
+                reps_, cfg, keep_shingles=False, with_simhash=False))
+        )
+        bands = stage("bands", lambda: band_table(signatures, cfg))
+
+        def build_pairs():
+            cands = candidate_pairs(bands, cfg)
+            near = verified_pairs(cands, signatures, cfg, exact=True, files=reps_)
+            return (
+                near.unionByName(exact_edges)
+                .groupBy("a", "b")
+                .agg(F.max("jaccard").alias("jaccard"))
+            )
+
+        dup_pairs = stage("dup_pairs", build_pairs)
+        clusters = stage("clusters", lambda: clusters_with_singletons(
+            connected_components(dup_pairs.select("a", "b"),
+                                 max_iterations=cfg.cc_max_iterations),
+            files,
+        ))
+        timed("overflow_count", lambda: overflow_buckets(bands, cfg).count())
+        timed("release_scoped", release_scoped)
+        timed("clusters.count", clusters.count)
+        print(f"TOTAL {time.monotonic() - t_all:8.3f}s", flush=True)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def _files(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+    )
+
+
+def mode_phases(spark):
+    from data_deduplication_service_spark.functions.signatures import (
+        signature_table,
+        shingle_table,
+    )
+    from data_deduplication_service_spark.operators.lsh import (
+        band_table,
+        candidate_pairs,
+        verified_pairs,
+    )
+
+    cfg = DedupConfig(minhash_bits=32)
+    files = _files(spark)
+    files.count()  # warm page cache for parquet
+
+    for rep in range(2):
+        print(f"--- rep {rep}")
+        # signature kernel variants
+        timed("sig keep_shingles+simhash (bench shape)", lambda: noop(
+            signature_table(files, cfg)))
+        release_scoped()
+        timed("sig keep_shingles, no simhash", lambda: noop(
+            signature_table(files, cfg, with_simhash=False)))
+        release_scoped()
+        timed("sig lean (pipeline shape)", lambda: noop(
+            signature_table(files, cfg, keep_shingles=False, with_simhash=False)))
+        release_scoped()
+        timed("shingle_table only", lambda: noop(shingle_table(files, cfg)))
+        release_scoped()
+
+        # LSH split: bands+cands vs full verify
+        sig = signature_table(files, cfg)
+        timed("bands+cands only", lambda: noop(
+            candidate_pairs(band_table(sig, cfg), cfg)))
+        release_scoped()
+        sig = signature_table(files, cfg)
+        timed("bands+cands+verify (minhash_scalecfg)", lambda: noop(
+            verified_pairs(candidate_pairs(band_table(sig, cfg), cfg), sig, cfg,
+                           exact=True)))
+        release_scoped()
+
+        # mixture_sample double-scan probe
+        from data_deduplication_service_spark.functions.text import token_count
+        from data_deduplication_service_spark.operators.sampling import mixture_sample
+        import __spark_entry__ as entry
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+        )
+        timed("mixture: docs scan once (noop)", lambda: noop(docs))
+        budgets = spark.createDataFrame(
+            sorted(entry.MIXTURE_BUDGETS.items()), "lang string, budget long"
+        )
+
+        def mix():
+            rates, sampled = mixture_sample(
+                docs, budgets, ["lang"], "n_tokens", key_col="doc_id",
+                seed=entry.MIXTURE_SEED,
+            )
+            kept = sampled.groupBy("lang").agg(
+                F.count("*").alias("n_docs_kept"),
+                F.sum("n_tokens").alias("kept_tokens"),
+            )
+            noop(rates.join(kept, "lang", "left"))
+
+        timed("mixture: full query shape", mix)
+        release_scoped()
+
+        # cdc: cut_ends only vs full
+        from data_deduplication_service_spark.operators.cdc import (
+            cdc_segment_files,
+            cdc_segment_stats,
+        )
+
+        segs = cdc_segment_files(files, mask_bits=5)
+        timed("cdc: full stats", lambda: noop(cdc_segment_stats(segs)))
+        release_scoped()
+        timed("cdc: segment rows only", lambda: noop(
+            cdc_segment_files(files, mask_bits=5)))
+        release_scoped()
+
+        # segment_stats split
+        from data_deduplication_service_spark.operators.segmentation import segment_files
+
+        timed("segment_files rows only", lambda: noop(
+            segment_files(files, DedupConfig())))
+        release_scoped()
+
+        # doc_fingerprints
+        from data_deduplication_service_spark.functions.text import md5_min_fingerprint
+
+        timed("doc_fingerprints", lambda: noop(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+                "doc_id", md5_min_fingerprint(F.col("text"), 9).alias("fingerprint"))))
+        release_scoped()
+
+
+def mode_explain(spark, tag="before"):
+    import __spark_entry__ as entry
+
+    outdir = "/root/repo/plans/r06"
+    os.makedirs(outdir, exist_ok=True)
+    qs = entry.queries()
+    names = (sys.argv[2].split(",") if len(sys.argv) > 2 else [
+        "revenue_topk", "mixture_sample", "cdc_segment_stats",
+        "segment_stats", "doc_fingerprints", "exact_dup_clusters",
+        "global_sizes", "reconstruct_roundtrip",
+    ])
+    tag = sys.argv[3] if len(sys.argv) > 3 else tag
+    for n in names:
+        df = qs[n](spark, SF_DIR)
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        with open(f"{outdir}/{n}_{tag}.txt", "w") as f:
+            f.write(txt)
+        print(f"wrote {n}_{tag}.txt ({len(txt)} chars)")
+        release_scoped()
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "pipeline"
+    spark = get_spark("bench-extra", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 4))
+    if mode == "pipedetail":
+        mode_pipedetail(spark)
+    elif mode == "pipeline":
+        mode_pipeline(spark)
+    elif mode == "phases":
+        mode_phases(spark)
+    elif mode == "explain":
+        mode_explain(spark)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
