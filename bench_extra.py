@@ -245,12 +245,21 @@ def mode_phases(spark):
         release_scoped()
 
 
+def _scalecfg_queries():
+    """Replicate bench.py's scalecfg wrappers (frozen there) for explain()."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+    return bench._scale_near_dup_queries()
+
+
 def mode_explain(spark, tag="before"):
     import __spark_entry__ as entry
 
     outdir = "/root/repo/plans/r06"
     os.makedirs(outdir, exist_ok=True)
     qs = entry.queries()
+    qs.update(_scalecfg_queries())
     names = (sys.argv[2].split(",") if len(sys.argv) > 2 else [
         "revenue_topk", "mixture_sample", "cdc_segment_stats",
         "segment_stats", "doc_fingerprints", "exact_dup_clusters",

@@ -296,14 +296,27 @@ def minhash_from_shingles(
     return m
 
 
-def simhash_from_shingles(sh: np.ndarray, chunk: int = 512) -> int:
+_SIMHASH_SHIFTS = np.arange(64, dtype=np.uint64)[None, :]
+_SIMHASH_CHUNK = 4096  # (chunk × 64) uint64 tile = 2 MB, PERSISTENT per worker
+
+
+def simhash_from_shingles(sh: np.ndarray, chunk: int = _SIMHASH_CHUNK) -> int:
+    """64-bit SimHash of one shingle set. Per-bit one-counts accumulate as
+    integers (order-free), so chunk size is a pure performance knob; the
+    bit tile is a reused per-worker buffer written with out= ufuncs — the
+    previous 512-row fresh temporaries were 256 KB each, exactly numpy's
+    mmap threshold, i.e. rule-11 munmap churn at one allocation per 512
+    shingles."""
     if sh.size == 0:
         return 0
-    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    tile = _worker_buf("simhash_tile", chunk * 64)[: chunk * 64].reshape(chunk, 64)
     ones = np.zeros(64, dtype=np.int64)
-    for i in range(0, sh.size, chunk):  # chunked: (chunk × 64) temp stays cache-resident
-        c = sh[i : i + chunk, None]
-        ones += ((c >> shifts) & np.uint64(1)).sum(axis=0, dtype=np.int64)
+    for i in range(0, sh.size, chunk):
+        c = sh[i : i + chunk]
+        t = tile[: c.size]
+        np.right_shift(c[:, None], _SIMHASH_SHIFTS, out=t)
+        np.bitwise_and(t, np.uint64(1), out=t)
+        ones += t.sum(axis=0, dtype=np.int64)
     votes = ones * 2 - np.int64(sh.size)
     sim = np.uint64(0)
     for j in np.nonzero(votes > 0)[0]:

@@ -65,6 +65,13 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     shuffled the band table twice more and sort-merge-joined it against
     itself).
     """
+    # the band table feeds TWO branches (size count + member gather); the
+    # hoped-for single-exchange reuse does not materialize under AQE, so an
+    # unpersisted input re-runs its upstream — including the signature
+    # kernel's corpus scan — once per branch (measured: the standalone
+    # bands+cands probe at sf0.1 costs two kernel passes). Narrow rows
+    # (3 longs); scoped, released at the query boundary.
+    bands = persist_scoped(bands)
     sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("_sz"))
     ok_keys = sizes.filter(
         (F.col("_sz") >= 2) & (F.col("_sz") <= cfg.max_bucket_size)
@@ -144,7 +151,13 @@ def exact_jaccard_for_pairs(pairs: DataFrame, signatures: DataFrame) -> DataFram
     involved = pairs.select(F.col("a").alias("file_id")).union(
         pairs.select(F.col("b").alias("file_id"))
     ).distinct()
-    sig = signatures.join(involved, "file_id", "left_semi").select("file_id", "shingles")
+    # the pruned sliver feeds BOTH pair-join sides; without this persist each
+    # side re-runs the semi-join AND its upstream (the full signature kernel
+    # over the corpus — a distinct MapInArrow instance per branch in the
+    # plan, measured as the dominant cost of the sf0.1 scalecfg queries)
+    sig = persist_scoped(
+        signatures.join(involved, "file_id", "left_semi").select("file_id", "shingles")
+    )
 
     joined = (
         pairs.join(sig.select(F.col("file_id").alias("a"), F.col("shingles").alias("_sa")), "a")
@@ -282,6 +295,16 @@ def verified_pairs(
     reject line is verified exactly against the stored shingle arrays, and
     every reported jaccard is exact.
     """
+    # The signature table is consumed by MANY branches of one action: the
+    # candidate path the caller built from the SAME plan (bucket sizes +
+    # bucket gather), the estimate join's a- and b-sides, and the exact
+    # verify's semi-join prune — Spark recomputes shared subtrees per
+    # branch, so without a persist the signature kernel re-scans the corpus
+    # once PER INSTANCE (6 distinct MapInArrow nodes in the sf0.1 scalecfg
+    # plan). Persisting here also dedupes the caller's candidate subtree:
+    # CacheManager substitutes by canonicalized plan match, not object
+    # identity. Scoped: released at the query boundary.
+    signatures = persist_scoped(signatures)
     if not exact:
         j = estimate_jaccard(pairs, signatures, cfg)
         return j.filter(F.col("jaccard_est") >= cfg.jaccard_threshold).withColumnRenamed(
