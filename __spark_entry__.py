@@ -122,14 +122,15 @@ def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-file segment counts (reference A1/A2, lib/dbCommon.cpp:206-212)."""
-    return (
-        _doc_segments(spark, sf_dir)
-        .groupBy(F.col("file_id").alias("doc_id"))
-        .agg(
-            F.count("*").alias("n_segments"),
-            F.countDistinct("segment_hash").alias("n_unique"),
-        )
+    """Per-file segment counts (reference A1/A2, lib/dbCommon.cpp:206-212).
+
+    Zero-shuffle expression rollup (operators/segmentation.py:
+    segment_doc_stats) — identical output to the explode+groupBy form
+    (parity-pinned in tests), minus two exchanges."""
+    from data_deduplication_service_spark.operators.segmentation import segment_doc_stats
+
+    return segment_doc_stats(_doc_files(spark, sf_dir), CFG).select(
+        F.col("file_id").alias("doc_id"), "n_segments", "n_unique"
     )
 
 
@@ -173,18 +174,21 @@ def q_reconstruct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_characteristics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-file dedup characteristics (reference J4/A2, lib/dbCommon.cpp:204-229)."""
-    return (
-        _doc_segments(spark, sf_dir)
-        .groupBy(F.col("file_id").alias("doc_id"))
-        .agg(
-            F.count("*").alias("n_segments"),
-            F.countDistinct("segment_hash").alias("n_unique"),
-            F.round(F.countDistinct("segment_hash") * 100.0 / F.count("*"), 2).alias(
-                "unique_percentage"
-            ),
-            (F.count("*") * (CFG.digest_size + 8)).cast("long").alias("data_size"),
-        )
+    """Per-file dedup characteristics (reference J4/A2, lib/dbCommon.cpp:204-229).
+
+    Same zero-shuffle rollup as q_segment_stats; the derived ratio/size
+    columns are the identical arithmetic over the identical counts."""
+    from data_deduplication_service_spark.operators.segmentation import segment_doc_stats
+
+    s = segment_doc_stats(_doc_files(spark, sf_dir), CFG)
+    return s.select(
+        F.col("file_id").alias("doc_id"),
+        "n_segments",
+        "n_unique",
+        F.round(F.col("n_unique") * 100.0 / F.col("n_segments"), 2).alias(
+            "unique_percentage"
+        ),
+        (F.col("n_segments") * (CFG.digest_size + 8)).cast("long").alias("data_size"),
     )
 
 
@@ -477,14 +481,10 @@ def q_cdc_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL uint64 gear hash per byte position via HUGEINT modular
     arithmetic (the (g·2^d) mod 2^64 terms reduced as (g mod 2^(64−d))·2^d
     to stay inside HUGEINT) and cuts on the same threshold."""
-    from data_deduplication_service_spark.operators.cdc import (
-        cdc_segment_files,
-        cdc_segment_stats,
-    )
+    from data_deduplication_service_spark.operators.cdc import cdc_doc_stats
 
     files = _doc_files(spark, sf_dir)
-    segs = cdc_segment_files(files, mask_bits=5)
-    return cdc_segment_stats(segs).select(
+    return cdc_doc_stats(files, mask_bits=5).select(
         F.col("file_id").alias("doc_id"),
         F.col("n_segments").cast("long").alias("n_segments"),
         F.col("n_distinct").cast("long").alias("n_distinct"),

@@ -245,6 +245,104 @@ def mode_phases(spark):
         release_scoped()
 
 
+def mode_phases2(spark):
+    from data_deduplication_service_spark.operators.suffix import (
+        _extension_verified_pairs,
+        _pair_evidence,
+        repeat_anchor_table,
+        repeated_substrings_global,
+    )
+
+    files = _files(spark)
+    files.count()
+    for rep in range(2):
+        print(f"--- rep {rep}", flush=True)
+        timed("repeats: anchor table", lambda: noop(
+            repeat_anchor_table(files, min_len=100, max_anchor_members=8)
+            if False else repeat_anchor_table(files, 100)))
+        release_scoped()
+        anchors = repeat_anchor_table(files, 100)
+        timed("repeats: anchors+evidence", lambda: noop(
+            _pair_evidence(anchors, 8)))
+        release_scoped()
+        timed("repeats: full (scalecfg shape)", lambda: noop(
+            repeated_substrings_global(files, min_len=100, max_anchor_members=8)))
+        release_scoped()
+
+        # doc_fingerprints A/B: interpreted transform-lambda vs explode+agg
+        from data_deduplication_service_spark.functions.text import (
+            char_ngrams,
+            md5_min_fingerprint,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        timed("fp: transform(md5) array_min", lambda: noop(
+            docs.select("doc_id", md5_min_fingerprint(F.col("text"), 9).alias("fingerprint"))))
+        release_scoped()
+
+        def fp_explode():
+            n = 9
+            starts = F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+            g = docs.select("doc_id", F.explode(starts).alias("_i"),
+                            F.col("text")).select(
+                "doc_id", F.md5(F.substring(F.col("text"), F.col("_i"), n)).alias("_h"))
+            return g.groupBy("doc_id").agg(F.min("_h").alias("fingerprint"))
+
+        timed("fp: explode+min agg", lambda: noop(fp_explode()))
+        release_scoped()
+        if rep == 0:
+            a = docs.select("doc_id", md5_min_fingerprint(F.col("text"), 9).alias("fingerprint"))
+            b = fp_explode()
+            diff = a.join(b, "doc_id").filter(
+                a["fingerprint"] != b["fingerprint"]).count()
+            print(f"fp parity diff rows: {diff}", flush=True)
+
+
+def mode_phases3(spark):
+    """Expression-form per-file rollups vs explode+groupBy (segment_stats, cdc)."""
+    import __spark_entry__ as entry
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.count()
+    SEG = entry.SEG
+
+    def seg_expr():
+        b = F.encode("text", "UTF-8")
+        n_seg = F.floor((F.octet_length("text") - 1) / SEG).cast("long") + 1
+        hashes = F.transform(
+            F.sequence(F.lit(0).cast("long"), n_seg - 1),
+            lambda i: F.unhex(F.upper(F.sha2(F.substring(b, (i * SEG + 1).cast("int"), SEG), 256))),
+        )
+        return docs.filter(F.octet_length("text") > 0).select(
+            F.col("doc_id"),
+            F.size(hashes).cast("long").alias("n_segments"),
+            F.size(F.array_distinct(hashes)).cast("long").alias("n_unique"),
+        )
+
+    for rep in range(2):
+        print(f"--- rep {rep}", flush=True)
+        timed("segstats: explode+groupBy (current)", lambda: noop(
+            entry.q_segment_stats(spark, SF_DIR)))
+        release_scoped()
+        timed("segstats: expression form", lambda: noop(seg_expr()))
+        release_scoped()
+        timed("cdc: current", lambda: noop(entry.q_cdc_segment_stats(spark, SF_DIR)))
+        release_scoped()
+        if rep == 0:
+            cur = entry.q_segment_stats(spark, SF_DIR)
+            new = seg_expr()
+            diff = (
+                cur.alias("c").join(new.alias("n"), cur["doc_id"] == new["doc_id"], "full")
+                .filter(
+                    (F.col("c.n_segments") != F.col("n.n_segments"))
+                    | (F.col("c.n_unique") != F.col("n.n_unique"))
+                    | F.col("c.doc_id").isNull() | F.col("n.doc_id").isNull()
+                ).count()
+            )
+            print(f"segstats parity diff rows: {diff}", flush=True)
+            release_scoped()
+
+
 def _scalecfg_queries():
     """Replicate bench.py's scalecfg wrappers (frozen there) for explain()."""
     import importlib
@@ -281,7 +379,11 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "pipeline"
     spark = get_spark("bench-extra", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 4))
-    if mode == "pipedetail":
+    if mode == "phases3":
+        mode_phases3(spark)
+    elif mode == "phases2":
+        mode_phases2(spark)
+    elif mode == "pipedetail":
         mode_pipedetail(spark)
     elif mode == "pipeline":
         mode_pipeline(spark)

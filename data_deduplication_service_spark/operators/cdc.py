@@ -240,6 +240,74 @@ def cdc_segment_files(
     return hashed.select(*cols)
 
 
+def cdc_doc_stats(
+    files: DataFrame,
+    mask_bits: int = 11,
+    min_size: int = 0,
+    max_size: int | None = None,
+    hash_name: str = "sha256",
+    id_col: str = "file_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """(file_id, n_segments, n_distinct, total_bytes, max_seg_len): the
+    per-DOCUMENT CDC rollup as one zero-shuffle expression — provably equal
+    to ``cdc_segment_stats(cdc_segment_files(files, ...))`` (pinned by
+    tests/test_cdc.py) but with no Generate fanout and no exchanges: every
+    segment of a doc derives from ONE row, so exploding ~n/2^mask_bits rows
+    per doc only to group them straight back by file_id (the countDistinct
+    two-phase plan, two hash exchanges over the 32-byte digests) was pure
+    data motion. Python still computes ONLY the cut offsets (same kernel);
+    digesting runs JVM-side inside an array transform (interpreted lambda,
+    but the sha2 dominates — A/B'd per the fingerprint probe before
+    switching). JVM digests only; md4 callers use the explode path."""
+    from data_deduplication_service_spark.config import JVM_HASHES
+    from data_deduplication_service_spark.operators.segmentation import _jvm_digest
+
+    if hash_name not in JVM_HASHES:
+        return cdc_segment_stats(
+            cdc_segment_files(
+                files, mask_bits, min_size, max_size, hash_name,
+                id_col=id_col, text_col=text_col,
+            )
+        )
+
+    @F.pandas_udf("array<long>")
+    def cut_ends(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda text: cdc_cut_ends(
+                text.encode("utf-8"), mask_bits, min_size, max_size
+            ).tolist()
+        )
+
+    b = F.encode("content", "UTF-8")  # post-alias name (see select below)
+    prev = lambda i: F.when(i == 0, F.lit(0).cast("long")).otherwise(  # noqa: E731
+        F.element_at("_ends", i.cast("int"))
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size("_ends") - 1),
+        lambda _e, i: _jvm_digest(
+            F.substring(b, (prev(i) + 1).cast("int"), (F.element_at("_ends", (i + 1).cast("int")) - prev(i)).cast("int")),
+            hash_name,
+        ),
+    )
+    seg_lens = F.transform(
+        F.sequence(F.lit(0), F.size("_ends") - 1),
+        lambda _e, i: F.element_at("_ends", (i + 1).cast("int")) - prev(i),
+    )
+    return (
+        files.select(F.col(id_col).alias("file_id"), F.col(text_col).alias("content"))
+        .withColumn("_ends", cut_ends(F.col("content")))
+        .filter(F.size("_ends") > 0)
+        .select(
+            "file_id",
+            F.size("_ends").cast("long").alias("n_segments"),
+            F.size(F.array_distinct(hashes)).cast("long").alias("n_distinct"),
+            F.element_at("_ends", -1).alias("total_bytes"),
+            F.array_max(seg_lens).alias("max_seg_len"),
+        )
+    )
+
+
 def cdc_segment_stats(segments: DataFrame) -> DataFrame:
     """Per-document CDC shape rollup: (file_id, n_segments, n_distinct,
     total_bytes, max_seg_len) — the observability row for tuning mask_bits

@@ -154,6 +154,45 @@ def build_segments_table(
     )
 
 
+def segment_doc_stats(files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(file_id, n_segments, n_unique): the per-FILE segment rollup computed
+    as one zero-shuffle expression — provably equal to
+    ``segment_files(files, cfg).groupBy(file_id).agg(count, countDistinct)``
+    (pinned by tests/test_segmentation.py), but with no Generate fanout and
+    no exchanges: a file's segments are derived from ONE row, so grouping
+    them back by file_id through two hash exchanges (the countDistinct
+    two-phase plan) was pure data motion. Measured at sf0.1/32c: 0.83 s →
+    0.32 s warm.
+
+    The transform lambda evaluates interpreted (CLAUDE.md rule 16a), but
+    the work here is the sha2 itself (native either way — A/B'd against
+    the explode form before switching). JVM digests only; md4 callers keep
+    the explode+groupBy path."""
+    if cfg.hash_name not in JVM_HASHES:  # md4: no JVM digest — explode path
+        return (
+            segment_files(files, cfg)
+            .groupBy("file_id")
+            .agg(
+                F.count("*").alias("n_segments"),
+                F.countDistinct("segment_hash").alias("n_unique"),
+            )
+        )
+    seg = cfg.segment_size
+    b = F.encode("content", "UTF-8")
+    n_seg = F.floor((F.octet_length("content") - 1) / seg).cast("long") + 1
+    hashes = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_seg - 1),
+        lambda i: _jvm_digest(
+            F.substring(b, (i * seg + 1).cast("int"), seg), cfg.hash_name
+        ),
+    )
+    return files.filter(F.octet_length("content") > 0).select(
+        "file_id",
+        F.size(hashes).cast("long").alias("n_segments"),
+        F.size(F.array_distinct(hashes)).cast("long").alias("n_unique"),
+    )
+
+
 def build_files_table(files_with_identity: DataFrame, cfg: DedupConfig) -> DataFrame:
     """files metadata table (public.files analog, lib/dbManager.cpp:572-581)."""
     return files_with_identity.select(

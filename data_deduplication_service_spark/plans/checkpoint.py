@@ -245,15 +245,18 @@ class StageStore:
         tmp = final + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         t0 = time.monotonic()
-        writer = df.write.mode("overwrite")
+        # row count rides the write job itself (CollectMetrics node): the
+        # previous read-back-and-count was one extra listing + full count
+        # job PER STAGE commit
+        from pyspark.sql import Observation, functions as F
+
+        obs = Observation()
+        writer = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
         wall_ms = (time.monotonic() - t0) * 1000
-        # ONE read-back serves both the row count and the schema (footer
-        # bound, but two reads were two listings + an extra count job)
-        written = self.spark.read.parquet(tmp)
-        frag_rows = written.count()
+        frag_rows = obs.get["rows"]
         # logical total over the chain; a merge fragment's logical count is
         # only derivable by reconciling (upserts overwrite), so it is None
         rows = (
@@ -271,7 +274,9 @@ class StageStore:
             "parent": parent,
             "merge_keys": merge_keys,
             "wall_ms": round(wall_ms, 1),
-            "schema": written.schema.simpleString(),
+            # simpleString carries no nullability, so the written df's schema
+            # is the committed parquet schema for manifest purposes
+            "schema": df.schema.simpleString(),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         with open(os.path.join(tmp, MANIFEST), "w") as f:

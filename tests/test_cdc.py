@@ -179,3 +179,35 @@ def test_cdc_segments_feed_the_existing_store(spark):
     # the shared block dedups across all 6 docs → coefficient well above 100%
     assert coeff.total_segments > coeff.unique_segments
     assert coeff.dedup_coefficient_pct > 120
+
+
+@pytest.mark.parametrize("mask_bits,min_size,max_size", [(5, 0, None), (4, 8, 96)])
+def test_cdc_doc_stats_parity(spark, mask_bits, min_size, max_size):
+    """Zero-shuffle expression rollup ≡ cdc_segment_stats(cdc_segment_files)
+    — identical per-doc rows on empty/short/multibyte docs."""
+    from data_deduplication_service_spark.operators.cdc import (
+        cdc_doc_stats,
+        cdc_segment_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    docs = {
+        1: "",
+        2: "x",
+        3: "комментарий 🚀 multi-byte" * 9,
+        4: bytes(rng.integers(97, 123, size=2000, dtype=np.uint8)).decode(),
+        5: "tile" * 300,
+    }
+    df = spark.createDataFrame(sorted(docs.items()), "file_id long, content string")
+    cols = ("n_segments", "n_distinct", "total_bytes", "max_seg_len")
+    got = {
+        r.file_id: tuple(r[c] for c in cols)
+        for r in cdc_doc_stats(df, mask_bits, min_size, max_size).collect()
+    }
+    exp = {
+        r.file_id: tuple(r[c] for c in cols)
+        for r in cdc_segment_stats(
+            cdc_segment_files(df, mask_bits, min_size, max_size)
+        ).collect()
+    }
+    assert got == exp and 1 not in got

@@ -123,3 +123,42 @@ def test_segmentation_plan_is_narrow(spark, cfg):
     """No Exchange (shuffle) in the segmentation plan — it must stay map-side."""
     plan = segment_files(_df(spark, CASES), cfg)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize("seg_size", [2, 64, 256])
+def test_segment_doc_stats_parity(spark, seg_size):
+    """Zero-shuffle expression rollup ≡ explode+groupBy over segment_files
+    (the round-6 optimization contract: identical rows, no Generate)."""
+    cfg = DedupConfig(segment_size=seg_size)
+    from data_deduplication_service_spark.operators.segmentation import segment_doc_stats
+
+    cases = dict(CASES)
+    cases[7] = ""  # empty content: excluded by both forms
+    df = _df(spark, cases)
+    got = {
+        (r.file_id): (r.n_segments, r.n_unique)
+        for r in segment_doc_stats(df, cfg).collect()
+    }
+    exp = {
+        r.file_id: (r.n_segments, r.n_unique)
+        for r in segment_files(df, cfg)
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.countDistinct("segment_hash").alias("n_unique"),
+        )
+        .collect()
+    }
+    assert got == exp and 7 not in got
+
+
+def test_segment_doc_stats_md4_fallback(spark):
+    """Non-JVM digests route through the explode path and still agree."""
+    from data_deduplication_service_spark.operators.segmentation import segment_doc_stats
+
+    cfg = DedupConfig(segment_size=64, hash_name="md4")
+    got = {
+        r.file_id: (r.n_segments, r.n_unique)
+        for r in segment_doc_stats(_df(spark, {4: CASES[4], 5: CASES[5]}), cfg).collect()
+    }
+    assert got[4] == (32, 8) and got[5][0] >= 1
