@@ -741,46 +741,77 @@ def _extension_verified_pairs(
         .join(content.select(F.col("_id").alias("b"), F.col("_t").alias("_tb")), "b")
     )
 
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf_cache: dict = {}
+    def verify(batches):
+        """mapInArrow: content bytes stay in the Arrow string buffers and
+        every doc slice is a zero-copy uint8 VIEW — the previous mapInPandas
+        form materialized a Python str per pair side (~2 × 10 KB × |pairs|)
+        and re-encoded it to UTF-8 bytes inside the loop, which at sf0.1 was
+        most of the verify stage's wall (3.5 s of 5.2; the extensions
+        themselves are ~32k cheap numpy calls). List offsets are ABSOLUTE
+        indices into .values (same convention as clones._bag_overlap_kernel).
+        Extension logic is unchanged: runs already found per alignment delta
+        are skipped (a position inside a known run extends to the same run)."""
+        import pyarrow as pa_mod
 
-        def buf(t: str) -> np.ndarray:
-            got = buf_cache.get(t)
-            if got is None:
-                if len(buf_cache) >= 4096:
-                    buf_cache.clear()
-                got = buf_cache[t] = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            return got
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            a_ids = batch.column("a").to_numpy(zero_copy_only=False)
+            b_ids = batch.column("b").to_numpy(zero_copy_only=False)
+            from data_deduplication_service_spark.functions.signatures import _utf8_view
 
-        for pdf in batches:
-            rows: list[tuple] = []
-            for a, b, ta, tb, ev in zip(pdf["a"], pdf["b"], pdf["_ta"], pdf["_tb"], pdf["ev"]):
-                A, B = buf(ta), buf(tb)
+            ta_data, ta_offs = _utf8_view(batch.column("_ta"))
+            tb_data, tb_offs = _utf8_view(batch.column("_tb"))
+            ev = batch.column("ev")
+            eo = ev.offsets.to_numpy(zero_copy_only=False)
+            sv = ev.values
+            pa_list = sv.field("pa")
+            pb_list = sv.field("pb")
+            pao = pa_list.offsets.to_numpy(zero_copy_only=False)
+            pav = pa_list.values.to_numpy(zero_copy_only=False)
+            pbo = pb_list.offsets.to_numpy(zero_copy_only=False)
+            pbv = pb_list.values.to_numpy(zero_copy_only=False)
+
+            out_a: list[int] = []
+            out_b: list[int] = []
+            out_len: list[int] = []
+            out_sample: list[str] = []
+            for i in range(nrows):
+                A = ta_data[ta_offs[i] : ta_offs[i + 1]]
+                B = tb_data[tb_offs[i] : tb_offs[i + 1]]
                 best, best_start = 0, 0
-                # runs already found per alignment delta: a position inside
-                # a known run would extend to the same run — skip (collapses
-                # tiled-repetition evidence to one extension per run)
                 tried: dict[int, list[tuple[int, int]]] = {}
-                for e in ev:
-                    for pa in e["pa"]:
-                        for pb in e["pb"]:
-                            pa, pb = int(pa), int(pb)
-                            d = pa - pb
+                for e in range(int(eo[i]), int(eo[i + 1])):
+                    for pa in pav[int(pao[e]) : int(pao[e + 1])]:
+                        for pb in pbv[int(pbo[e]) : int(pbo[e + 1])]:
+                            pa_i, pb_i = int(pa), int(pb)
+                            d = pa_i - pb_i
                             ivs = tried.setdefault(d, [])
-                            if any(s <= pa < t for s, t in ivs):
+                            if any(s <= pa_i < t for s, t in ivs):
                                 continue
-                            n, start = _extend_run(A, B, pa, pb)
+                            n, start = _extend_run(A, B, pa_i, pb_i)
                             ivs.append((start, start + n))
                             if n > best:
                                 best, best_start = n, start
                 if best >= min_len:
                     sample = A[best_start : best_start + min(best, 80)]
-                    rows.append((int(a), int(b), best,
-                                 sample.tobytes().decode("utf-8", "replace")))
-            if rows:
-                yield pd.DataFrame(rows, columns=["file_a", "file_b", "match_len", "sample"])
+                    out_a.append(int(a_ids[i]))
+                    out_b.append(int(b_ids[i]))
+                    out_len.append(best)
+                    out_sample.append(sample.tobytes().decode("utf-8", "replace"))
+            if out_a:
+                yield pa_mod.RecordBatch.from_arrays(
+                    [
+                        pa_mod.array(out_a, type=pa_mod.int64()),
+                        pa_mod.array(out_b, type=pa_mod.int64()),
+                        pa_mod.array(out_len, type=pa_mod.int64()),
+                        pa_mod.array(out_sample, type=pa_mod.string()),
+                    ],
+                    names=["file_a", "file_b", "match_len", "sample"],
+                )
 
-    return joined.mapInPandas(
+    return joined.select("a", "b", "ev", "_ta", "_tb").mapInArrow(
         verify, schema="file_a long, file_b long, match_len long, sample string"
     )
 
