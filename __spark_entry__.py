@@ -203,7 +203,11 @@ def q_global_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").cast("long").alias("size_in_bytes"),
     )
     fs = _doc_segments(spark, sf_dir, keep_data=True)
-    segments = build_segments_table(fs, CFG, keep_data=True)
+    # keep_len (not keep_data): the size report only reads segment LENGTHS
+    # from the store, so the 8-byte length is projected map-side and the
+    # payload bytes never enter the salted store shuffle — identical
+    # segment_store_size (equal hash ⟹ equal bytes ⟹ equal length)
+    segments = build_segments_table(fs, CFG, keep_len=True)
     return global_sizes(files, fs, segments, CFG.digest_size)
 
 

@@ -68,11 +68,19 @@ def global_sizes(files: DataFrame, file_segments: DataFrame, segments: DataFrame
     """
     a = files.agg(F.sum("size_in_bytes").alias("total_file_size"))
     b = file_segments.agg((F.count("*") * (digest_size + 8)).alias("mapping_size"))
-    c = segments.agg(
-        F.coalesce(F.sum(F.octet_length("segment_data") + digest_size + 8), F.lit(0)).alias("segment_store_size")
-        if "segment_data" in segments.columns
-        else (F.count("*") * (digest_size + 8)).alias("segment_store_size")
-    )
+    if "segment_data" in segments.columns:
+        store_size = F.coalesce(
+            F.sum(F.octet_length("segment_data") + digest_size + 8), F.lit(0)
+        )
+    elif "segment_len" in segments.columns:
+        # length-projected store (build_segments_table keep_len=True): the
+        # identical Σ(len + digest + 8) without payload bytes in the shuffle
+        store_size = F.coalesce(
+            F.sum(F.col("segment_len") + digest_size + 8), F.lit(0)
+        )
+    else:
+        store_size = F.count("*") * (digest_size + 8)
+    c = segments.agg(store_size.alias("segment_store_size"))
     return a.crossJoin(b).crossJoin(c).select(
         "total_file_size",
         "mapping_size",

@@ -120,6 +120,7 @@ def build_segments_table(
     cfg: DedupConfig,
     keep_data: bool = False,
     salted: bool = True,
+    keep_len: bool = False,
 ) -> DataFrame:
     """Content-addressed unique-segment store with reference counts.
 
@@ -136,6 +137,11 @@ def build_segments_table(
     aggs = [F.count("*").alias("segment_count")]
     if keep_data:
         aggs.append(F.first("segment_data").alias("segment_data"))
+    if keep_len:
+        # equal hashes ⟹ equal bytes ⟹ equal length, so first() is exact;
+        # projecting the 8-byte length MAP-SIDE keeps the payload bytes out
+        # of the store shuffle for size-report consumers (global_sizes)
+        aggs.append(F.first(F.octet_length("segment_data")).alias("segment_len"))
     if not salted:
         return file_segments.groupBy("segment_hash").agg(*aggs)
 
@@ -145,6 +151,9 @@ def build_segments_table(
     if keep_data:
         partial_aggs.append(F.first("segment_data").alias("_d"))
         final_aggs.append(F.first("_d").alias("segment_data"))
+    if keep_len:
+        partial_aggs.append(F.first(F.octet_length("segment_data")).alias("_l"))
+        final_aggs.append(F.first("_l").alias("segment_len"))
     return (
         file_segments.withColumn("_salt", salt)
         .groupBy("segment_hash", "_salt")
