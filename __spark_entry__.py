@@ -225,10 +225,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """md5-min document fingerprint (functions/text.py:md5_min_fingerprint)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id", md5_min_fingerprint(F.col("text"), 9).alias("fingerprint")
+    """md5-min document fingerprint — the vectorized single-block MD5
+    kernel (functions/md5x.py), bit-identical to the
+    md5_min_fingerprint expression (parity-pinned in tests)."""
+    from data_deduplication_service_spark.functions.text import (
+        md5_min_fingerprint_table,
     )
+
+    return md5_min_fingerprint_table(_docs(spark, sf_dir), "doc_id", "text", 9)
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

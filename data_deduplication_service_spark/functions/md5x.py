@@ -1,0 +1,123 @@
+"""Vectorized single-block MD5 (RFC 1321) — numpy lanes, like md4.py.
+
+Purpose-built for the md5-min fingerprint path: every message there is a
+9-char gram (≤ 36 UTF-8 bytes ≤ 55), i.e. exactly ONE padded block, so
+the whole digest is 64 fixed vector steps over uint32 lanes — no
+per-message Python, no multi-block loop. Verified bit-identical to
+hashlib.md5 for all lengths 0..55 (tests/test_md5x.py property sweep).
+
+Buffer discipline (CLAUDE.md measurement rule 11): messages are digested
+in bounded slices over persistent per-worker buffers — the block matrix,
+the 16 message words and the four state lanes are reused via ``out=``
+ufuncs, so steady state allocates nothing message-count-sized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4,
+    dtype=np.uint32,
+)
+_T = np.array(
+    [int(abs(np.sin(i + 1)) * 2**32) & 0xFFFFFFFF for i in range(64)], dtype=np.uint32
+)
+_K = np.array(
+    [i for i in range(16)]
+    + [(1 + 5 * i) % 16 for i in range(16)]
+    + [(5 + 3 * i) % 16 for i in range(16)]
+    + [(7 * i) % 16 for i in range(16)],
+    dtype=np.int64,
+)
+_INIT = (0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476)
+
+_SLICE = 1 << 15  # messages per slice: blk 2 MB + lanes ~1 MB, all reused
+
+_BUFS: dict[str, np.ndarray] = {}
+
+
+def _buf(name: str, shape: tuple, dtype) -> np.ndarray:
+    size = int(np.prod(shape))
+    b = _BUFS.get(name)
+    if b is None or b.size < size:
+        b = np.empty(size, dtype=dtype)
+        _BUFS[name] = b
+    return b[:size].reshape(shape)
+
+
+def _md5_slice(data: np.ndarray, starts: np.ndarray, lens: np.ndarray, out: np.ndarray) -> None:
+    """Digest one slice of ≤55-byte messages into out[(n,16) uint8]."""
+    n = starts.size
+    blk = _buf("blk", (n, 64), np.uint8)
+    blk[:] = 0
+    mx = int(lens.max()) if n else 0
+    # variable-length gather: one vector copy per byte position (mx ≤ 55)
+    for k in range(mx):
+        m = lens > k
+        blk[m, k] = data[starts[m] + k]
+    blk[np.arange(n), lens] = 0x80
+    M = _buf("M", (n, 16), np.uint32)
+    M[:] = blk.view(np.uint8).reshape(n, 16, 4).view(np.uint32).reshape(n, 16)
+    np.multiply(lens, 8, out=M[:, 14], casting="unsafe")
+    M[:, 15] = 0
+    a = _buf("a", (n,), np.uint32)
+    b = _buf("b", (n,), np.uint32)
+    c = _buf("c", (n,), np.uint32)
+    d = _buf("d", (n,), np.uint32)
+    a[:], b[:], c[:], d[:] = _INIT
+    f = _buf("f", (n,), np.uint32)
+    t1 = _buf("t1", (n,), np.uint32)
+    t2 = _buf("t2", (n,), np.uint32)
+    with np.errstate(over="ignore"):
+        for i in range(64):
+            if i < 16:
+                # F = (b & c) | (~b & d)
+                np.bitwise_and(b, c, out=f)
+                np.bitwise_not(b, out=t1)
+                np.bitwise_and(t1, d, out=t1)
+                np.bitwise_or(f, t1, out=f)
+            elif i < 32:
+                # G = (d & b) | (~d & c)
+                np.bitwise_and(d, b, out=f)
+                np.bitwise_not(d, out=t1)
+                np.bitwise_and(t1, c, out=t1)
+                np.bitwise_or(f, t1, out=f)
+            elif i < 48:
+                # H = b ^ c ^ d
+                np.bitwise_xor(b, c, out=f)
+                np.bitwise_xor(f, d, out=f)
+            else:
+                # I = c ^ (b | ~d)
+                np.bitwise_not(d, out=f)
+                np.bitwise_or(b, f, out=f)
+                np.bitwise_xor(c, f, out=f)
+            np.add(a, f, out=t1)
+            np.add(t1, M[:, _K[i]], out=t1)
+            np.add(t1, _T[i], out=t1)
+            s = int(_S[i])
+            np.left_shift(t1, np.uint32(s), out=t2)
+            np.right_shift(t1, np.uint32(32 - s), out=t1)
+            np.bitwise_or(t2, t1, out=t1)
+            np.add(b, t1, out=t1)
+            # rotate registers: (a, b, c, d) <- (d, t1, b, c)
+            a, b, c, d, t1 = d, t1, b, c, a
+        np.add(a, np.uint32(_INIT[0]), out=a)
+        np.add(b, np.uint32(_INIT[1]), out=b)
+        np.add(c, np.uint32(_INIT[2]), out=c)
+        np.add(d, np.uint32(_INIT[3]), out=d)
+    w = out.view(np.uint8).reshape(n, 4, 4).view(np.uint32).reshape(n, 4)
+    w[:, 0], w[:, 1], w[:, 2], w[:, 3] = a, b, c, d
+
+
+def md5_batch_1block(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """(N,16) uint8 MD5 digests of N messages (each ≤ 55 bytes), addressed
+    as data[starts[i] : starts[i] + lens[i]] into a shared uint8 buffer."""
+    if int(lens.max(initial=0)) > 55:
+        raise ValueError("md5_batch_1block: single-block form needs lens <= 55")
+    n = starts.size
+    out = np.empty((n, 16), dtype=np.uint8)
+    for s0 in range(0, n, _SLICE):
+        e0 = min(s0 + _SLICE, n)
+        _md5_slice(data, starts[s0:e0], lens[s0:e0], out[s0:e0])
+    return out

@@ -84,6 +84,84 @@ def md5_min_fingerprint(col: Column, n: int = 9) -> Column:
     return F.array_min(F.transform(char_ngrams(col, n), lambda g: F.md5(g)))
 
 
+def md5_min_fingerprint_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 9
+) -> DataFrame:
+    """(id, fingerprint): the md5-min document fingerprint computed by the
+    vectorized single-block MD5 kernel (functions/md5x.py) — bit-identical
+    to ``select(id, md5_min_fingerprint(text, n))`` (parity-pinned by
+    tests/test_md5x.py) but ~4× cheaper per gram: the JVM path pays a
+    MessageDigest + substring + hex allocation per gram, the kernel runs
+    64 fixed uint32 vector steps per slice over the zero-copy Arrow
+    buffer. Grams are n CHARS (substring semantics): char starts are the
+    non-continuation UTF-8 bytes, so a gram's bytes run from char offset
+    i to i+n — exact for all of Unicode. Shape: zero shuffle, one scan.
+
+    When the input has fewer scan partitions than the session's default
+    parallelism (small single-file tiers), the rows are re-spread first so
+    the kernel parallelizes — at warehouse scale the scan already has
+    more partitions than cores and no exchange is added."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .md5x import md5_batch_1block
+    from .signatures import _utf8_view
+
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src = docs.select(id_col, text_col)
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, F.col(id_col))
+
+    def compute(batches):
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ids = batch.column(0)
+            data, offs = _utf8_view(batch.column(1))
+            g_starts: list[np.ndarray] = []
+            g_lens: list[np.ndarray] = []
+            bounds = np.zeros(nrows + 1, dtype=np.int64)
+            for i in range(nrows):
+                s, e = int(offs[i]), int(offs[i + 1])
+                seg = data[s:e]
+                # char starts = non-continuation bytes (absolute offsets)
+                cs = s + np.flatnonzero((seg & 0xC0) != 0x80)
+                nc = cs.size
+                if nc <= n:  # short doc: whole content is the single gram
+                    st = np.array([s], dtype=np.int64)
+                    ln = np.array([e - s], dtype=np.int64)
+                else:
+                    st = cs[: nc - n + 1].astype(np.int64)
+                    ends = np.empty(st.size, dtype=np.int64)
+                    ends[: nc - n] = cs[n:]
+                    ends[-1] = e
+                    ln = ends - st
+                g_starts.append(st)
+                g_lens.append(ln)
+                bounds[i + 1] = bounds[i] + st.size
+            starts = np.concatenate(g_starts)
+            lens = np.concatenate(g_lens)
+            dig = md5_batch_1block(data, starts, lens)
+            # lexicographic min per doc: big-endian (hi, lo) uint64 pair
+            # compares exactly like the 16 digest bytes / their hex string
+            hl = dig.reshape(-1, 2, 8).view(">u8").reshape(-1, 2).astype(np.uint64)
+            hi, lo = hl[:, 0], hl[:, 1]
+            out: list[str] = []
+            for i in range(nrows):
+                b0, b1 = int(bounds[i]), int(bounds[i + 1])
+                h = hi[b0:b1]
+                cand = b0 + np.flatnonzero(h == h.min())
+                best = int(cand[np.argmin(lo[cand])])
+                out.append(dig[best].tobytes().hex())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.string())], names=[id_col, "fingerprint"]
+            )
+
+    return src.mapInArrow(compute, schema=f"{id_col} long, fingerprint string")
+
+
 def md5_minhash_signature(col: Column, n: int = 9, perms: int = 8) -> Column:
     """K-permutation md5 MinHash: perm i = min(md5(i || ngram)). SQL-parity
     variant for cross-engine verification; the production path is the

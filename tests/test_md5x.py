@@ -1,0 +1,67 @@
+"""Vectorized single-block MD5: hashlib parity + fingerprint-kernel parity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.functions.md5x import md5_batch_1block
+
+
+def _batch(msgs: list[bytes]) -> np.ndarray:
+    cat = np.frombuffer(b"".join(msgs), dtype=np.uint8)
+    lens = np.array([len(m) for m in msgs], dtype=np.int64)
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return md5_batch_1block(cat, starts, lens)
+
+
+def test_matches_hashlib_all_lengths():
+    rng = np.random.default_rng(7)
+    msgs = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8)) for n in range(56)]
+    msgs += [bytes(rng.integers(0, 256, size=rng.integers(0, 56), dtype=np.uint8))
+             for _ in range(3000)]
+    msgs += [b"", b"abc", "комментарий🚀".encode()[:36]]
+    dig = _batch(msgs)
+    for i, m in enumerate(msgs):
+        assert dig[i].tobytes() == hashlib.md5(m).digest(), (i, m)
+
+
+def test_rejects_multiblock_lengths():
+    with pytest.raises(ValueError):
+        _batch([b"x" * 56])
+
+
+def test_fingerprint_kernel_matches_expression(spark):
+    """md5_min_fingerprint_table ≡ the JVM expression path on a corpus with
+    empty / short / multibyte / repetitive docs (round-6 parity contract)."""
+    from data_deduplication_service_spark.functions.text import (
+        md5_min_fingerprint,
+        md5_min_fingerprint_table,
+    )
+
+    docs = [
+        (1, ""),
+        (2, "x"),
+        (3, "exactly9!"),
+        (4, "short12"),
+        (5, "комментарий 🚀 multi-byte utf-8 content that splits mid-char" * 3),
+        (6, "tile" * 100),
+        (7, "the quick brown fox jumps over the lazy dog " * 8),
+        (8, "汉字混合 ascii and 中文 tokens in one doc " * 5),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exp = {
+        r.doc_id: r.fingerprint
+        for r in df.select(
+            "doc_id", md5_min_fingerprint(F.col("text"), 9).alias("fingerprint")
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.fingerprint
+        for r in md5_min_fingerprint_table(df, "doc_id", "text", 9).collect()
+    }
+    assert got == exp
