@@ -608,7 +608,9 @@ def _fast_char_signature_table(
                     yield emit(lo, hi)
                     lo = hi
 
-    return files.select("file_id", "content").mapInArrow(
+    from data_deduplication_service_spark.spread import spread_for_kernel
+
+    return spread_for_kernel(files.select("file_id", "content"), "file_id").mapInArrow(
         compute, schema=signature_schema(cfg, lean)
     )
 
@@ -667,7 +669,9 @@ def signature_table(
                 }
             )
 
-    return files.select("file_id", "content").mapInPandas(
+    from data_deduplication_service_spark.spread import spread_for_kernel
+
+    return spread_for_kernel(files.select("file_id", "content"), "file_id").mapInPandas(
         compute, schema=signature_schema(cfg, lean)
     )
 
@@ -730,7 +734,9 @@ def shingle_table(files: DataFrame, cfg: DedupConfig) -> DataFrame:
                     yield emit(lo, hi)
                     lo = hi
 
-    return files.select("file_id", "content").mapInArrow(
+    from data_deduplication_service_spark.spread import spread_for_kernel
+
+    return spread_for_kernel(files.select("file_id", "content"), "file_id").mapInArrow(
         compute, schema="file_id long, shingles array<long>"
     )
 
@@ -831,7 +837,11 @@ def fused_signature_segments(files: DataFrame, cfg: DedupConfig) -> DataFrame:
                 names=["file_id", "n_windows", "minhash", "seg_hashes"],
             )
 
-    return files.select("file_id", "content").mapInArrow(compute, schema=schema)
+    from data_deduplication_service_spark.spread import spread_for_kernel
+
+    return spread_for_kernel(files.select("file_id", "content"), "file_id").mapInArrow(
+        compute, schema=schema
+    )
 
 
 def file_segments_from_fused(fused: DataFrame) -> DataFrame:

@@ -107,11 +107,9 @@ def md5_min_fingerprint_table(
     from .md5x import md5_batch_1block
     from .signatures import _utf8_view
 
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    src = docs.select(id_col, text_col)
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par, F.col(id_col))
+    from data_deduplication_service_spark.spread import spread_for_kernel
+
+    src = spread_for_kernel(docs.select(id_col, text_col), id_col)
 
     def compute(batches):
         for batch in batches:

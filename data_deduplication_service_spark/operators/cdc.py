@@ -294,8 +294,13 @@ def cdc_doc_stats(
         F.sequence(F.lit(0), F.size("_ends") - 1),
         lambda _e, i: F.element_at("_ends", (i + 1).cast("int")) - prev(i),
     )
+    from data_deduplication_service_spark.spread import spread_for_kernel
+
     return (
-        files.select(F.col(id_col).alias("file_id"), F.col(text_col).alias("content"))
+        spread_for_kernel(
+            files.select(F.col(id_col).alias("file_id"), F.col(text_col).alias("content")),
+            "file_id",
+        )
         .withColumn("_ends", cut_ends(F.col("content")))
         .filter(F.size("_ends") > 0)
         .select(

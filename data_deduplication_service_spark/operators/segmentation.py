@@ -186,6 +186,8 @@ def segment_doc_stats(files: DataFrame, cfg: DedupConfig) -> DataFrame:
                 F.countDistinct("segment_hash").alias("n_unique"),
             )
         )
+    from data_deduplication_service_spark.spread import spread_for_kernel
+
     seg = cfg.segment_size
     b = F.encode("content", "UTF-8")
     n_seg = F.floor((F.octet_length("content") - 1) / seg).cast("long") + 1
@@ -195,6 +197,10 @@ def segment_doc_stats(files: DataFrame, cfg: DedupConfig) -> DataFrame:
             F.substring(b, (i * seg + 1).cast("int"), seg), cfg.hash_name
         ),
     )
+    # per-row work is one sha2 per segment — heavy enough that a
+    # single-partition tier must be spread or the whole corpus digests on
+    # one core (no-op when the scan already has ≥ parallelism splits)
+    files = spread_for_kernel(files, "file_id")
     return files.filter(F.octet_length("content") > 0).select(
         "file_id",
         F.size(hashes).cast("long").alias("n_segments"),

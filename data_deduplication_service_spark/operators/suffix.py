@@ -455,7 +455,9 @@ def winnowed_anchor_table(
                      "positions": pos_lists}
                 )
 
-    return files.select(id_col, text_col).mapInPandas(
+    from data_deduplication_service_spark.spread import spread_for_kernel
+
+    return spread_for_kernel(files.select(id_col, text_col), id_col).mapInPandas(
         per_batch, schema="file_id long, anchor long, positions array<long>"
     )
 

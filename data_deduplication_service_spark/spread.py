@@ -1,0 +1,35 @@
+"""Guarded input re-spread for compute-heavy map kernels.
+
+A single-file parquet tier (every sf tier here is ONE file, and a bigger
+generated tier would be too) scans as ONE partition, so a mapInArrow /
+mapInPandas kernel — or a heavy per-row expression like per-segment
+sha2 — runs on one core regardless of the session's parallelism. The
+spread inserts one deterministic hash repartition ONLY when the scan has
+fewer partitions than the session's default parallelism: at warehouse
+scale the scan already has more splits than cores and this is a no-op
+(no exchange is added), so the knob stays scale-adaptive rather than
+tuned to local[32] (guide §2.2 / round-6 brief).
+
+Streaming inputs are returned untouched (``df.rdd`` is illegal there),
+as is anything whose partition count cannot be inspected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def spread_for_kernel(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition ``df`` to the session default parallelism by
+    ``key_col`` iff it currently has fewer partitions — deterministic
+    (hash of a real key, not round-robin; see guide §2.5 on retries)."""
+    if df.isStreaming:
+        return df
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if n < par:
+        return df.repartition(par, F.col(key_col))
+    return df
