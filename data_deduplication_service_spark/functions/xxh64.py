@@ -1,0 +1,153 @@
+"""Vectorized XXH64 — numpy lanes, bit-identical to Spark's ``xxhash64``.
+
+Spark's ``xxhash64`` expression (catalyst XXH64, seed 42) is the
+canonical 64-bit key of the clone-overlap pipeline (tokens are hashed
+map-side so no string ever crosses an exchange). A fused
+tokenize+hash+count Arrow kernel therefore needs the SAME hash on the
+Python side, or the df ordering / prefix membership / capped invariant
+would silently change. This module computes XXH64 over variable-length
+byte slices by grouping them into fixed-length classes: within one
+class every message has identical control flow (stripe count, word
+count, 4-byte chunk, tail bytes are all static), so the whole digest is
+straight-line uint64 vector arithmetic.
+
+The implementation follows the public xxHash spec / Spark's XXH64.java:
+little-endian reads (we run on x86_64; a big-endian host would need
+byteswaps), 32-byte stripes into four accumulators when ``L >= 32``,
+then 8-byte words, one 4-byte chunk, single bytes, and the final
+avalanche. Verified bit-identical to Spark's xxhash64 by
+tests/test_xxh64.py (property sweep over lengths 0..100 + random bytes).
+
+Buffer discipline (CLAUDE.md rule 11): messages are gathered in bounded
+slices into persistent per-worker buffers; steady state allocates
+nothing message-count-sized beyond the caller-visible output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
+
+_SPARK_SEED = np.uint64(42)
+
+# slice budget: the padded byte matrix is the largest transient; cap it
+# at ~4 MB so the reused buffer stays far from any churn regime
+_MAT_BUDGET = 1 << 22
+
+_BUFS: dict[str, np.ndarray] = {}
+
+
+def _buf(name: str, size: int, dtype) -> np.ndarray:
+    b = _BUFS.get(name)
+    if b is None or b.size < size or b.dtype != dtype:
+        b = np.empty(size, dtype=dtype)
+        _BUFS[name] = b
+    return b[:size]
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    rr = np.uint64(r)
+    ri = np.uint64(64 - r)
+    return (x << rr) | (x >> ri)
+
+
+def _fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _xxh64_fixed(mat: np.ndarray, L: int, seed: np.uint64) -> np.ndarray:
+    """XXH64 of n messages of identical length L, given as a C-contiguous
+    (n, Lp) uint8 matrix with Lp = max(8*ceil(L/8), 8) columns (bytes past
+    L are ignored; padding only exists so the u64-word view is aligned)."""
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        return _xxh64_fixed_impl(mat, L, seed)
+
+
+def _xxh64_fixed_impl(mat: np.ndarray, L: int, seed: np.uint64) -> np.ndarray:
+    n = mat.shape[0]
+    words = mat.view("<u8")  # (n, Lp//8)
+    ns = L // 32
+    if L >= 32:
+        v1 = np.full(n, seed + _P1 + _P2, dtype=np.uint64)
+        v2 = np.full(n, seed + _P2, dtype=np.uint64)
+        v3 = np.full(n, seed, dtype=np.uint64)
+        v4 = np.full(n, seed - _P1, dtype=np.uint64)
+        for s in range(ns):
+            v1 = _rotl(v1 + words[:, 4 * s] * _P2, 31) * _P1
+            v2 = _rotl(v2 + words[:, 4 * s + 1] * _P2, 31) * _P1
+            v3 = _rotl(v3 + words[:, 4 * s + 2] * _P2, 31) * _P1
+            v4 = _rotl(v4 + words[:, 4 * s + 3] * _P2, 31) * _P1
+        h = _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            h = (h ^ (_rotl(v * _P2, 31) * _P1)) * _P1 + _P4
+    else:
+        h = np.full(n, seed + _P5, dtype=np.uint64)
+    h = h + np.uint64(L)
+    for w in range(4 * ns, L // 8):
+        k1 = _rotl(words[:, w] * _P2, 31) * _P1
+        h = _rotl(h ^ k1, 27) * _P1 + _P4
+    off = (L // 8) * 8
+    if L - off >= 4:
+        u32 = (
+            mat[:, off].astype(np.uint64)
+            | (mat[:, off + 1].astype(np.uint64) << np.uint64(8))
+            | (mat[:, off + 2].astype(np.uint64) << np.uint64(16))
+            | (mat[:, off + 3].astype(np.uint64) << np.uint64(24))
+        )
+        h = _rotl(h ^ (u32 * _P1), 23) * _P2 + _P3
+        off += 4
+    for i in range(off, L):
+        h = _rotl(h ^ (mat[:, i].astype(np.uint64) * _P5), 11) * _P1
+    return _fmix(h)
+
+
+def xxh64_slices(
+    data: np.ndarray,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    out: np.ndarray,
+    seed: int = 42,
+) -> None:
+    """XXH64 of n byte slices ``data[starts[i] : starts[i]+lens[i]]``
+    written into ``out`` (uint64, caller-allocated), grouped internally
+    by length so every class digests as straight-line vector code."""
+    seed = np.uint64(seed)
+    n = starts.size
+    if n == 0:
+        return
+    with np.errstate(over="ignore"):
+        empty = _fmix(np.full(1, seed + _P5, dtype=np.uint64))[0]
+    order = np.argsort(lens, kind="stable")
+    sl = lens[order]
+    # class boundaries in the length-sorted view
+    cls = np.nonzero(np.diff(sl))[0] + 1
+    bounds = np.concatenate(([0], cls, [n]))
+    for b in range(bounds.size - 1):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        L = int(sl[lo])
+        idx = order[lo:hi]
+        if L == 0:
+            out[idx] = empty
+            continue
+        Lp = max(((L + 7) // 8) * 8, 8)
+        chunk = max(1, min(hi - lo, _MAT_BUDGET // Lp))
+        for c0 in range(0, hi - lo, chunk):
+            ci = idx[c0 : c0 + chunk]
+            m = ci.size
+            mat = _buf("xxh_mat", chunk * Lp, np.uint8)[: m * Lp].reshape(m, Lp)
+            if Lp > L:
+                mat[:, L:] = 0
+            s = starts[ci]
+            for k in range(L):
+                mat[:, k] = data[s + k]
+            out[ci] = _xxh64_fixed(mat, L, seed)

@@ -196,6 +196,209 @@ def hashed_token_counts(
     )
 
 
+def _clone_luts():
+    """Byte LUTs for the fused tokenizer (built once per process).
+
+    ``group``: 0 = separator, 1 = alnum_ ([A-Za-z0-9_]), 2 = ASCII
+    punctuation run class. Non-ASCII bytes (0x80+) are separators — the
+    UTF-8 continuation/lead bytes of exactly the codepoints
+    CLONE_TOKEN_PATTERN treats as separators, so byte-level runs ≡
+    codepoint-level runs (same argument as functions/text.py's byte-LUT
+    kernels)."""
+    import numpy as np
+
+    group = np.zeros(256, dtype=np.uint8)
+    letter = np.zeros(256, dtype=bool)
+    digit = np.zeros(256, dtype=bool)
+    for c in range(0x41, 0x5B):
+        group[c] = 1
+        letter[c] = True
+    for c in range(0x61, 0x7B):
+        group[c] = 1
+        letter[c] = True
+    group[0x5F] = 1
+    letter[0x5F] = True
+    for c in range(0x30, 0x3A):
+        group[c] = 1
+        digit[c] = True
+    for lo, hi in ((0x21, 0x30), (0x3A, 0x41), (0x5B, 0x5F), (0x60, 0x61), (0x7B, 0x7F)):
+        for c in range(lo, hi):
+            group[c] = 2
+    return group, letter, digit
+
+
+_LUTS = None
+_FUSED_SLICE_BYTES = 1 << 22  # per-slice tokenizer working set (rule 11)
+_FUSED_BUFS: dict[str, "object"] = {}
+
+
+def _fused_buf(name: str, size: int, dtype):
+    import numpy as np
+
+    b = _FUSED_BUFS.get(name)
+    if b is None or b.size < size or b.dtype != dtype:
+        b = np.empty(size, dtype=dtype)
+        _FUSED_BUFS[name] = b
+    return b[:size]
+
+
+def _fused_token_counts_kernel(iterator):
+    """Arrow batches of (id, text) → (id, h, cnt): per-document token-bag
+    counts with ``h = xxhash64(token)`` — the ENTIRE token_counts phase
+    (tokenize, hash, per-doc count) in one zero-shuffle map pass.
+
+    Equivalent by construction to
+    ``explode(clone_tokens) → xxhash64 → groupBy(id, h).count()``:
+
+    - tokens: byte-LUT run segmentation over the Arrow UTF-8 buffer.
+      CLONE_TOKEN_PATTERN's three alternatives are first-char-disjoint
+      positive ASCII classes, so a maximal alnum_ run is ONE identifier
+      token when it starts with [A-Za-z_] and splits as digits+identifier
+      at its first letter when it starts with [0-9]; a maximal
+      punctuation run is one token; everything else separates. Tokens
+      are per-doc (run starts forced at doc boundaries).
+    - hash: functions/xxh64.py, bit-identical to Spark's xxhash64
+      (seed 42) on the token's UTF-8 bytes.
+    - count: tokens arrive doc-ordered, so one in-place sort of the hash
+      slice per doc + a run-length encode gives the exact multiset.
+
+    Parity with the relational form is pinned by
+    tests/test_clones.py::test_fused_token_counts_parity.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from data_deduplication_service_spark.functions.signatures import _utf8_view
+    from data_deduplication_service_spark.functions.xxh64 import xxh64_slices
+
+    global _LUTS
+    if _LUTS is None:
+        _LUTS = _clone_luts()
+    g_lut, letter_lut, digit_lut = _LUTS
+
+    for batch in iterator:
+        if batch.num_rows == 0:
+            continue
+        fid = batch.column(0).to_numpy(zero_copy_only=False)
+        data, offs = _utf8_view(batch.column(1))
+        out_ids: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        out_cnt: list[np.ndarray] = []
+        d0 = 0
+        n_docs = batch.num_rows
+        while d0 < n_docs:
+            # doc-aligned slice of ~_FUSED_SLICE_BYTES (≥1 doc)
+            d1 = d0 + 1
+            while d1 < n_docs and offs[d1 + 1] - offs[d0] <= _FUSED_SLICE_BYTES:
+                d1 += 1
+            lo, hi = int(offs[d0]), int(offs[d1])
+            N = hi - lo
+            if N == 0:
+                d0 = d1
+                continue
+            view = data[lo:hi]
+            rel = (offs[d0 : d1 + 1] - lo).astype(np.int64)
+
+            g = _fused_buf("g", N, np.uint8)
+            np.take(g_lut, view, out=g)
+            prev = _fused_buf("prev", N, np.uint8)
+            prev[0] = 0
+            prev[1:] = g[:-1]
+            db = rel[1:-1]
+            prev[db[db < N]] = 0  # force run breaks at doc starts
+            # (db == N only when every remaining doc in the slice is empty)
+            start = _fused_buf("start", N, bool)
+            np.not_equal(g, prev, out=start)
+            start &= g != 0
+
+            is_letter = _fused_buf("let", N, bool)
+            np.take(letter_lut, view, out=is_letter)
+            # candidate splits: letter whose predecessor byte is a digit
+            # (same run) — real iff the run starts with a digit and this
+            # is the run's FIRST letter (digits-then-identifier case)
+            prevd = _fused_buf("prevd", N, bool)
+            prevd[0] = False
+            np.take(digit_lut, view[:-1], out=prevd[1:])
+            cand = is_letter & prevd & ~start
+            ci = np.flatnonzero(cand)
+            if ci.size:
+                rid = _fused_buf("rid", N, np.int32)
+                np.cumsum(start, dtype=np.int32, out=rid)
+                cl = _fused_buf("cl", N, np.int32)
+                np.cumsum(is_letter, dtype=np.int32, out=cl)
+                rs = np.flatnonzero(start)  # run id r starts at rs[r]
+                r = rid[ci] - 1
+                real = digit_lut[view[rs[r]]] & (cl[ci] - cl[rs[r]] == 1)
+                start[ci[real]] = True
+
+            ev = _fused_buf("ev", N, bool)
+            np.equal(g, 0, out=ev)
+            ev |= start
+            ev_idx = np.flatnonzero(ev)
+            ts = ev_idx[start[ev_idx]]
+            if ts.size == 0:
+                d0 = d1
+                continue
+            nxt = np.append(ev_idx[1:], N)
+            ends = nxt[np.searchsorted(ev_idx, ts)]
+            lens = ends - ts
+            h = np.empty(ts.size, dtype=np.uint64)
+            xxh64_slices(view, ts, lens, h)
+
+            doc_idx = np.searchsorted(rel, ts, side="right") - 1
+            # tokens are position-ordered ⇒ doc_idx is non-decreasing:
+            # sort each doc's hash slice in place, then one global RLE
+            seg = np.flatnonzero(doc_idx[1:] != doc_idx[:-1]) + 1
+            bounds = np.concatenate(([0], seg, [ts.size]))
+            for b in range(bounds.size - 1):
+                h[bounds[b] : bounds[b + 1]].sort()
+            grp = np.empty(ts.size, dtype=bool)
+            grp[0] = True
+            np.not_equal(h[1:], h[:-1], out=grp[1:])
+            grp[bounds[1:-1]] = True
+            gi = np.flatnonzero(grp)
+            cnt = np.diff(np.append(gi, ts.size))
+            out_ids.append(fid[d0 + doc_idx[gi]])
+            out_h.append(h[gi].view(np.int64))
+            out_cnt.append(cnt.astype(np.int64))
+            d0 = d1
+        if out_ids:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_ids), type=pa.int64()),
+                    pa.array(np.concatenate(out_h), type=pa.int64()),
+                    pa.array(np.concatenate(out_cnt), type=pa.int64()),
+                ],
+                names=["__id", "h", "cnt"],
+            )
+
+
+def hashed_token_counts_fused(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, h, cnt) — same contract as :func:`hashed_token_counts`, as a
+    single fused mapInArrow pass: no Generate (explode), no partial agg,
+    and NO exchange at all — each document's counts are final within its
+    task. At 400k files the relational form's count aggregation alone was
+    12.1s post-hash-keying (BENCH/CLONE_PROFILE.md); the fused kernel
+    removes that entire exchange of the stage's largest intermediate.
+    A/B-adjudicated per the round-3 fused-kernel discipline (either
+    outcome possible); parity pinned by pytest + the shared oracle gate."""
+    from data_deduplication_service_spark.spread import spread_for_kernel
+
+    src = spread_for_kernel(
+        docs.select(F.col(id_col), F.col(text_col).cast("string"))
+        .filter(F.col(text_col).isNotNull()),
+        id_col,
+    )
+    out = src.mapInArrow(
+        _fused_token_counts_kernel, "__id long, h long, cnt long"
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
 def _prefix_index(
     thc: DataFrame,
     id_col: str,
@@ -249,6 +452,55 @@ def _prefix_index(
         .withColumn("_L", F.col("n") - ceil_theta_n + F.lit(1))
         .filter(F.col("_cum") - F.col("cnt") < F.col("_L"))
         .select(id_col, "h", (F.col("_cum") - F.col("cnt")).alias("c"), "n")
+    )
+
+
+def _candidate_pairs(
+    pre: DataFrame,
+    id_col: str,
+    theta_num: int,
+    theta_den: int,
+    max_docs_per_token: int | None,
+) -> DataFrame:
+    """Prefix-index rows → distinct (a, b) candidate pairs: group by
+    token hash, apply the fan-out cap, expand ordered pairs with the
+    positional-filter upper bound ``ub = min(c_a, c_b) + min(n_a-c_a,
+    n_b-c_b)`` and prune pairs whose bound already misses θ. Shared by
+    :func:`clone_overlap_pairs` and ``scripts/clone_profile.py`` so the
+    profiler times the operator's ACTUAL expansion, not a copy."""
+    members = (
+        pre.groupBy("h")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(id_col, "c", "n"))
+            ).alias("_m")
+        )
+        .filter(F.size("_m") >= 2)
+    )
+    if max_docs_per_token is not None:
+        members = members.filter(F.size("_m") <= max_docs_per_token)
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size("_m")),
+                lambda y: F.struct(
+                    x[id_col].alias("a"),
+                    y[id_col].alias("b"),
+                    (
+                        F.least(x["c"], y["c"])
+                        + F.least(x["n"] - x["c"], y["n"] - y["c"])
+                    ).alias("ub"),
+                    F.greatest(x["n"], y["n"]).alias("mx"),
+                ),
+            ),
+        )
+    )
+    return (
+        members.select(F.explode(pair_expr).alias("p"))
+        .filter(F.col("p.ub") * theta_den >= theta_num * F.col("p.mx"))
+        .select("p.a", "p.b")
+        .distinct()
     )
 
 
@@ -330,6 +582,11 @@ def doc_token_bags(thc: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# token_counts implementation for clone_overlap_pairs when the caller
+# does not choose: flipped by the round-6 A/B verdict (BENCH/CLONE_PROFILE.md)
+FUSED_COUNTS_DEFAULT = False
+
+
 def clone_overlap_pairs(
     docs: DataFrame,
     theta_num: int = 4,
@@ -338,6 +595,7 @@ def clone_overlap_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_token_df: bool = False,
+    use_fused_counts: bool | None = None,
 ) -> DataFrame:
     """(a, b, overlap, n_a, n_b): doc pairs with token-multiset overlap
     ``Σ_t min(cnt_a, cnt_b) ≥ ⌈θ·max(n_a, n_b)⌉`` where θ = num/den and
@@ -375,43 +633,12 @@ def clone_overlap_pairs(
     Capped pairs remain a SUBSET of the exact answer — the verify never
     admits a false positive; the cap can only lose candidates.
     """
-    thc = persist_scoped(hashed_token_counts(docs, id_col, text_col))
+    if use_fused_counts is None:
+        use_fused_counts = FUSED_COUNTS_DEFAULT
+    counts_fn = hashed_token_counts_fused if use_fused_counts else hashed_token_counts
+    thc = persist_scoped(counts_fn(docs, id_col, text_col))
     pre = _prefix_index(thc, id_col, theta_num, theta_den, broadcast_token_df)
-
-    members = (
-        pre.groupBy("h")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(id_col, "c", "n"))
-            ).alias("_m")
-        )
-        .filter(F.size("_m") >= 2)
-    )
-    if max_docs_per_token is not None:
-        members = members.filter(F.size("_m") <= max_docs_per_token)
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("_m"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_m"), i + 2, F.size("_m")),
-                lambda y: F.struct(
-                    x[id_col].alias("a"),
-                    y[id_col].alias("b"),
-                    (
-                        F.least(x["c"], y["c"])
-                        + F.least(x["n"] - x["c"], y["n"] - y["c"])
-                    ).alias("ub"),
-                    F.greatest(x["n"], y["n"]).alias("mx"),
-                ),
-            ),
-        )
-    )
-    cands = (
-        members.select(F.explode(pair_expr).alias("p"))
-        .filter(F.col("p.ub") * theta_den >= theta_num * F.col("p.mx"))
-        .select("p.a", "p.b")
-        .distinct()
-    )
+    cands = _candidate_pairs(pre, id_col, theta_num, theta_den, max_docs_per_token)
 
     bags = persist_scoped(doc_token_bags(thc, id_col))
     with_bags = cands.join(
@@ -446,9 +673,19 @@ def clone_overflow_tokens(
     observability half of the cap, same contract as every other cap.
     Mirrors the scale path exactly (hashed counts, (df, h) slot order —
     prefix membership depends on the order, so the diagnostic must use
-    the same one), then joins back to token strings for the report."""
-    tc = clone_token_counts(docs, id_col, text_col)
-    thc = (
+    the same one), then joins back to token strings for the report.
+
+    Collision caveat: two DISTINCT token strings colliding to one hot
+    ``h`` each join back with the full merged ``n_docs``, so the report
+    can list more rows than capped groups — harmless under the same
+    negligible-collision contract as the scale path.
+
+    ``tc`` feeds both the hashed counts and the token-string map, and
+    ``thc`` feeds the prefix index twice (df groupBy + rarity window), so
+    both are persist_scoped — without it the tokenize/explode lineage
+    recomputes ~3x per diagnostic run (ADVICE r5)."""
+    tc = persist_scoped(clone_token_counts(docs, id_col, text_col))
+    thc = persist_scoped(
         tc.select(F.col(id_col), F.xxhash64("tok").alias("h"), "cnt")
         .groupBy(id_col, "h")
         .agg(F.sum("cnt").alias("cnt"))

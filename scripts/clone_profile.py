@@ -25,6 +25,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--n-files", type=int, default=100_000)
+    ap.add_argument(
+        "--fused", action="store_true",
+        help="token_counts via the fused tokenize+hash+count Arrow kernel "
+        "(hashed_token_counts_fused) instead of explode→xxhash64→groupBy; "
+        "every downstream phase and the invariant are identical by the "
+        "xxh64 parity contract (tests/test_xxh64.py)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -40,9 +47,11 @@ def main() -> None:
 
     from data_deduplication_service_spark.operators.clones import (
         _bag_overlap_kernel,
+        _candidate_pairs,
         _prefix_index,
         doc_token_bags,
         hashed_token_counts,
+        hashed_token_counts_fused,
     )
 
     files = spark.read.parquet(f"/tmp/scaling_corpus_{args.n_files}.parquet")
@@ -57,8 +66,9 @@ def main() -> None:
 
     theta_num, theta_den, cap = 4, 5, 256
 
+    counts_fn = hashed_token_counts_fused if args.fused else hashed_token_counts
     t0 = time.monotonic()
-    tc = hashed_token_counts(docs, id_col="file_id", text_col="content")
+    tc = counts_fn(docs, id_col="file_id", text_col="content")
     tc.persist()
     tc.write.mode("overwrite").format("noop").save()
     t0 = mark("token_counts", t0)
@@ -68,35 +78,9 @@ def main() -> None:
     pre.write.mode("overwrite").format("noop").save()
     t0 = mark("prefix_index", t0)
 
-    members = (
-        pre.groupBy("h")
-        .agg(F.sort_array(F.collect_list(F.struct("file_id", "c", "n"))).alias("_m"))
-        .filter(F.size("_m") >= 2)
-        .filter(F.size("_m") <= cap)
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("_m"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_m"), i + 2, F.size("_m")),
-                lambda y: F.struct(
-                    x["file_id"].alias("a"),
-                    y["file_id"].alias("b"),
-                    (
-                        F.least(x["c"], y["c"])
-                        + F.least(x["n"] - x["c"], y["n"] - y["c"])
-                    ).alias("ub"),
-                    F.greatest(x["n"], y["n"]).alias("mx"),
-                ),
-            ),
-        )
-    )
-    cands = (
-        members.select(F.explode(pair_expr).alias("p"))
-        .filter(F.col("p.ub") * theta_den >= theta_num * F.col("p.mx"))
-        .select("p.a", "p.b")
-        .distinct()
-    )
+    # the operator's OWN expansion (shared helper) — the profiler can no
+    # longer silently time a stale copy of the candidate plan
+    cands = _candidate_pairs(pre, "file_id", theta_num, theta_den, cap)
     cands.persist()
     n_cands = cands.count()
     t0 = mark("expand_distinct", t0)
@@ -130,6 +114,7 @@ def main() -> None:
     t0 = mark("join_verify", t0)
 
     print(json.dumps({
+        "fused": bool(args.fused),
         "cores": args.cores,
         "n_files": n,
         "n_cands": n_cands,

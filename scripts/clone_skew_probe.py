@@ -111,11 +111,13 @@ def worker(cores: int, input_path: str, n_files: int) -> None:
         F.count("*").alias("n"),
         F.coalesce(F.sum("overlap"), F.lit(0)).cast("long").alias("s"),
     ).collect()[0]
+    scrub_sec = time.monotonic() - t2
+    # recall join deliberately OUTSIDE the timed window so scrub_sec and
+    # overlap_sec (which excludes its recall join too) stay comparable
     s_norm = s_pairs.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     )
     s_found = exact_norm.join(s_norm, ["a", "b"], "left_semi").count()
-    scrub_sec = time.monotonic() - t2
 
     print(
         "PROBE_RESULT "

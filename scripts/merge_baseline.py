@@ -442,6 +442,16 @@ def main() -> None:
                     r["clones_invariant"] for r in rows
                     if r.get("campaign", "") == camp
                 }
+                if camp == "":
+                    # rows without a campaign key (legacy / hand-merged
+                    # jsonl) may span code eras — the within-campaign
+                    # identity assert would be spurious there
+                    if len(inv) > 1:
+                        print(
+                            f"WARNING: {len(inv)} distinct clone invariants "
+                            f"among campaign-less rows at {nf}: {sorted(inv)}"
+                        )
+                    continue
                 assert len(inv) == 1, \
                     f"clone invariants differ within campaign {camp} at {nf}: {inv}"
             invs = sorted({r["clones_invariant"] for r in rows})

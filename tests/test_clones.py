@@ -378,3 +378,72 @@ def test_overlap_broadcast_df_is_output_identical(spark):
         ).collect()
     }
     assert base == bcast and base
+
+
+def test_fused_token_counts_parity(spark):
+    """hashed_token_counts_fused (byte-LUT tokenize + numpy xxh64 + per-doc
+    RLE in ONE Arrow pass) ≡ the relational explode→xxhash64→groupBy form,
+    on edge docs (unicode separators, digit→letter splits, empty docs,
+    long runs) + a clone-dense random corpus."""
+    from data_deduplication_service_spark.operators.clones import (
+        hashed_token_counts,
+        hashed_token_counts_fused,
+    )
+
+    docs = [(1000 + i, t) for i, t in enumerate(EDGE_DOCS)]
+    docs += [(2000, "9a 99_ 99_9 a9b _9a 12ab3c4d"), (2001, "é9 café9x 9café"),
+             (2002, "+" * 300), (2003, "9" * 40 + "z" * 40)]
+    docs += _random_corpus(seed=23, n_docs=120)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    rel = {
+        (r["doc_id"], r["h"]): r["cnt"]
+        for r in hashed_token_counts(df).collect()
+    }
+    # hashed_token_counts has no sum-merge; rebuild via groupBy parity:
+    fused = {
+        (r["doc_id"], r["h"]): r["cnt"]
+        for r in hashed_token_counts_fused(df).collect()
+    }
+    assert rel == fused and fused
+
+
+def test_overlap_pairs_identical_under_fused_counts(spark):
+    """clone_overlap_pairs output is byte-identical whichever token_counts
+    implementation feeds it (the A/B safety contract)."""
+    from data_deduplication_service_spark.operators.clones import (
+        clone_overlap_pairs,
+    )
+
+    docs = _random_corpus(seed=31, n_docs=80)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {
+        tuple(r)
+        for r in clone_overlap_pairs(df, use_fused_counts=False).collect()
+    }
+    b = {
+        tuple(r)
+        for r in clone_overlap_pairs(df, use_fused_counts=True).collect()
+    }
+    assert a == b and a
+
+
+def test_capped_output_input_order_invariant(spark):
+    """The capped pair set must not depend on input slot order: prefix
+    admission ranks by the total order (df ASC, h ASC) inside a window,
+    and the cap is a deterministic group-size filter — so permuting (and
+    re-partitioning) the input corpus must give the IDENTICAL capped
+    output (round-5 verdict hardening ask #4)."""
+    docs = _random_corpus(seed=47, n_docs=100)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = {
+        tuple(r)
+        for r in clone_overlap_pairs(df, max_docs_per_token=8).collect()
+    }
+    perm = spark.createDataFrame(list(reversed(docs)), "doc_id long, text string") \
+        .repartition(7, F.col("doc_id"))
+    permuted = {
+        tuple(r)
+        for r in clone_overlap_pairs(perm, max_docs_per_token=8).collect()
+    }
+    assert base == permuted and base

@@ -1,0 +1,98 @@
+"""Vectorized XXH64: Spark-xxhash64 parity + pure-python reference sweep."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_deduplication_service_spark.functions.xxh64 import xxh64_slices
+
+_M = (1 << 64) - 1
+_P = (
+    0x9E3779B185EBCA87,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63,
+    0x27D4EB2F165667C5,
+)
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _ref_xxh64(data: bytes, seed: int = 42) -> int:
+    """Clean-room scalar XXH64 straight from the public spec."""
+    p1, p2, p3, p4, p5 = _P
+    n, p = len(data), 0
+    if n >= 32:
+        v = [(seed + p1 + p2) & _M, (seed + p2) & _M, seed & _M, (seed - p1) & _M]
+        while p + 32 <= n:
+            for j in range(4):
+                w = int.from_bytes(data[p + 8 * j : p + 8 * j + 8], "little")
+                v[j] = (_rotl((v[j] + w * p2) & _M, 31) * p1) & _M
+            p += 32
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)) & _M
+        for vj in v:
+            h = ((h ^ ((_rotl((vj * p2) & _M, 31) * p1) & _M)) * p1 + p4) & _M
+    else:
+        h = (seed + p5) & _M
+    h = (h + n) & _M
+    while p + 8 <= n:
+        k1 = (_rotl((int.from_bytes(data[p : p + 8], "little") * p2) & _M, 31) * p1) & _M
+        h = ((_rotl(h ^ k1, 27) * p1) + p4) & _M
+        p += 8
+    if p + 4 <= n:
+        w = int.from_bytes(data[p : p + 4], "little")
+        h = ((_rotl(h ^ ((w * p1) & _M), 23) * p2) + p3) & _M
+        p += 4
+    while p < n:
+        h = (_rotl(h ^ ((data[p] * p5) & _M), 11) * p1) & _M
+        p += 1
+    h ^= h >> 33
+    h = (h * p2) & _M
+    h ^= h >> 29
+    h = (h * p3) & _M
+    h ^= h >> 32
+    return h
+
+
+def _vec(msgs: list[bytes], seed: int = 42) -> np.ndarray:
+    flat = np.frombuffer(b"".join(msgs), dtype=np.uint8)
+    lens = np.array([len(m) for m in msgs], dtype=np.int64)
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    out = np.empty(lens.size, dtype=np.uint64)
+    xxh64_slices(flat, starts, lens, out, seed=seed)
+    return out
+
+
+def test_matches_reference_all_lengths():
+    rng = np.random.default_rng(7)
+    msgs = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8)) for n in range(101)]
+    msgs += [
+        bytes(rng.integers(0, 256, size=int(rng.integers(0, 300)), dtype=np.uint8))
+        for _ in range(2000)
+    ]
+    msgs += [b"", b"abc", b"x" * 4096, "ünïcode🚀".encode()]
+    out = _vec(msgs)
+    for i, m in enumerate(msgs):
+        assert int(out[i]) == _ref_xxh64(m), (i, len(m))
+
+
+def test_matches_spark_xxhash64(spark):
+    """Bit-identical to Spark's xxhash64 on UTF-8 string bytes (seed 42) —
+    the contract the fused clone token kernel depends on."""
+    rng = np.random.default_rng(13)
+    alphabet = list("abcXYZ_019;{}()+=é 🚀")
+    strs = ["", "a", "abc", "_", "9" * 40, "x" * 100, "café", "αβγ"]
+    strs += ["".join(rng.choice(alphabet, size=int(rng.integers(0, 60)))) for _ in range(500)]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    out = _vec([s.encode("utf-8") for s in strs])
+
+    def signed(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    for i, s in enumerate(strs):
+        assert signed(int(out[i])) == got[s], (i, s)
