@@ -583,8 +583,12 @@ def doc_token_bags(thc: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # token_counts implementation for clone_overlap_pairs when the caller
-# does not choose: flipped by the round-6 A/B verdict (BENCH/CLONE_PROFILE.md)
-FUSED_COUNTS_DEFAULT = False
+# does not choose. Round-6 A/B verdict (BENCH/CLONE_PROFILE.md §fused):
+# the fused kernel wins the phase ~3x at 8 cores (9.5-12.3s vs 30.5s at
+# 400k) and is parity-to-slightly-faster at 32 cores (the box's DRAM
+# band), with IDENTICAL invariants at every size/parallelism — so it is
+# the default; the relational form stays for diagnostics and the A/B.
+FUSED_COUNTS_DEFAULT = True
 
 
 def clone_overlap_pairs(

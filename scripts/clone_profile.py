@@ -39,6 +39,10 @@ def main() -> None:
         .config("spark.driver.memory", "16g")
         .config("spark.sql.shuffle.partitions", str(max(args.cores * 4, 32)))
         .config("spark.sql.adaptive.enabled", "true")
+        # rule 15 feed lesson: a mapInArrow kernel's batch size is the
+        # 32-worker lever — match the engine session (session.py) so the
+        # profiler times the kernel, not 100 MB default batches
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.local.dir", "/dev/shm/spark-scaling")
         .getOrCreate()
