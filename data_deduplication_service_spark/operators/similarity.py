@@ -132,7 +132,7 @@ def cosine_near_dup_pairs(
     (a hot bucket of s members would otherwise emit s² join rows), and
     pairs expand map-side from the sorted member array.
     """
-    sig = hyperplane_signatures(
+    sig = hyperplane_signatures_arrow(
         embeddings, dim, n_tables, bits_per_table, seed, id_col=id_col, vec_col=vec_col
     )
     sizes = sig.groupBy("table_id", "bucket").agg(F.count("*").alias("_sz"))
@@ -258,6 +258,139 @@ def ivf_assign_kernel(
     )
 
 
+_ANN_BUFS: dict[str, np.ndarray] = {}
+
+
+def _ann_buf(name: str, shape: tuple, dtype) -> np.ndarray:
+    size = int(np.prod(shape))
+    b = _ANN_BUFS.get(name)
+    if b is None or b.size < size or b.dtype != dtype:
+        b = np.empty(size, dtype=dtype)
+        _ANN_BUFS[name] = b
+    return b[:size].reshape(shape)
+
+
+def _vec_matrix_view(col, dim: int) -> np.ndarray:
+    """Zero-copy (n, dim) float32 view of an Arrow list<float> column whose
+    rows all have length ``dim`` (the embedding-table contract; validated)."""
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    if offs.size > 1 and not ((offs[1:] - offs[:-1]) == dim).all():
+        raise ValueError("embedding column rows must all have the fixed dim")
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return flat[offs[0] : offs[-1]].reshape(offs.size - 1, dim)
+
+
+def ivf_assign_kernel_arrow(
+    embeddings: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """mapInArrow twin of :func:`ivf_assign_kernel`: the vectors stay in
+    the Arrow float32 buffer (no pandas object column, no np.stack), and
+    every batch-sized intermediate — the float64 vector copy, the norms,
+    the (B, K) similarity matrix — is written into reused per-worker
+    buffers (rule 11). The arithmetic is the IDENTICAL float64 op
+    sequence on identically-contiguous operands, so the rounded-argmax
+    result is bit-for-bit the pandas kernel's (pytest-pinned)."""
+    import pyarrow as pa
+
+    cids = np.array([cid for cid, _ in codebook], dtype=np.int64)
+    mat = np.array([cv for _, cv in codebook], dtype=np.float64)  # (K, dim)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    k = matn.shape[0]
+    dim = matn.shape[1]
+
+    def assign(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            ids = batch.column(0)
+            v32 = _vec_matrix_view(batch.column(1), dim)
+            vecs = _ann_buf("ivf_v64", (n, dim), np.float64)
+            np.copyto(vecs, v32)
+            # norm mirrored op-for-op from np.linalg.norm(axis=1): square,
+            # add.reduce (pairwise), sqrt — so vn is bitwise the pandas
+            # kernel's and rounded ties cannot flip between variants
+            sq = _ann_buf("ivf_sq", (n, dim), np.float64)
+            np.multiply(vecs, vecs, out=sq)
+            nrm = _ann_buf("ivf_nrm", (n, 1), np.float64)
+            np.add.reduce(sq, axis=1, out=nrm[:, 0])
+            np.sqrt(nrm, out=nrm)
+            vn = _ann_buf("ivf_vn", (n, dim), np.float64)
+            np.divide(vecs, nrm, out=vn)
+            sims = _ann_buf("ivf_sims", (n, k), np.float64)
+            np.dot(vn, matn.T, out=sims)
+            np.round(sims, round_digits, out=sims)
+            am = np.argmax(sims, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(cids[am], type=pa.int64())],
+                names=["vec_id", "centroid_id"],
+            )
+
+    return embeddings.select(id_col, vec_col).mapInArrow(
+        assign, schema="vec_id long, centroid_id long"
+    )
+
+
+def hyperplane_signatures_arrow(
+    embeddings: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    bits_per_table: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """mapInArrow twin of :func:`hyperplane_signatures`: zero-copy vector
+    view + reused buffers; ONE (B, dim) @ (dim, T·bits) matmul replaces
+    the per-table loop (identical sign/weight math per table — the bucket
+    values are bit-identical; output order is table-major like the
+    pandas kernel's concat)."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, bits_per_table, dim)).astype(np.float64)
+    weights = 1 << np.arange(bits_per_table, dtype=np.int64)
+    # (dim, T*bits) — one gemm for all tables
+    allp = planes.reshape(n_tables * bits_per_table, dim).T.copy()
+
+    def bucketize(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            v32 = _vec_matrix_view(batch.column(1), dim)
+            vecs = _ann_buf("hp_v64", (n, dim), np.float64)
+            np.copyto(vecs, v32)
+            proj = _ann_buf("hp_proj", (n, n_tables * bits_per_table), np.float64)
+            np.dot(vecs, allp, out=proj)
+            signs = proj.reshape(n, n_tables, bits_per_table) > 0  # (B, T, bits)
+            buckets = signs @ weights  # (B, T) int64
+            out_ids = _ann_buf("hp_ids", (n_tables * n,), np.int64)
+            out_tab = _ann_buf("hp_tab", (n_tables * n,), np.int32)
+            out_bkt = _ann_buf("hp_bkt", (n_tables * n,), np.int64)
+            for t in range(n_tables):
+                out_ids[t * n : (t + 1) * n] = ids
+                out_tab[t * n : (t + 1) * n] = t
+                out_bkt[t * n : (t + 1) * n] = buckets[:, t]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids.copy(), type=pa.int64()),
+                    pa.array(out_tab.copy(), type=pa.int32()),
+                    pa.array(out_bkt.copy(), type=pa.int64()),
+                ],
+                names=["vec_id", "table_id", "bucket"],
+            )
+
+    return embeddings.select(id_col, vec_col).mapInArrow(
+        bucketize, schema="vec_id long, table_id int, bucket long"
+    )
+
+
 def ivf_probes(
     queries: DataFrame,
     codebook: list[tuple[int, list[float]]],
@@ -334,7 +467,7 @@ def ivf_topk(
     or any deterministic seed set. Collected driver-side as the broadcast
     codebook constant (see collect_codebook)."""
     codebook = collect_codebook(centroids)
-    assigner = ivf_assign_kernel if use_kernel else ivf_assign
+    assigner = ivf_assign_kernel_arrow if use_kernel else ivf_assign
     prober = ivf_probes_kernel if use_kernel else ivf_probes
     assigned = assigner(
         embeddings, codebook, id_col=id_col, vec_col=vec_col, round_digits=assign_round_digits
@@ -494,7 +627,7 @@ def semantic_near_dup_pairs(
     """Same-inverted-list cosine-duplicate pairs (a < b, rounded cosine ≥
     threshold) — the SemDeDup candidate relation."""
     codebook = collect_codebook(centroids)
-    assigner = ivf_assign_kernel if use_kernel else ivf_assign
+    assigner = ivf_assign_kernel_arrow if use_kernel else ivf_assign
     assigned = assigner(
         embeddings, codebook, id_col=id_col, vec_col=vec_col, round_digits=assign_round_digits
     )
@@ -515,7 +648,7 @@ def semantic_list_overflow(
     """(centroid_id, n_members) for inverted lists over the pairing cap —
     the observability half of the max_list_size contract."""
     codebook = collect_codebook(centroids)
-    assigner = ivf_assign_kernel if use_kernel else ivf_assign
+    assigner = ivf_assign_kernel_arrow if use_kernel else ivf_assign
     assigned = assigner(
         embeddings, codebook, id_col=id_col, vec_col=vec_col, round_digits=assign_round_digits
     )
@@ -552,7 +685,7 @@ def semantic_dedup(
     from .components import connected_components
 
     codebook = collect_codebook(centroids)
-    assigner = ivf_assign_kernel if use_kernel else ivf_assign
+    assigner = ivf_assign_kernel_arrow if use_kernel else ivf_assign
     # assignment feeds both the pair branch and the final labeling join —
     # persist the (vec_id, centroid_id) ids, never the vectors
     assigned = persist_scoped(
@@ -589,11 +722,11 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in ANY table,
     exact cosine re-rank on candidates only."""
-    corp_sig = hyperplane_signatures(embeddings, dim, n_tables, bits_per_table, seed)
+    corp_sig = hyperplane_signatures_arrow(embeddings, dim, n_tables, bits_per_table, seed)
     q_emb = queries.select(
         F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding")
     )
-    q_sig = hyperplane_signatures(q_emb, dim, n_tables, bits_per_table, seed).select(
+    q_sig = hyperplane_signatures_arrow(q_emb, dim, n_tables, bits_per_table, seed).select(
         F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )
     cands = (

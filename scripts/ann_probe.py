@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""ANN / embedding tier at scale — the round-5 verdict's missing campaign.
+
+Measures the two map-side embedding kernels over a multi-million-vector
+synthetic corpus at one parallelism level per process (CLAUDE.md rule 2),
+with identical-output invariants so legs are comparable:
+
+  - ``ivf_assign_kernel`` (the IVF scale path: one (B,dim)@(dim,K) matmul
+    per batch) at K=256 and K=4096 — invariant = Σ centroid_id and the
+    per-centroid histogram checksum;
+  - ``hyperplane_signatures`` (the cosine-LSH bucketizer) — invariant =
+    row count and Σ bucket.
+
+The verdict's specific fear (rule 11): per-batch transients of O(B·K)
+floats in the assign kernel and the pandas object-column materialization
+in both kernels could inverse-scale at 32 workers like the round-5
+signature kernel did. This probe is the adjudicator; `--arrow` runs the
+mapInArrow buffer-reuse variants (``ivf_assign_kernel_arrow``,
+``hyperplane_signatures_arrow``) for the A/B.
+
+Corpus: ``/tmp/ann_corpus_{N}.parquet`` — N vectors, dim 64 float32,
+clustered around 4096 seeded centers with noise (so assignment has
+realistic skewed list sizes), same (vec_id, embedding) layout as the sf
+tiers. Generated driver-side with numpy+pyarrow (deterministic, no
+Spark) on first use.
+
+Usage: python scripts/ann_probe.py --cores 8 [--n-vecs 4000000] [--arrow]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM = 64
+N_CENTERS = 4096
+SEED = 42
+
+
+def ensure_corpus(n_vecs: int) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/ann_corpus_{n_vecs}.parquet"
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(SEED)
+    centers = rng.standard_normal((N_CENTERS, DIM)).astype(np.float32)
+    # skewed center popularity (zipf-ish) — realistic inverted-list sizes
+    pop = 1.0 / np.arange(1, N_CENTERS + 1) ** 0.7
+    pop /= pop.sum()
+    chunk = 250_000
+    writer = None
+    t0 = time.monotonic()
+    for lo in range(0, n_vecs, chunk):
+        m = min(chunk, n_vecs - lo)
+        cid = rng.choice(N_CENTERS, size=m, p=pop)
+        vecs = centers[cid] + 0.35 * rng.standard_normal((m, DIM)).astype(np.float32)
+        flat = pa.array(vecs.ravel(), type=pa.float32())
+        offsets = pa.array(np.arange(0, (m + 1) * DIM, DIM, dtype=np.int32))
+        emb = pa.ListArray.from_arrays(offsets, flat)
+        tbl = pa.table(
+            {"vec_id": pa.array(np.arange(lo, lo + m, dtype=np.int64)), "embedding": emb}
+        )
+        if writer is None:
+            writer = pq.ParquetWriter(path + ".tmp", tbl.schema)
+        writer.write_table(tbl)
+    writer.close()
+    os.rename(path + ".tmp", path)
+    print(f"generated {path}: {time.monotonic() - t0:.1f}s", file=sys.stderr)
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--n-vecs", type=int, default=4_000_000)
+    ap.add_argument("--arrow", action="store_true",
+                    help="run the mapInArrow buffer-reuse kernel variants")
+    args = ap.parse_args()
+
+    path = ensure_corpus(args.n_vecs)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cores}]")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", str(max(args.cores * 4, 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        # rule 18: pin the Arrow batch size in any kernel harness
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.local.dir", "/dev/shm/spark-scaling")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_deduplication_service_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(path)
+    n = emb.count()  # warm the scan
+
+    rng = np.random.default_rng(SEED)
+    centers = rng.standard_normal((N_CENTERS, DIM)).astype(np.float32)
+    codebook_full = [(i, centers[i].astype(float).tolist()) for i in range(N_CENTERS)]
+    codebook_small = codebook_full[:256]
+
+    t: dict[str, float] = {}
+    inv: dict[str, int] = {}
+
+    assign_fn = (
+        sim.ivf_assign_kernel_arrow if args.arrow else sim.ivf_assign_kernel
+    )
+    sig_fn = (
+        sim.hyperplane_signatures_arrow if args.arrow else sim.hyperplane_signatures
+    )
+
+    for key, cb in (("assign_k256", codebook_small), ("assign_k4096", codebook_full)):
+        t0 = time.monotonic()
+        a = assign_fn(emb, cb)
+        row = a.agg(
+            F.count("*").alias("n"),
+            F.sum("centroid_id").alias("s"),
+            F.expr("bit_xor(xxhash64(vec_id, centroid_id))").alias("h"),
+        ).collect()[0]
+        t[key] = round(time.monotonic() - t0, 2)
+        inv[key] = f"{row['n']}/{row['s']}/{row['h']}"
+
+    t0 = time.monotonic()
+    s = sig_fn(emb, DIM, n_tables=8, bits_per_table=12)
+    row = s.agg(
+        F.count("*").alias("n"),
+        F.sum("bucket").alias("s"),
+        F.expr("bit_xor(xxhash64(vec_id, table_id, bucket))").alias("h"),
+    ).collect()[0]
+    t["hyperplane_sig"] = round(time.monotonic() - t0, 2)
+    inv["hyperplane_sig"] = f"{row['n']}/{row['s']}/{row['h']}"
+
+    print(json.dumps({
+        "arrow": bool(args.arrow),
+        "cores": args.cores,
+        "n_vecs": n,
+        "phases_sec": t,
+        "invariants": inv,
+        "total_sec": round(sum(t.values()), 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -353,3 +353,36 @@ def test_semantic_pairs_plan_has_no_cartesian(spark, emb, centroids):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_assign_kernel_arrow_matches_pandas(spark, emb, centroids):
+    """The mapInArrow buffer-reuse assign kernel is bit-identical to the
+    mapInPandas kernel (same float64 op sequence on same-contiguity
+    operands — the round-6 ANN-at-scale contract)."""
+    from data_deduplication_service_spark.operators.similarity import (
+        collect_codebook,
+        ivf_assign_kernel,
+        ivf_assign_kernel_arrow,
+    )
+
+    cb = collect_codebook(centroids)
+    a = {r["vec_id"]: r["centroid_id"] for r in ivf_assign_kernel(emb, cb).collect()}
+    b = {r["vec_id"]: r["centroid_id"] for r in ivf_assign_kernel_arrow(emb, cb).collect()}
+    assert a == b and a
+
+
+def test_hyperplane_signatures_arrow_matches_pandas(spark, emb):
+    from data_deduplication_service_spark.operators.similarity import (
+        hyperplane_signatures,
+        hyperplane_signatures_arrow,
+    )
+
+    a = {
+        (r["vec_id"], r["table_id"]): r["bucket"]
+        for r in hyperplane_signatures(emb, 64, n_tables=4, bits_per_table=8).collect()
+    }
+    b = {
+        (r["vec_id"], r["table_id"]): r["bucket"]
+        for r in hyperplane_signatures_arrow(emb, 64, n_tables=4, bits_per_table=8).collect()
+    }
+    assert a == b and a
