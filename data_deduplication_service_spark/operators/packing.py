@@ -41,6 +41,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+SINGLE_SHARD_ROW_GUARD = 2_000_000
+
+
 def sequence_pack_plan(
     docs: DataFrame,
     budget: int,
@@ -48,13 +51,31 @@ def sequence_pack_plan(
     text_col: str = "text",
     part_col: str | None = None,
     tokens_col: str | None = None,
+    allow_single_shard: bool = False,
 ) -> DataFrame:
     """(part, id, n_tokens, start_tok, end_tok, seq_first, seq_last):
     the deterministic packing plan at ``budget`` tokens per training
     sequence. ``part_col=None`` packs the whole corpus as one shard
-    (small corpora / tests only — one window partition is one task)."""
+    (small corpora / tests only — one window partition is one task).
+
+    Scale guard (round-5 verdict's footgun): with ``part_col=None`` and a
+    non-streaming input, a bounded probe (``limit(N+1).count()``, cheap —
+    it stops at the threshold) raises once the corpus exceeds
+    ``SINGLE_SHARD_ROW_GUARD`` rows, instead of silently serializing the
+    whole corpus through ONE window task. Pass a real ``part_col``
+    (e.g. ``pmod(doc_id, n_shards)`` materialized as a column) or
+    ``allow_single_shard=True`` to override."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if part_col is None and not allow_single_shard and not docs.isStreaming:
+        probe = docs.select(id_col).limit(SINGLE_SHARD_ROW_GUARD + 1).count()
+        if probe > SINGLE_SHARD_ROW_GUARD:
+            raise ValueError(
+                f"sequence_pack_plan(part_col=None) would pack >"
+                f"{SINGLE_SHARD_ROW_GUARD} rows in ONE window task; pass a "
+                "shard key (e.g. pmod(doc_id, n_shards) as a column) or "
+                "allow_single_shard=True"
+            )
     part = F.col(part_col) if part_col else F.lit("all")
     if tokens_col:
         n_tokens: Column = F.col(tokens_col).cast("long")

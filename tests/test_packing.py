@@ -126,3 +126,20 @@ def test_one_shuffle_no_python(spark):
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert s.count("Exchange hashpartitioning") == 1
     assert "Window" in s and "Python" not in s
+
+
+def test_single_shard_guard_raises_above_threshold(spark, monkeypatch):
+    """part_col=None over a corpus bigger than the guard raises instead of
+    packing everything in one window task (round-5 verdict hardening)."""
+    import pytest as _pytest
+
+    from data_deduplication_service_spark.operators import packing as pk
+
+    monkeypatch.setattr(pk, "SINGLE_SHARD_ROW_GUARD", 10)
+    big = spark.range(25).selectExpr("id as doc_id", "'a b c' as text")
+    with _pytest.raises(ValueError, match="ONE window task"):
+        pk.sequence_pack_plan(big, budget=4)
+    # explicit opt-out and a real shard key both still work
+    assert pk.sequence_pack_plan(big, budget=4, allow_single_shard=True).count() == 25
+    sharded = big.selectExpr("doc_id", "text", "pmod(doc_id, 4) as shard")
+    assert pk.sequence_pack_plan(sharded, budget=4, part_col="shard").count() == 25
